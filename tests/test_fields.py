@@ -1,0 +1,200 @@
+"""Field-kernel unit tests (no Spark) + differential parity vs the live
+reference implementation (SURVEY.md §5 rebuild test plan step 1).
+
+Fixture strings follow /root/reference/docs/TESTING.md:14-23 and
+FIXTURES.md §4; the golden document is scripts/test_po.txt.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from unified_ocr_pipeline_spark.kernels import fields as K
+
+TEST_PO_TXT = """PURCHASE ORDER #4551234567
+
+MJO NO: MJO-2024-001
+QTY SHIP: 100 EA
+PART NUMBER: 12345*op06
+Promise Delivery Date: 01/15/2024
+DPAS Rating: A1
+Payment Terms: Net 30 Days
+Quality Clauses: Q8, Q10, Q43
+
+ROUTER SECTION
+Operation 10: Mill to dimension
+Operation 20: Drill holes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pinned fixtures (FIXTURES.md §4)
+# ---------------------------------------------------------------------------
+
+def test_po_and_mjo_prescribed_fixture():
+    pages = ["PO Number: 4551234567\nMJO NO: 12345678"]
+    assert K.find_po_number(pages) == "4551234567"
+    # docs/TESTING.md:14-23 prescribes MJO→12345678, but the actual reference
+    # regex `MJO[:\s#]*(\d+)` cannot cross the "NO:" token and its standalone
+    # fallback requires 9-12 digits — the live reference returns "" here
+    # (verified by execution). Byte-identity follows the code, not the doc.
+    assert K.extract_production_order(pages) == ""
+    assert K.extract_production_order(["MJO: 12345678"]) == "12345678"
+    assert K.extract_production_order(["Production Order: 987654321"]) == "987654321"
+
+
+def test_po_validation_accepts_two_occurrences(reference_pipeline):
+    text = "Purchase Order 4551230999 something 4551230999"
+    assert K.find_po_number([text]) == "4551230999"
+    assert reference_pipeline._validate_po_number("4551230999", text) is True
+
+
+def test_po_validation_rejects_more_frequent_confusion():
+    # candidate appears once; the 5→6 confusion alternative appears 3 times
+    text = "Purchase Order 4551230999 x 4651230999 4651230999 4651230999"
+    assert K.validate_po_number("4551230999", text) is False
+
+
+def test_confusion_table_asymmetry_8_maps_to_0():
+    # Reference dict literal repeats key '8' → effective 8→0 (never 8→3).
+    assert K._CONFUSIONS["8"] == "0"
+    assert K._CONFUSIONS["3"] == "8"
+
+
+def test_vendor_address_then_company_fallback():
+    assert K.extract_vendor(["Vendor address:\nTEK ENTERPRISES, INC."]) == (
+        "TEK ENTERPRISES, INC."
+    )
+    # leading digits on the address line → falls through to the company
+    # pattern, whose `[A-Z\s,\.&]+` class crosses newlines (reference
+    # behavior, verified by the parity tests below)
+    assert (
+        K.extract_vendor(["Vendor address:\n123 Main St\nACME CORP"])
+        == "Main St\nACME CORP"
+    )
+
+
+def test_part_number_with_op_formats_asterisk():
+    pages = ["139038-2SA OP20 BODY ASSY"]
+    assert K.extract_part_number_with_op(pages) == "139038-2SA*OP20"
+    assert K.format_part_number("139038-2SA-OP20") == "139038-2SA*OP20"
+    assert K.format_part_number("139038-2SA*OP20") == "139038-2SA*OP20"
+    assert K.format_part_number("") == ""
+
+
+def test_payment_terms_flags():
+    assert K.check_payment_terms(["Payment terms: Net 45"]).startswith("NON_STANDARD:")
+    std = K.check_payment_terms(["Payment terms: 30 Days"])
+    assert std == "STANDARD: 30 Days"
+
+
+def test_dpas_multi_match_joined():
+    assert K.extract_dpas_rating(["DPAS: A1 stuff", "more DPAS: B2"]) == "A1, B2"
+    assert K.extract_dpas_rating(["DPAS: A1"]) == "A1"
+    assert K.extract_dpas_rating(["nothing"]) == ""
+
+
+def test_quality_clauses_first_and_second_pass():
+    qc = K.extract_quality_clauses(["Q8 INSPECTION REQUIRED Q10 MATERIAL CERTS"])
+    assert "Q8" in qc and "Q10" in qc
+    assert qc["Q8"].startswith("INSPECTION REQUIRED")
+
+
+def test_quantity_shipped_normalizes_to_int_string():
+    assert K.extract_quantity_shipped(["QTY: 100.0"]) == "100"
+    assert K.extract_quantity_shipped(["100 EA"]) == "100"
+
+
+def test_golden_test_po_document(reference_pipeline):
+    pages = [TEST_PO_TXT]
+    ref_results = {"pages": [{"text": TEST_PO_TXT}]}
+    mine = K.fallback_regex_extraction(pages, "4551234567")
+    theirs = reference_pipeline._fallback_regex_extraction(ref_results, "4551234567")
+    assert mine == theirs
+
+
+# ---------------------------------------------------------------------------
+# Differential parity vs the live reference implementation
+# ---------------------------------------------------------------------------
+
+_EXTRACTOR_PAIRS = [
+    (K.extract_vendor, "_extract_vendor"),
+    (K.extract_date, "_extract_date"),
+    (K.extract_amount, "_extract_amount"),
+    (K.extract_delivery_date, "_extract_delivery_date"),
+    (K.extract_vendor_number, "_extract_vendor_number"),
+    (K.extract_buyer_name, "_extract_buyer_name"),
+    (K.extract_buyer_phone, "_extract_buyer_phone"),
+    (K.extract_buyer_email, "_extract_buyer_email"),
+    (K.extract_part_number, "_extract_part_number"),
+    (K.extract_quantity, "_extract_quantity"),
+    (K.extract_net_per_price, "_extract_net_per_price"),
+    (K.extract_po_number_strict, "_extract_po_number"),
+    (K.extract_production_order, "_extract_production_order"),
+    (K.extract_quantity_shipped, "_extract_quantity_shipped"),
+    (K.extract_part_number_with_op, "_extract_part_number_with_op"),
+    (K.extract_dpas_rating, "_extract_dpas_rating"),
+    (K.check_payment_terms, "_check_payment_terms"),
+    (K.extract_quality_clauses, "_extract_quality_clauses"),
+]
+
+# Text soup biased toward the extractors' trigger vocabulary so the cascades
+# actually fire, plus adversarial digits/punctuation.
+_VOCAB = st.sampled_from(
+    [
+        "Purchase Order", "PO:", "PO-", "4551234567", "4551230999", "4651230999",
+        "1234567890", "123456789", "Vendor address:", "TEK ENTERPRISES, INC.",
+        "ACME CORP", "Date: 01/15/2024", "Delivery Date", "Dockdate: 2/3/2024",
+        "Total amount: 1,234.56", "Net value: 99", "$ 42.00", "amount: $7",
+        "Vendor number: 883321", "Buyer/phone: Jane Doe / 555-123-4567",
+        "Buyer E-mail: buyer@example.com", "139038-2SA", "OP20", "op06",
+        "BODY ASSY", "ASSEMBLY", "Quantity: 100.0", "QTY: 5", "100 EA",
+        "Ship Qty: 12", "Shipped: 7", "EACH", "Production Order: 987654321",
+        "MJO NO: 12345678", "MJO# 777", "DPAS: A1", "DPAS: B2",
+        "Payment terms: Net 30 Days", "Payment terms: Net 45",
+        "Net Per UM Dockdate Net 1,234.56", "Q8 INSPECTION REQUIRED",
+        "Q10 MATERIAL CERTS NEEDED HERE", "Q43 SPECIAL PACKAGING [SEE NOTES]",
+        "\n", "\n\n", " ", "lorem ipsum", "router section",
+    ]
+)
+
+
+@st.composite
+def _page_texts(draw):
+    n_pages = draw(st.integers(min_value=1, max_value=3))
+    pages = []
+    for _ in range(n_pages):
+        toks = draw(st.lists(_VOCAB, min_size=0, max_size=25))
+        noise = draw(st.text(alphabet=string.printable, max_size=30))
+        pages.append(" ".join(toks) + noise)
+    return pages
+
+
+@settings(max_examples=150, deadline=None)
+@given(pages=_page_texts())
+def test_extractor_parity_with_reference(reference_pipeline, pages):
+    ref_results = {"pages": [{"text": t} for t in pages]}
+    for mine_fn, ref_name in _EXTRACTOR_PAIRS:
+        ref_fn = getattr(reference_pipeline, ref_name)
+        assert mine_fn(pages) == ref_fn(ref_results), ref_name
+
+
+@settings(max_examples=150, deadline=None)
+@given(pages=_page_texts())
+def test_full_fallback_record_parity(reference_pipeline, pages):
+    ref_results = {"pages": [{"text": t} for t in pages]}
+    mine = K.fallback_regex_extraction(pages, "4551234567")
+    theirs = reference_pipeline._fallback_regex_extraction(ref_results, "4551234567")
+    assert mine == theirs
+
+
+@settings(max_examples=150, deadline=None)
+@given(pages=_page_texts())
+def test_po_validation_parity(reference_pipeline, pages):
+    text = "\n".join(pages)
+    for candidate in ("4551234567", "4551230999", "4580137018"):
+        assert K.validate_po_number(candidate, text) == (
+            reference_pipeline._validate_po_number(candidate, text)
+        ), candidate

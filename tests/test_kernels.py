@@ -1,0 +1,194 @@
+"""Unit tests for sniff, HTML extraction, PDF-SYN layout, and the
+per-document kernel (no Spark)."""
+
+from __future__ import annotations
+
+import random
+
+from unified_ocr_pipeline_spark.kernels import sniff
+from unified_ocr_pipeline_spark.kernels import html_extract as H
+from unified_ocr_pipeline_spark.kernels import pdf_layout as P
+from unified_ocr_pipeline_spark.kernels import document as D
+
+
+# -- sniff -------------------------------------------------------------------
+
+def test_sniff_magic_bytes():
+    assert sniff.sniff_content_type(b"%PDF-1.7 ...") == sniff.PDF
+    assert sniff.sniff_content_type(b"%PDF-SYN1\nP 1\n") == sniff.PDF
+    assert sniff.sniff_content_type(b"<!DOCTYPE html><html>") == sniff.HTML
+    assert sniff.sniff_content_type(b"  \n<html lang='en'>") == sniff.HTML
+    assert sniff.sniff_content_type(b"<div>frag</div>") == sniff.HTML
+    assert sniff.sniff_content_type(b"plain words") == sniff.TEXT
+    assert sniff.sniff_content_type(b"") == sniff.EMPTY
+    assert sniff.sniff_content_type(None) == sniff.EMPTY
+
+
+# -- HTML boilerplate stripping ------------------------------------------------
+
+ARTICLE = b"""<!DOCTYPE html>
+<html><head><title>t</title><script>var x=1;</script>
+<style>.a{color:red}</style></head>
+<body>
+<nav><a href="/">Home</a> <a href="/b">Blog</a> <a href="/c">Contact</a></nav>
+<div class="sidebar"><a href="1">L1</a> <a href="2">L2</a> <a href="3">L3</a></div>
+<article>
+<h1>A Real Headline About Purchase Orders</h1>
+<p>This is the first paragraph of the main content and it is long enough to count as content.</p>
+<p>Second paragraph with more meaningful prose that should definitely survive the boilerplate strip.</p>
+</article>
+<footer>Copyright 2024 Example Inc. All rights reserved worldwide forever.</footer>
+</body></html>"""
+
+
+def test_html_extract_keeps_article_drops_nav_footer():
+    text, offsets = H.extract_main_text(ARTICLE.decode())
+    assert "first paragraph of the main content" in text
+    assert "Second paragraph" in text
+    assert "Home" not in text
+    assert "L1" not in text
+    assert "Copyright 2024" not in text  # footer is structural boilerplate
+    assert "var x=1" not in text
+    # offsets index into the text exactly
+    for s, e in offsets:
+        assert text[s:e] == text[s:e].strip()
+        assert "\n" not in text[s:e]
+
+
+def test_html_link_density_filter():
+    linky = (
+        "<body><div>"
+        + " ".join(f'<a href="{i}">word{i} word</a>' for i in range(10))
+        + "</div><p>"
+        + "genuine long-form content sentence with many words here "
+        + "</p></body>"
+    )
+    text, _ = H.extract_main_text(linky)
+    assert "genuine long-form content" in text
+    assert "word1 word" not in text
+
+
+def test_html_empty_main():
+    text, offsets = H.extract_main_text(
+        "<body><nav><a href='/'>Home</a></nav><footer>foot words</footer></body>"
+    )
+    assert text == ""
+    assert offsets == []
+
+
+def test_html_extract_deterministic():
+    a = H.extract_main_text(ARTICLE.decode())
+    b = H.extract_main_text(ARTICLE.decode())
+    assert a == b
+
+
+# -- PDF-SYN layout parsing ----------------------------------------------------
+
+def test_pdf_syn_roundtrip_reading_order():
+    pages = [
+        [
+            (10, 0, "HEADER LINE"),
+            (30, 0, "left column"),
+            (30, 300, "right column"),
+            (60, 0, "bottom block\nwith two lines"),
+        ]
+    ]
+    payload = P.render_pages(pages)
+    assert P.is_pdf_syn(payload)
+    out = P.parse_pages(payload)
+    assert out == ["HEADER LINE\nleft column\nright column\nbottom block\nwith two lines"]
+
+
+def test_pdf_syn_shuffled_blocks_restore_order():
+    blocks = [
+        (10, 0, "first"),
+        (30, 0, "second"),
+        (50, 0, "third"),
+        (70, 0, "fourth"),
+    ]
+    rng = random.Random(7)
+    shuffled = blocks[:]
+    rng.shuffle(shuffled)
+    out = P.parse_pages(P.render_pages([shuffled]))
+    assert out == ["first\nsecond\nthird\nfourth"]
+
+
+def test_pdf_syn_band_quantization():
+    # y=34 and y=33 fall in the same 16-unit band → ordered by x
+    payload = P.render_pages([[(34, 0, "left"), (33, 200, "right")]])
+    assert P.parse_pages(payload) == ["left\nright"]
+
+
+def test_pdf_syn_multipage():
+    payload = P.render_pages([[(0, 0, "page one")], [(0, 0, "page two")]])
+    assert P.parse_pages(payload) == ["page one", "page two"]
+
+
+# -- per-document kernel ---------------------------------------------------------
+
+PO_PAGES = [
+    "PURCHASE ORDER #4551234567\nMJO NO: 12345678\nQTY SHIP: 100 EA",
+    "continuation page with details",
+    "ROUTER SECTION\nOperation 10: Mill",
+]
+
+
+def _po_payload():
+    return P.render_pages([[(0, 0, t)] for t in PO_PAGES])
+
+
+def test_process_document_po_split_and_spans():
+    res = D.process_document("https://a/x.pdf", _po_payload(), None)
+    assert res.status == D.STATUS_OK
+    assert res.content_type == sniff.PDF
+    assert res.total_pages == 3
+    assert res.po_number == "4551234567"
+    # W4: pages 0,1 are PO (idx<2); page 2 has no anchor → router
+    assert res.po_page_count == 2
+    assert res.router_page_count == 1
+    assert [s.label for s in res.spans] == ["po", "po", "router"]
+    # byte-identity: combined text joins pages with the exact separator
+    assert res.extracted_text == D.PAGE_BREAK.join(PO_PAGES)
+    # spans slice the combined text back into the original pages
+    for i, s in enumerate(res.spans):
+        assert res.extracted_text[s.start:s.end] == PO_PAGES[i]
+
+
+def test_process_document_anchor_late_page_is_po():
+    pages = ["p1", "p2", "see the purchase order here", "plain"]
+    payload = P.render_pages([[(0, 0, t)] for t in pages])
+    res = D.process_document("u", payload, None)
+    assert [s.label for s in res.spans] == ["po", "po", "po", "router"]
+
+
+def test_process_document_unknown_po():
+    payload = P.render_pages([[(0, 0, "no numbers here")]])
+    res = D.process_document("u", payload, None)
+    assert res.po_number == D.UNKNOWN_PO
+    assert res.fields["Whittaker_Shipper"] == D.UNKNOWN_PO
+
+
+def test_process_document_html():
+    res = D.process_document("https://h/x", ARTICLE, None)
+    assert res.content_type == sniff.HTML
+    assert res.status == D.STATUS_OK
+    assert "Real Headline" in res.extracted_text
+    assert all(s.label == "main" for s in res.spans)
+    for s in res.spans:
+        seg = res.extracted_text[s.start:s.end]
+        assert seg and "\n" not in seg
+
+
+def test_process_document_text_fallback_and_empty():
+    res = D.process_document("u", None, "PO: 4551234567 text layer")
+    assert res.content_type == sniff.TEXT
+    assert res.po_number == "4551234567"
+    res2 = D.process_document("u", None, None)
+    assert res2.status == D.STATUS_EMPTY
+    assert res2.extracted_text == ""
+
+
+def test_process_document_oversize_guard():
+    res = D.process_document("u", b"%PDF" + b"x" * 100, None, max_bytes=50)
+    assert res.status == D.STATUS_OVERSIZE
+    assert res.extracted_text == ""

@@ -1,0 +1,171 @@
+"""Readability-style HTML main-content extraction (boilerplate stripping).
+
+The reference has no HTML path; the north star (BASELINE.json) mandates
+"readability-style DOM boilerplate stripping (text-density + link-density
+scoring over block elements)". The design template inside the reference is
+its *described* three-method splitter with confidence scoring
+(/root/reference/NAS_DEPLOYMENT_GUIDE.md:120-133, SURVEY.md §2.9 G4).
+
+Deterministic, stdlib-only (html.parser), zero Spark imports. The same code
+runs inside the Spark pandas-UDF stage and the sequential oracle, so the
+extracted text is byte-identical by construction and pinned by golden tests.
+
+Algorithm (classic text-density / link-density block scoring):
+ 1. Stream-parse the HTML, dropping <script>/<style>/<noscript>/<template>
+    subtrees and comments.
+ 2. Cut the text into blocks at block-level element boundaries; within each
+    block track total text chars and anchor-text chars, plus whether any
+    ancestor at block-open time was a structural-boilerplate container
+    (<nav>/<header>/<footer>/<aside>).
+ 3. Score: a block is CONTENT iff it is not inside structural boilerplate,
+    its normalized text length ≥ MIN_BLOCK_CHARS, and its link density
+    (anchor chars / text chars) ≤ MAX_LINK_DENSITY.
+ 4. Main text = content-block texts joined with "\n" (whitespace inside a
+    block collapsed to single spaces — the canonical form).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from typing import List, Tuple
+
+# Tags whose subtree contributes no text at all.
+_DROP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe"}
+
+# Structural boilerplate containers: all text inside them is boilerplate.
+_BOILER_TAGS = {"nav", "header", "footer", "aside"}
+
+# Block-level boundaries: opening or closing one of these flushes the block.
+_BLOCK_TAGS = {
+    "p", "div", "article", "section", "main", "li", "ul", "ol",
+    "h1", "h2", "h3", "h4", "h5", "h6", "td", "th", "tr", "table",
+    "pre", "blockquote", "figure", "figcaption", "br", "hr",
+    "form", "button", "nav", "header", "footer", "aside", "body",
+}
+
+MIN_BLOCK_CHARS = 25      # below this a block can't be main content
+MAX_LINK_DENSITY = 0.33   # above this a block is navigation-like
+
+
+@dataclass
+class Block:
+    text: str            # whitespace-normalized block text
+    link_chars: int      # anchor-text chars (pre-normalization count)
+    total_chars: int     # all text chars (pre-normalization count)
+    in_boiler: bool      # opened inside nav/header/footer/aside
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.total_chars if self.total_chars else 0.0
+
+    @property
+    def is_content(self) -> bool:
+        return (
+            not self.in_boiler
+            and len(self.text) >= MIN_BLOCK_CHARS
+            and self.link_density <= MAX_LINK_DENSITY
+        )
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[Block] = []
+        self._buf: List[str] = []
+        self._buf_link_chars = 0
+        self._buf_total_chars = 0
+        self._drop_depth = 0
+        self._boiler_depth = 0
+        self._anchor_depth = 0
+
+    # -- block lifecycle ----------------------------------------------------
+    def _flush(self) -> None:
+        raw = "".join(self._buf)
+        text = " ".join(raw.split())
+        if text:
+            self.blocks.append(
+                Block(
+                    text=text,
+                    link_chars=self._buf_link_chars,
+                    total_chars=self._buf_total_chars,
+                    in_boiler=self._boiler_depth > 0,
+                )
+            )
+        self._buf = []
+        self._buf_link_chars = 0
+        self._buf_total_chars = 0
+
+    # -- parser callbacks ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _BOILER_TAGS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._anchor_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _BOILER_TAGS:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        stripped_len = len(data.strip())
+        if stripped_len == 0 and not data:
+            return
+        self._buf.append(data)
+        self._buf_total_chars += stripped_len
+        if self._anchor_depth:
+            self._buf_link_chars += stripped_len
+
+    def close(self) -> None:  # final flush
+        super().close()
+        self._flush()
+
+
+def segment_blocks(html_text: str) -> List[Block]:
+    """Parse HTML into scored text blocks (deterministic)."""
+    parser = _BlockParser()
+    parser.feed(html_text)
+    parser.close()
+    return parser.blocks
+
+
+def extract_main_text(html_text: str) -> Tuple[str, List[Tuple[int, int]]]:
+    """Return (main_text, span_offsets).
+
+    ``main_text`` is content-block texts joined with "\\n";
+    ``span_offsets`` is a list of (start, end) character offsets of each kept
+    block inside ``main_text`` — the HTML analog of the reference's page
+    spans (SURVEY.md §2.5 W4 cumulative offsets).
+    """
+    blocks = segment_blocks(html_text)
+    parts: List[str] = []
+    offsets: List[Tuple[int, int]] = []
+    pos = 0
+    for b in blocks:
+        if not b.is_content:
+            continue
+        if parts:
+            pos += 1  # the "\n" separator
+        start = pos
+        parts.append(b.text)
+        pos += len(b.text)
+        offsets.append((start, pos))
+    return "\n".join(parts), offsets

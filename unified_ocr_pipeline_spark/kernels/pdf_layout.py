@@ -1,0 +1,96 @@
+"""Layout-aware parsing of PDF-style paged documents (PDF-SYN format).
+
+The reference reads real PDFs with PyMuPDF/pdfplumber and OCRs image-only
+pages (/root/reference/scripts/unified_ocr_pipeline.py:122-196, 643-752);
+neither library nor Tesseract is available (or deterministic) here, so —
+per the north star — the OCR-zone heuristics are reimplemented as a
+deterministic layout kernel: page segmentation into positioned text blocks
+with a reading-order sort (top-to-bottom line bands, left-to-right within a
+band). This mirrors the reference's *described* layout-analysis splitter
+design (NAS_DEPLOYMENT_GUIDE.md:120-133, SURVEY.md §2.9 G1-G4).
+
+PDF-SYN is this repo's deterministic mini-format carried in the ``html``
+binary column (FIXTURES.md §1 'pdf-layout' class). It shares the ``%PDF``
+magic prefix so the sniff kernel routes it like the reference routes *.pdf:
+
+    %PDF-SYN1\n
+    P <page_no>\n
+    B <y> <x>\n
+    <text line>\n
+    ...
+    E\n
+    ...per block / per page...
+
+Blocks may be PHYSICALLY stored in any order (the fixture shuffles them);
+the parser restores reading order. A page's text is its block texts in
+reading order joined with "\n"; lines within a block keep their order.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+MAGIC = b"%PDF-SYN1"
+LINE_BAND = 16  # y-coordinates within the same 16-unit band = same visual line
+
+
+def is_pdf_syn(payload: bytes) -> bool:
+    return payload.startswith(MAGIC)
+
+
+def parse_pages(payload: bytes) -> List[str]:
+    """Decode a PDF-SYN payload into ordered per-page text strings.
+
+    Reading order: blocks sorted by (y // LINE_BAND, x, y) — the band
+    quantization makes side-by-side blocks read left-to-right even when
+    their y origins differ by a few units (the reference's OCR zones analog).
+    """
+    text = payload.decode("utf-8")
+    lines = text.split("\n")
+    if not lines or not lines[0].startswith("%PDF-SYN1"):
+        raise ValueError("not a PDF-SYN payload")
+
+    # pages: page_no -> list of (y, x, block_lines)
+    pages: dict[int, List[Tuple[int, int, List[str]]]] = {}
+    cur_page: int | None = None
+    cur_block: List[str] | None = None
+    cur_yx: Tuple[int, int] = (0, 0)
+
+    for line in lines[1:]:
+        if line.startswith("P "):
+            cur_page = int(line[2:])
+            pages.setdefault(cur_page, [])
+        elif line.startswith("B "):
+            parts = line[2:].split()
+            cur_yx = (int(parts[0]), int(parts[1]))
+            cur_block = []
+        elif line == "E":
+            if cur_page is not None and cur_block is not None:
+                pages[cur_page].append((cur_yx[0], cur_yx[1], cur_block))
+            cur_block = None
+        elif cur_block is not None:
+            cur_block.append(line)
+
+    out: List[str] = []
+    for page_no in sorted(pages):
+        blocks = pages[page_no]
+        blocks.sort(key=lambda b: (b[0] // LINE_BAND, b[1], b[0]))
+        page_text = "\n".join("\n".join(blk) for _, _, blk in blocks)
+        out.append(page_text)
+    return out
+
+
+def render_pages(pages: List[List[Tuple[int, int, str]]]) -> bytes:
+    """Encode pages of (y, x, block_text) into a PDF-SYN payload.
+
+    Used only by the fixture generator (blocks are emitted in the order
+    given — callers shuffle them to exercise the reading-order sort).
+    """
+    lines: List[str] = [MAGIC.decode()]
+    for i, blocks in enumerate(pages, start=1):
+        lines.append(f"P {i}")
+        for y, x, block_text in blocks:
+            lines.append(f"B {y} {x}")
+            lines.extend(block_text.split("\n"))
+            lines.append("E")
+    return "\n".join(lines).encode("utf-8")

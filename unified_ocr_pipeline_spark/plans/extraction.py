@@ -1,0 +1,165 @@
+"""The vectorized extraction stage: one Arrow-batched ``mapInPandas`` call.
+
+This is the hot path. Design (SURVEY.md §4 "vectorized extraction stage"):
+- ONE JVM↔Python crossing per Arrow batch (vs the reference's per-page
+  Python loop, unified_ocr_pipeline.py:1161) — regexes/parsers compiled once
+  per worker at module import.
+- No per-row Python UDFs anywhere; the kernel loop runs inside the batch at
+  C-regex speed over short strings.
+- Per-batch wall time is measured inside the stage and emitted per row
+  (``proc_us``), so per-partition lineage/metrics can be aggregated from the
+  output without a second pass (north rule's stage timings).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernels import document as D
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("label", T.StringType()),
+            T.StructField("page_no", T.IntegerType()),
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+        ]
+    )
+)
+
+FIELDS_TYPE = T.StructType(
+    [
+        T.StructField("Whittaker_Shipper", T.StringType()),
+        T.StructField("MJO_NO", T.StringType()),
+        T.StructField("QTY_SHIP", T.StringType()),
+        T.StructField("PART_NUMBER", T.StringType()),
+        T.StructField("Promise_Delivery_Date", T.StringType()),
+        T.StructField("DPAS_Rating", T.StringType()),
+        T.StructField("Payment_Terms_Flag", T.StringType()),
+        T.StructField("vendor", T.StringType()),
+        T.StructField("vendor_number", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("amount", T.StringType()),
+        T.StructField("buyer_name", T.StringType()),
+        T.StructField("buyer_phone", T.StringType()),
+        T.StructField("buyer_email", T.StringType()),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("total_pages", T.IntegerType()),
+        T.StructField("po_page_count", T.IntegerType()),
+        T.StructField("router_page_count", T.IntegerType()),
+        T.StructField("total_text_length", T.LongType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("po_number", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("fields", FIELDS_TYPE),
+        T.StructField("quality_clauses", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("proc_us", T.LongType()),
+        T.StructField("raw_bytes", T.LongType()),
+    ]
+)
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], max_bytes: int, dedup_sorted: bool
+) -> Iterator[pd.DataFrame]:
+    # The iterator spans one whole input partition, so carrying the last-seen
+    # url across batches dedups the partition globally when the caller has
+    # sorted it by (url, warc_ts desc) — first occurrence = latest crawl.
+    prev_url: str | None = None
+    for pdf in batches:
+        t0 = time.perf_counter()
+        if dedup_sorted and len(pdf):
+            keep = pdf["url"].ne(pdf["url"].shift())
+            if prev_url is not None and len(pdf) and pdf["url"].iloc[0] == prev_url:
+                keep.iloc[0] = False
+            prev_url = pdf["url"].iloc[-1]
+            pdf = pdf[keep]
+        n = len(pdf)
+        if n == 0:
+            continue
+        urls = pdf["url"].tolist()
+        payloads = pdf["html"].tolist()
+        texts = pdf["text"].tolist()
+
+        out = {
+            "url": urls,
+            "warc_ts": pdf["warc_ts"].tolist(),
+            "lang": pdf["lang"].tolist(),
+            "partition_id": pdf["partition_id"].tolist(),
+            "content_type": [],
+            "status": [],
+            "total_pages": [],
+            "po_page_count": [],
+            "router_page_count": [],
+            "total_text_length": [],
+            "extracted_text": [],
+            "po_number": [],
+            "spans": [],
+            "fields": [],
+            "quality_clauses": [],
+            "raw_bytes": [len(p) if p is not None else 0 for p in payloads],
+        }
+        for url, payload, text in zip(urls, payloads, texts):
+            r = D.process_document(
+                url,
+                bytes(payload) if payload is not None else None,
+                text if isinstance(text, str) else None,
+                max_bytes=max_bytes,
+            )
+            out["content_type"].append(r.content_type)
+            out["status"].append(r.status)
+            out["total_pages"].append(r.total_pages)
+            out["po_page_count"].append(r.po_page_count)
+            out["router_page_count"].append(r.router_page_count)
+            out["total_text_length"].append(r.total_text_length)
+            out["extracted_text"].append(r.extracted_text)
+            out["po_number"].append(r.po_number)
+            out["spans"].append(
+                [
+                    {"label": s.label, "page_no": s.page_no, "start": s.start, "end": s.end}
+                    for s in r.spans
+                ]
+            )
+            out["fields"].append(r.fields)
+            out["quality_clauses"].append(r.quality_clauses)
+
+        wall_us = int((time.perf_counter() - t0) * 1_000_000)
+        out["proc_us"] = [wall_us // n] * n  # amortized per-row stage timing
+        yield pd.DataFrame(out)
+
+
+def extract_stage(
+    df: DataFrame,
+    max_bytes: int = D.DEFAULT_MAX_BYTES,
+    dedup_sorted: bool = False,
+) -> DataFrame:
+    """Apply the extraction kernel to a pages DataFrame.
+
+    Input must have columns (url, warc_ts, html, text, lang, partition_id);
+    output follows EXTRACTED_SCHEMA. Column pruning: everything except the
+    needed input columns is dropped before the Python stage so only needed
+    bytes cross the Arrow boundary. With ``dedup_sorted=True`` the input
+    partition must be sorted by (url, warc_ts desc); consecutive repeats of
+    a url are skipped (exact dedup, latest crawl wins).
+    """
+    pruned = df.select("url", "warc_ts", "html", "text", "lang", "partition_id")
+    return pruned.mapInPandas(
+        lambda it: _extract_batches(it, max_bytes, dedup_sorted),
+        schema=EXTRACTED_SCHEMA,
+    )

@@ -1,0 +1,199 @@
+"""The end-to-end extraction job: scan → dedup → salted bucketing →
+Arrow-batched extraction → bucketed write + manifests + lineage metrics.
+
+Scale design (BASELINE.json north_rule / SURVEY.md §4):
+
+- **Salted bucketing for skewed hosts.** ``bucket = (xxhash64(host) * S +
+  pmod(xxhash64(url), S)) mod N``: every host maps to S consecutive buckets
+  — host locality is preserved (politeness/cache affinity on a real
+  cluster) while a heavy host (30%+ of a crawl) is split S ways instead of
+  melting one partition. Uniform-hash would also kill skew but destroys
+  host locality; salting keeps both. S and N are knobs.
+- **Checkpointed partition manifests (resume).** The unit of work is the
+  bucket. A manifest row (bucket, row_count, content_hash, run_id,
+  completed_at) is appended only AFTER that bucket's output is durably
+  written; a restart broadcast-anti-joins the input against completed
+  buckets (reference analog: existing-output duplicate check,
+  unified_ocr_pipeline.py:249-271 — SURVEY.md J2/X6) and, because the
+  output write uses dynamic partition overwrite, a bucket that crashed
+  between write and manifest is simply rewritten — idempotent,
+  exactly-once effect.
+- **Lineage metrics.** Per (bucket, partition_id): row counts, byte counts,
+  status breakdown, stage wall time — aggregated from columns the
+  extraction stage emits, no second pass over the data.
+- **Exact dedup by url** before extraction (dropDuplicates on the shuffle
+  key — partial aggregation map-side, no extra shuffle beyond the bucket
+  exchange).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels import document as D
+from .extraction import extract_stage
+
+DEFAULT_NUM_BUCKETS = 64
+DEFAULT_SALT_FACTOR = 8
+
+
+def with_host(df: DataFrame) -> DataFrame:
+    return df.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+
+
+def salted_bucket(df: DataFrame, num_buckets: int, salt_factor: int) -> DataFrame:
+    """Assign each row its salted bucket.
+
+    ``bucket = pmod(xxhash64(host), N/S) * S + pmod(xxhash64(url), S)``
+    — host → S consecutive buckets; the heavy host spreads S ways. pmod is
+    applied before the multiply so the arithmetic never overflows bigint
+    (ANSI mode is on in Spark 4).
+    """
+    if num_buckets % salt_factor != 0:
+        raise ValueError("num_buckets must be divisible by salt_factor")
+    host_group = F.pmod(F.xxhash64(F.col("host")), F.lit(num_buckets // salt_factor))
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_factor))
+    return df.withColumn(
+        "bucket", (host_group * F.lit(salt_factor) + salt).cast("int")
+    )
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    buckets_processed: int
+    buckets_skipped: int
+    rows_written: int
+    wall_sec: float
+
+
+class ExtractionPipeline:
+    """Batch extraction over a pages table with manifest-based resume."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_dir: str,
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
+        salt_factor: int = DEFAULT_SALT_FACTOR,
+        max_bytes: int = D.DEFAULT_MAX_BYTES,
+    ) -> None:
+        self.spark = spark
+        self.output_dir = output_dir
+        self.extracted_path = os.path.join(output_dir, "extracted")
+        self.manifest_path = os.path.join(output_dir, "manifests")
+        self.metrics_path = os.path.join(output_dir, "metrics")
+        self.num_buckets = num_buckets
+        self.salt_factor = salt_factor
+        self.max_bytes = max_bytes
+
+    # -- manifests -----------------------------------------------------------
+    def completed_buckets(self) -> Optional[DataFrame]:
+        try:
+            m = self.spark.read.parquet(self.manifest_path)
+        except Exception:
+            return None
+        return m.select("bucket").distinct()
+
+    # -- the job ---------------------------------------------------------------
+    def run(self, pages_path: str, resume: bool = True) -> RunResult:
+        t0 = time.perf_counter()
+        run_id = uuid.uuid4().hex[:12]
+        spark = self.spark
+
+        pages = spark.read.parquet(pages_path)
+        pages = with_host(pages)
+        pages = salted_bucket(pages, self.num_buckets, self.salt_factor)
+
+        skipped = 0
+        done = self.completed_buckets() if resume else None
+        if done is not None:
+            skipped = done.count()  # manifest table is tiny (≤ num_buckets)
+            # J2: broadcast left-anti against the checkpoint manifest —
+            # completed buckets never reach the extraction stage.
+            pages = pages.join(F.broadcast(done), "bucket", "left_anti")
+
+        # ONE shuffle total: the bucket exchange co-locates each bucket (and
+        # therefore every duplicate of a url — bucket is a function of url)
+        # into one task. Dedup then needs no second shuffle: rows are sorted
+        # within the partition by (url, warc_ts desc) — spillable sort, no
+        # exchange — and the extraction stage skips consecutive repeats,
+        # keeping the LATEST crawl of each url (re-crawl semantics).
+        work = (
+            pages.repartition(self.num_buckets, "bucket")
+            .sortWithinPartitions("url", F.col("warc_ts").desc())
+            .withColumn("partition_id", F.spark_partition_id())
+        )
+
+        extracted = extract_stage(work, max_bytes=self.max_bytes, dedup_sorted=True)
+        # re-attach the bucket for the partitioned layout (cheap, computed
+        # from url — no join, stays in whole-stage codegen)
+        extracted = with_host(extracted)
+        extracted = salted_bucket(extracted, self.num_buckets, self.salt_factor)
+        extracted = extracted.drop("host").withColumn("run_id", F.lit(run_id))
+
+        # dynamic partition overwrite → idempotent per-bucket rewrite
+        (
+            extracted.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self.extracted_path)
+        )
+
+        # read back ONLY the light columns to build manifests + metrics
+        # (columnar scan; extracted_text is never re-read)
+        back = spark.read.parquet(self.extracted_path).where(
+            F.col("run_id") == run_id
+        )
+        per_bucket = back.groupBy("bucket", "partition_id").agg(
+            F.count("*").alias("row_count"),
+            F.sum("raw_bytes").alias("input_bytes"),
+            F.sum("total_text_length").alias("extracted_chars"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_rows"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
+                "quarantined_rows"
+            ),
+            F.sum("proc_us").alias("stage_proc_us"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+            # order-insensitive content hash over (url, extracted_text):
+            # the resume test's "outputs identical" witness. bit_xor (not
+            # sum) — commutative and immune to ANSI bigint overflow.
+            F.expr(
+                "bit_xor(xxhash64(url, coalesce(extracted_text, '')))"
+            ).alias("content_hash"),
+        )
+        metrics = per_bucket.withColumn("run_id", F.lit(run_id)).withColumn(
+            "completed_at", F.current_timestamp()
+        )
+        metrics.write.mode("append").parquet(self.metrics_path)
+
+        manifest = (
+            metrics.groupBy("bucket")
+            .agg(
+                F.sum("row_count").alias("row_count"),
+                F.sum("content_hash").alias("content_hash"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("completed_at", F.current_timestamp())
+        )
+        manifest.write.mode("append").parquet(self.manifest_path)
+
+        n_buckets = manifest.count()
+        rows = back.count()
+        return RunResult(
+            run_id=run_id,
+            buckets_processed=n_buckets,
+            buckets_skipped=skipped,
+            rows_written=rows,
+            wall_sec=time.perf_counter() - t0,
+        )
+
+    def read_extracted(self) -> DataFrame:
+        return self.spark.read.parquet(self.extracted_path)
