@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", plus extraction throughput extras (docs_per_sec, input_mb_per_sec)}.
+
+Headline workload:
+  1. The end-to-end extraction pipeline (the BASELINE.json metric) over a
+     seeded pages fixture sized to the scale factor (cached in /tmp).
+  2. Every oracle-checked driver query from __spark_entry__ at the same sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "flagship_lang_yield",
+    "token_stats",
+    "lang_id",
+    "quality_scores",
+    "fingerprint",
+    "exact_dedup",
+    "minhash_dups",
+    "simhash_dups",
+    "ngram_jaccard",
+    "embedding_topk",
+    "cosine_near_dups",
+    "sessionize",
+    "topk_per_user",
+    "tumbling_hour",
+    "q1_pricing",
+    "broadcast_join_revenue",
+    "anti_join_idle",
+    "rollup_docs",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    import __spark_entry__ as E
+    from unified_ocr_pipeline_spark.plans.session import get_spark
+    from unified_ocr_pipeline_spark.plans.pipeline import ExtractionPipeline
+    from unified_ocr_pipeline_spark.sources.fixtures import write_pages_parquet
+
+    # seeded pages fixture sized to sf, cached across runs
+    n_pages = max(1000, int(120_000 * sf))
+    pages_path = f"/tmp/bench_pages_{n_pages}_seed42"
+    if not os.path.exists(f"{pages_path}/part-00000.parquet"):
+        write_pages_parquet(pages_path, n_pages, seed=42, n_files=max(8, cpus))
+    input_bytes = sum(
+        os.path.getsize(os.path.join(pages_path, f))
+        for f in os.listdir(pages_path)
+    )
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    # 1. end-to-end extraction pipeline (fresh output dir each run)
+    out_dir = f"/tmp/bench_out_{int(time.time() * 1000)}"
+    pipe = ExtractionPipeline(
+        spark, out_dir, num_buckets=max(cpus * 2, 8), salt_factor=8
+    )
+    t0 = time.perf_counter()
+    res = pipe.run(pages_path, resume=False)
+    e2e_sec = time.perf_counter() - t0
+    timings["extraction_pipeline"] = round(e2e_sec, 3)
+
+    # 2. driver queries (each fully materialized via a cheap count action)
+    qmap = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).toPandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "extraction_docs": res.rows_written,
+        "docs_per_sec": round(res.rows_written / e2e_sec, 2),
+        "input_mb_per_sec": round(input_bytes / 1e6 / e2e_sec, 2),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Unit tests for dedup / similarity / multimodal operators using planted
+duplicates (the testdata tables contain no true near-dups)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from unified_ocr_pipeline_spark.operators import dedup as DD
+from unified_ocr_pipeline_spark.operators import similarity as SIM
+from unified_ocr_pipeline_spark.operators import multimodal as MM
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, _doc(rng)))
+    base = _doc(rng)
+    # plant: 100=101 exact dup; 102 = near dup of 100 (one word changed)
+    rows.append((100, base))
+    rows.append((101, base))
+    toks = base.split()
+    toks[5] = "OMEGA"
+    rows.append((102, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(spark, docs):
+    g = DD.exact_dedup_groups(docs, "doc_id", "text")
+    dups = {r["keeper_id"]: r["n_docs"] for r in g.where("n_docs > 1").collect()}
+    assert dups == {100: 2}
+
+
+def test_minhash_finds_planted_neardup(spark, docs):
+    sigs = DD.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+    pairs = DD.minhash_lsh_pairs(sigs, num_hashes=32, num_bands=8, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got          # exact dup → est_jaccard 1.0
+    assert (100, 102) in got or (101, 102) in got  # near dup caught by LSH
+    # no false positives among the random docs
+    assert all(a >= 100 for a, b in got), got
+
+
+def test_simhash_finds_planted_neardup(spark, docs):
+    sig = DD.simhash(docs, "doc_id", "text")
+    pairs = DD.simhash_near_dups(sig, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(100, 101)] == 0
+    assert (100, 102) in got
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_shingle_df=10**9
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(100, 101)] == 1.0
+    assert (100, 102) in got and 0.3 <= got[(100, 102)] < 1.0
+
+
+def test_brute_force_topk_math(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    top = SIM.brute_force_topk(df, df.where("vec_id = 0"), k=2)
+    rows = sorted((r["nid"], r["sim"]) for r in top.collect())
+    assert [n for n, _ in rows] == [1, 2]
+    want1 = 1.0 / math.sqrt(1.01)
+    assert abs(dict(rows)[1] - round(want1, 4)) < 1e-9
+    assert dict(rows)[2] == 0.0
+
+
+def test_lsh_topk_recall_on_testdata(spark):
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["nid"]) for r in SIM.brute_force_topk(e, q, k=3).collect()
+    }
+    # These embeddings are near-random (top-1 cosine ≈ 0.3-0.4), the hardest
+    # case for SRP-LSH: p_bucket = (1-θ/π)^bits per table. 12 tables × 4 bits
+    # gives ~0.8 expected recall at sim 0.3; real near-dup corpora (sim>0.8)
+    # reach the same recall with far fewer/larger-bit tables.
+    approx = {
+        (r["qid"], r["nid"])
+        for r in SIM.lsh_topk(e, q, dim=64, k=3, n_tables=12, n_bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_stub_plumbing(spark):
+    rows = [(1, b"\x89PNG1234"), (2, b"\xff\xd8\xffdata"), (3, b"RIFFwav"), (4, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r["media_id"]: r.asDict() for r in MM.extract_media_metadata(df).collect()}
+    assert out[1]["format"] == "png" and out[2]["format"] == "jpeg"
+    assert out[3]["format"] == "wav" and out[4]["format"] == "bin"
+    assert all(64 <= out[i]["width"] < 256 for i in out)
+    assert out[1]["n_bytes"] == 8
+    # deterministic
+    again = {r["media_id"]: r["content_sha1"] for r in MM.extract_media_metadata(df).collect()}
+    assert all(again[i] == out[i]["content_sha1"] for i in out)
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media_real(b"\x89PNG")

@@ -1,0 +1,97 @@
+"""Text-analysis Column builders: token counting, language-ID heuristic,
+quality scoring, fingerprinting.
+
+All pure `pyspark.sql.functions` compositions — they stay inside whole-stage
+codegen (no Python on the hot path) and each has an exact ANSI-SQL mirror in
+``__spark_entry__.oracle_sql`` so DuckDB can verify them.
+
+These are the "training-data pipeline" text ops the engine adds beyond the
+reference's operator set (round brief requirement); reference analogs where
+they exist: token/length stats ~ A1-A3 aggregates
+(unified_ocr_pipeline.py:238-239), quality grading ~ F21 OCR-quality CASE
+(:797-821), fingerprinting ~ the duplicate-detection identity (:249-271).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword-ratio heuristic.
+# Deliberately small and frozen: the SQL oracle embeds the same lists.
+STOPWORDS = {
+    "en": ["the", "a", "an", "of", "to", "in", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+}
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = "|".join(STOPWORDS[lang])
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(rf"\b({words})\b"), F.lit(0))
+    )
+
+
+def lang_guess_from_hits(en: Column, de: Column, fr: Column) -> Column:
+    """Decision rule over precomputed stopword hit counts."""
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Language-ID heuristic: the language whose stopword list hits most,
+    'und' (undetermined) when nothing hits.
+
+    NOTE for hot paths: a `when`-chain re-evaluates its branch inputs (no
+    CSE across branches — each regexp runs up to 3×/row). Project the three
+    ``stopword_hits`` counts into columns first and use
+    ``lang_guess_from_hits`` — 3 regex passes per row instead of 8.
+    """
+    en, de, fr = (stopword_hits(text, l) for l in ("en", "de", "fr"))
+    return lang_guess_from_hits(en, de, fr)
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Document quality in [0,1]: length signal × (1 - punctuation noise) ×
+    stopword-coverage signal. Mirrors the reference's multi-signal quality
+    grading (F21) in a deterministic, SQL-expressible form."""
+    n_tok = ws_token_count(text)
+    len_signal = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    noise = punct_ratio(text)
+    stop_cov = F.least(
+        stopword_hits(text, "en") / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0)
+    )
+    return F.round(len_signal * (1.0 - noise) * (0.5 + 0.5 * stop_cov), 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint over whitespace-normalized,
+    lower-cased text (md5 — same function exists in DuckDB)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)

@@ -167,6 +167,13 @@ def _empty_result(url: str, content_type: str, status: str) -> DocumentResult:
     )
 
 
+def oversize_result(url: str, prefix: Optional[bytes]) -> DocumentResult:
+    """Quarantine record for a payload that exceeded the size cap. The
+    engine's JVM-side guard ships only a sniffing prefix, never the payload
+    (X9, SURVEY.md §4)."""
+    return _empty_result(url, sniff.sniff_content_type(prefix), STATUS_OVERSIZE)
+
+
 def process_document(
     url: str,
     payload: Optional[bytes],

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Image/audio/video are carried as opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing — schema, batching, partitioning,
+UDF signature — is real and tested; the actual codec step is STUBBED
+(image/audio libraries are not in this container): ``decode_media`` computes
+deterministic pseudo-metadata from the bytes, and ``decode_media_real`` is
+the clearly-marked seam where a real decoder (PIL/ffmpeg) would plug in.
+
+Pattern: ``mapInPandas`` with an iterator of batches — same Arrow-batched
+shape as the text-extraction stage, so a real decoder inherits the engine's
+scale characteristics (one JVM↔Python crossing per batch, column-pruned
+input, spill-safe partitioning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content_sha1", T.StringType()),
+    ]
+)
+
+
+def decode_media_real(payload: bytes) -> dict:
+    """The real-decoder seam. Plug PIL/opencv/ffmpeg here on a cluster image
+    that ships them."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use the deterministic stub (decode_media) for plumbing tests"
+    )
+
+
+def decode_media(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: sniffs a fake format from magic bytes
+    and derives stable pseudo-dimensions from a content hash."""
+    if payload[:4] == b"\x89PNG":
+        fmt = "png"
+    elif payload[:3] == b"\xff\xd8\xff":
+        fmt = "jpeg"
+    elif payload[:4] == b"RIFF":
+        fmt = "wav"
+    else:
+        fmt = "bin"
+    digest = hashlib.sha1(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    return {
+        "n_bytes": len(payload),
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "content_sha1": hashlib.sha1(payload).hexdigest(),
+    }
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = [decode_media(bytes(p)) for p in pdf["media"]]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].tolist(),
+                "n_bytes": [m["n_bytes"] for m in metas],
+                "format": [m["format"] for m in metas],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "content_sha1": [m["content_sha1"] for m in metas],
+            }
+        )
+
+
+def extract_media_metadata(df: DataFrame) -> DataFrame:
+    """df(media_id long, media binary) → MEDIA_META_SCHEMA rows.
+
+    Column-pruned before the Python stage: only (media_id, media) cross the
+    Arrow boundary.
+    """
+    return df.select("media_id", "media").mapInPandas(
+        _decode_batches, schema=MEDIA_META_SCHEMA
+    )

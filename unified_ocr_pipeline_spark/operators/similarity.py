@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (array<float>).
+
+- Brute-force cosine top-k: the correctness baseline. Queries are broadcast
+  (small side), the corpus streams; dot products via ``zip_with`` +
+  ``aggregate`` — JVM-side, no Python.
+- LSH-bucketed (random hyperplane / signed random projection): the scale
+  path. Each vector gets an L×B sign-bit bucket key; candidates share a
+  bucket in ≥1 of L tables; top-k computed within candidates only. At
+  100 TB the bucket join replaces the full cross product; recall is tuned
+  with (L, B).
+
+Also: embedding-cosine near-dup pairs (dedup by cosine ≥ threshold).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k: (qid, nid, sim) — ties broken by neighbor id.
+
+    queries must be small (it is broadcast); the corpus side never shuffles
+    until the per-query top-k aggregation (k rows per query survive).
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("qid"))
+    sims = pairs.select(
+        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", F.round("sim", 4).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> List[List[List[float]]]:
+    rng = random.Random(seed)
+    return [
+        [
+            [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_bits)
+        ]
+        for _ in range(n_tables)
+    ]
+
+
+def lsh_bucket_keys(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Add (table, bucket) rows per vector: signed-random-projection LSH.
+
+    Output has one row per (input row × table): columns of input + table int
+    + bucket int. Hyperplanes are seeded literals compiled into the plan —
+    no joins, no Python at runtime.
+    """
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    v = _as_double(F.col(vec_col))
+
+    def bucket_for(table: int) -> Column:
+        bits = None
+        for b in range(n_bits):
+            plane = F.array(*[F.lit(x) for x in planes[table][b]])
+            sign = (dot(v, plane) >= 0).cast("int")
+            term = sign * F.lit(1 << b)
+            bits = term if bits is None else bits + term
+        return bits
+
+    tables = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("table"), bucket_for(t).alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("t")
+    return df.select("*", tables).select("*", "t.table", "t.bucket").drop("t")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = bucket collisions in ≥1 table."""
+    cb = lsh_bucket_keys(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv", dim, n_tables, n_bits, seed,
+    )
+    qb = lsh_bucket_keys(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv", dim, n_tables, n_bits, seed,
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "qv", "nid", "nv")
+        .dropDuplicates(["qid", "nid"])
+    )
+    sims = cand.select(
+        "qid", "nid",
+        cosine(_as_double(F.col("qv")), _as_double(F.col("nv"))).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", F.round("sim", 4).alias("sim"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_tables: int = 6,
+    n_bits: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
+    LSH-bucketed self-join + exact verify on candidates."""
+    b = lsh_bucket_keys(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", dim, n_tables, n_bits, seed,
+    )
+    l = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
+    r = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    cand = (
+        l.join(r, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            cosine(_as_double(F.col("va")), _as_double(F.col("vb"))).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )

