@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the plans we ship are the plans we want.
+
+Checks (via explain output) that: parquet filters/projections push down,
+small joins broadcast, anti-joins stay broadcast, the pipeline contains
+exactly one exchange after extraction, and Python appears only in the
+extraction stage (no row-at-a-time UDFs anywhere)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    q = d.where((d.lang == "en") & (d.n_chars > 200)).select("doc_id", "n_chars")
+    plan = plan_of(q)
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,en)" in plan, plan
+    # column pruning: text (the wide column) must NOT be read
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = plan_of(E.queries()["broadcast_join_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_shape(spark):
+    plan = plan_of(E.queries()["anti_join_idle"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_q1_partial_plus_final_aggregation(spark):
+    # (AQE prints `isFinalPlan=false` pre-execution, so WholeStageCodegen
+    # markers aren't visible in the formatted plan — the partial+final
+    # HashAggregate pair is the map-side-combine witness.)
+    plan = plan_of(E.queries()["q1_pricing"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_pipeline_has_single_exchange_and_no_payload_shuffle(spark, tmp_path):
+    """The extraction job: exactly ONE shuffle exchange, placed AFTER the
+    Python stage (raw html bytes never enter an exchange)."""
+    from unified_ocr_pipeline_spark.sources.fixtures import write_pages_parquet
+    from unified_ocr_pipeline_spark.plans.pipeline import (
+        with_host, salted_bucket,
+    )
+    from unified_ocr_pipeline_spark.plans.extraction import (
+        extract_stage, gate_oversize,
+    )
+    from pyspark.sql import Window
+
+    p = str(tmp_path / "pages")
+    write_pages_parquet(p, 50, seed=42, max_bytes=64 * 1024)
+    pages = gate_oversize(
+        salted_bucket(with_host(spark.read.parquet(p)), 16, 4), 64 * 1024
+    )
+    ex = extract_stage(pages.withColumn("partition_id", F.spark_partition_id()))
+    ex = salted_bucket(with_host(ex), 16, 4).drop("host")
+    w = Window.partitionBy("bucket").orderBy(F.col("url"), F.col("warc_ts").desc())
+    prev = F.lag("url").over(w)
+    final = ex.withColumn("k", prev.isNull() | (prev != F.col("url"))).where("k").drop("k")
+
+    plan = plan_of(final)
+    tree = plan.split("(1) Scan")[0]  # the tree section of the formatted plan
+    n_exchanges = tree.count("Exchange (")
+    assert n_exchanges == 1, f"expected exactly 1 exchange, plan:\n{plan}"
+    map_pos = tree.find("MapInPandas")
+    ex_pos = tree.find("Exchange (")
+    assert map_pos != -1 and ex_pos != -1
+    # formatted plans print top-down: the exchange (later op) prints BEFORE
+    # its child MapInPandas — so MapInPandas must appear after Exchange in
+    # the text, meaning it is the exchange's descendant (pre-shuffle).
+    assert map_pos > ex_pos, "extraction must feed the exchange, not follow it"
+    # no row-at-a-time Python UDF anywhere
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_python_udfs_in_driver_queries(spark):
+    """Every oracle-checked query must stay JVM-side (no Python eval nodes)."""
+    for name in E.oracle_sql():
+        plan = plan_of(E.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
