@@ -26,10 +26,13 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 from unified_ocr_pipeline_spark.functions import text as TX  # noqa: E402
+from unified_ocr_pipeline_spark.operators import asof as ASOF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import dedup as DD  # noqa: E402
 from unified_ocr_pipeline_spark.operators import similarity as SIM  # noqa: E402
 from unified_ocr_pipeline_spark.operators import multimodal as MM  # noqa: E402
 from unified_ocr_pipeline_spark.plans.extraction import extract_stage  # noqa: E402
+
+PAGE_BREAK = "\n\n--- PAGE BREAK ---\n\n"  # reference separator, unified_ocr_pipeline.py:327
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -150,9 +153,12 @@ def _q_regex_count(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
+    # threshold 0.02: the synthetic corpus has no heavy near-dups, so the
+    # gate must sit below the observed max pairwise jaccard (~0.03 at
+    # sf0.01) to make the check non-vacuous
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
     return DD.ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=0.3, max_shingle_df=10**9
+        d, "doc_id", "text", shingle_n=3, threshold=0.02, max_shingle_df=10**9
     )
 
 
@@ -178,8 +184,16 @@ def _q_embedding_lsh_topk(spark, sf):
 
 
 def _q_cosine_near_dups(spark, sf):
+    # the synthetic corpus has no natural near-dups (max pairwise cosine
+    # ~0.51), so planted copies of vec_id<5 (id+1000000) make the check
+    # non-vacuous: LSH collides identical vectors in every table, and the
+    # exact-verify step emits them at sim 1.0
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
     return SIM.cosine_near_dup_pairs(
-        _t(spark, sf, "embeddings"), dim=64, threshold=0.8
+        e.unionByName(copies), dim=64, threshold=0.99
     )
 
 
@@ -287,8 +301,14 @@ def _q_broadcast_join_revenue(spark, sf):
 
 
 def _q_anti_join_idle(spark, sf):
+    # customers with no 1998+ orders (every customer has SOME order in the
+    # synthetic data, so the unrestricted anti-join is vacuously empty)
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= "1998-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return (
         c.join(o, "c_custkey", "left_anti")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -302,10 +322,36 @@ def _q_semi_join_parts(spark, sf):
     return p.join(li, "p_partkey", "left_semi").agg(F.count("*").alias("n_parts"))
 
 
-def _q_except_nations(spark, sf):
-    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
-    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
-    return c.exceptAll(s)
+def _q_except_lapsed_custs(spark, sf):
+    # customers who ordered in 1997 but not in 1998 (EXCEPT set-op; the
+    # old nationkey variant was structurally empty — both sides span all
+    # 25 nations)
+    o = _t(spark, sf, "orders")
+    y97 = (
+        o.where(F.year("o_orderdate") == 1997)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    y98 = (
+        o.where(F.year("o_orderdate") == 1998)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return y97.exceptAll(y98)
+
+
+def _q_intersect_buyers_clickers(spark, sf):
+    ev = _t(spark, sf, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.intersect(buyers)
+
+
+def _q_union_doc_langs(spark, sf):
+    d = _t(spark, sf, "documents")
+    en = d.where(F.col("lang") == "en").select("doc_id", "lang")
+    de = d.where(F.col("lang") == "de").select("doc_id", "lang")
+    return en.unionByName(de).groupBy("lang").agg(F.count("*").alias("n"))
 
 
 def _q_rollup_docs(spark, sf):
@@ -318,6 +364,171 @@ def _q_rollup_docs(spark, sf):
             F.coalesce("source", F.lit("ALL")).alias("source"),
             "n",
             "chars",
+        )
+    )
+
+
+def _q_asof_click_before_purchase(spark, sf):
+    """As-of join: for each purchase, the value of the user's most recent
+    click at-or-before the purchase (operators/asof.py union-window plan)."""
+    ev = _t(spark, sf, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ms"
+    )
+    # dedupe clicks to one per (user, ms) — max event_id wins — so the
+    # as-of match at equal timestamps is deterministic
+    w = Window.partitionBy("user_id", "ms").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ms", F.round("value", 2).alias("click_value"))
+    )
+    out = ASOF.asof_join(
+        purchases, clicks, on="user_id", left_ts="ms", right_ts="ms",
+        value_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "asof_ts", "asof_click_value"
+    )
+
+
+def _q_combined_text_agg(spark, sf):
+    """A6 ordered string-agg: page-break-joined doc text per (lang, source),
+    compared by md5 (the byte-identity surface of SURVEY.md K5)."""
+    d = _t(spark, sf, "documents")
+    parts = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"],
+    )
+    return d.groupBy("lang", "source").agg(
+        F.md5(F.array_join(parts, PAGE_BREAK)).alias("combined_md5"),
+        F.count("*").alias("n_pages"),
+    )
+
+
+def _q_span_offsets(spark, sf):
+    """W4 span offsets: cumulative char offset of each doc within its
+    (lang, source) group in doc_id order — the window cumsum that
+    materializes split spans."""
+    d = _t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce(F.sum(F.length("text")).over(w), F.lit(0)).alias("start_offset"),
+        (
+            F.coalesce(F.sum(F.length("text")).over(w), F.lit(0))
+            + F.length("text")
+        ).alias("end_offset"),
+    )
+
+
+def _q_po_cascade(spark, sf):
+    """F1 cascade shape: synthesize PO-bearing text deterministically from
+    doc_id, then extract via the ordered 3-pattern cascade (specific →
+    generic, first non-empty wins — order is semantics, SURVEY.md X5)."""
+    d = _t(spark, sf, "documents")
+    serial = F.lpad(F.pmod(F.col("doc_id") * 7919, F.lit(100000000)).cast("string"), 8, "0")
+    synth = F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.concat(F.lit(" Purchase Order 45"), serial))
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.concat(F.lit(" PO: 45"), serial))
+        .otherwise(F.lit("")),
+    )
+    ex = lambda p: F.nullif(F.regexp_extract(synth, p, 1), F.lit(""))  # noqa: E731
+    po = F.coalesce(
+        ex(r"Purchase\s*[Oo]rder\s*(\d{10})"),
+        ex(r"PO\s*[:\-]?\s*(\d{10})"),
+        ex(r"(45\d{8})"),
+        F.lit("NONE"),
+    )
+    return d.select("doc_id", po.alias("po_number"))
+
+
+def _q_dpas_multi(spark, sf):
+    """F17 multi-match string-agg shape: every '-ing' word per doc,
+    comma-joined in document order."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b([a-z]+ing)\b"), F.lit(1)), ", "
+        ).alias("all_matches"),
+    )
+
+
+def _q_clause_codes_sorted(spark, sf):
+    """A8 map-building agg shape: distinct sorted 's...' codes per doc
+    (serialized sorted so the map compares engine-independently)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.regexp_extract_all("text", F.lit(r"\b(s[a-z]+)\b"), F.lit(1))
+                )
+            ),
+            ",",
+        ).alias("codes"),
+    )
+
+
+def _q_value_percentiles(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+    )
+
+
+def _q_moving_avg(spark, sf):
+    """Sliding rows-frame: 3-event moving average of value per user."""
+    ev = _t(spark, sf, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mavg3")
+    )
+
+
+def _q_dense_rank_spenders(spark, sf):
+    """dense_rank over per-user purchase totals within event_type groups."""
+    ev = _t(spark, sf, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("total").desc())
+    return (
+        totals.withColumn("rnk", F.dense_rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "user_id", F.round("total", 2).alias("total"), "rnk")
+    )
+
+
+def _q_cube_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.cube("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hr"), F.lit(-1)).alias("hr"),
+            "n",
         )
     )
 
@@ -378,7 +589,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_revenue": _q_broadcast_join_revenue,
         "anti_join_idle": _q_anti_join_idle,
         "semi_join_parts": _q_semi_join_parts,
-        "except_nations": _q_except_nations,
+        "except_lapsed_custs": _q_except_lapsed_custs,
+        "intersect_buyers_clickers": _q_intersect_buyers_clickers,
+        "union_doc_langs": _q_union_doc_langs,
+        "asof_click_before_purchase": _q_asof_click_before_purchase,
+        "combined_text_agg": _q_combined_text_agg,
+        "span_offsets": _q_span_offsets,
+        "po_cascade": _q_po_cascade,
+        "dpas_multi": _q_dpas_multi,
+        "clause_codes_sorted": _q_clause_codes_sorted,
+        "value_percentiles": _q_value_percentiles,
+        "moving_avg": _q_moving_avg,
+        "dense_rank_spenders": _q_dense_rank_spenders,
+        "cube_events": _q_cube_events,
         "rollup_docs": _q_rollup_docs,
         "order_months": _q_order_months,
         "pages_pipeline_yield": _q_pages_pipeline_yield,
@@ -481,7 +704,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.3
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.02
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -560,17 +783,143 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_idle": """
             SELECT c_nationkey AS nationkey, count(*) AS n_idle
             FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1998-01-01')
             GROUP BY 1
         """,
         "semi_join_parts": """
             SELECT count(*) AS n_parts FROM part p
             WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
         """,
-        "except_nations": """
-            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        "except_lapsed_custs": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE year(o_orderdate) = 1997
             EXCEPT
-            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE year(o_orderdate) = 1998
+        """,
+        "intersect_buyers_clickers": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "union_doc_langs": """
+            SELECT lang, count(*) AS n FROM (
+              SELECT doc_id, lang FROM documents WHERE lang = 'en'
+              UNION ALL
+              SELECT doc_id, lang FROM documents WHERE lang = 'de')
+            GROUP BY 1
+        """,
+        "asof_click_before_purchase": """
+            WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                               event_type, value FROM events),
+            p AS (SELECT event_id, user_id, ms FROM ev
+                  WHERE event_type = 'purchase'),
+            c0 AS (SELECT user_id, ms, round(value, 2) AS click_value,
+                          row_number() OVER (PARTITION BY user_id, ms
+                                             ORDER BY event_id DESC) AS rn
+                   FROM ev WHERE event_type = 'click'),
+            c AS (SELECT user_id, ms, click_value FROM c0 WHERE rn = 1)
+            SELECT p.event_id, p.user_id, c.ms AS asof_ts,
+                   c.click_value AS asof_click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND c.ms <= p.ms
+        """,
+        "combined_text_agg": r"""
+            SELECT lang, source,
+                   md5(string_agg(text, e'\n\n--- PAGE BREAK ---\n\n'
+                                  ORDER BY doc_id)) AS combined_md5,
+                   count(*) AS n_pages
+            FROM documents GROUP BY 1, 2
+        """,
+        "span_offsets": """
+            SELECT doc_id, lang, source,
+                   CAST(coalesce(sum(length(text)) OVER w, 0) AS BIGINT)
+                       AS start_offset,
+                   CAST(coalesce(sum(length(text)) OVER w, 0) + length(text)
+                        AS BIGINT) AS end_offset
+            FROM documents
+            WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "po_cascade": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 3 = 0 THEN ' Purchase Order 45' ||
+                            lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0')
+                       WHEN doc_id % 3 = 1 THEN ' PO: 45' ||
+                            lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0')
+                       ELSE '' END AS synth
+              FROM documents)
+            SELECT doc_id,
+                   coalesce(
+                     nullif(regexp_extract(synth, 'Purchase\s*[Oo]rder\s*(\d{10})', 1), ''),
+                     nullif(regexp_extract(synth, 'PO\s*[:\-]?\s*(\d{10})', 1), ''),
+                     nullif(regexp_extract(synth, '(45\d{8})', 1), ''),
+                     'NONE') AS po_number
+            FROM s
+        """,
+        "dpas_multi": r"""
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                     regexp_extract_all(text, '\b([a-z]+ing)\b', 1), ', '), '')
+                     AS all_matches
+            FROM documents
+        """,
+        "clause_codes_sorted": r"""
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                     list_sort(list_distinct(
+                       regexp_extract_all(text, '\b(s[a-z]+)\b', 1))),
+                     ','), '') AS codes
+            FROM documents
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(stddev_samp(value), 4) AS sd
+            FROM events GROUP BY 1
+        """,
+        "moving_avg": """
+            WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value
+                        FROM events)
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ms, event_id
+                                          ROWS BETWEEN 2 PRECEDING
+                                          AND CURRENT ROW), 4) AS mavg3
+            FROM ev
+        """,
+        "dense_rank_spenders": """
+            WITH t AS (SELECT event_type, user_id, sum(value) AS total
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, user_id, total,
+                         dense_rank() OVER (PARTITION BY event_type
+                                            ORDER BY total DESC) AS rnk
+                  FROM t)
+            SELECT event_type, user_id, round(total, 2) AS total, rnk
+            FROM r WHERE rnk <= 3
+        """,
+        "cube_events": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hour(ts), -1) AS hr, count(*) AS n
+            FROM events GROUP BY CUBE(event_type, hour(ts))
+        """,
+        "cosine_near_dups": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 5),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) AS s
+              FROM u a JOIN u b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(s, 4) AS sim FROM p WHERE s >= 0.99
         """,
         "rollup_docs": """
             SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
@@ -582,7 +931,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         # rows-only (no SQL oracle): minhash_dups, simhash_dups,
-        # embedding_lsh_topk, cosine_near_dups, pages_pipeline_yield,
-        # multimodal_meta — LSH pipelines / Arrow-stage plumbing are not
-        # ANSI-SQL-expressible; the exact variants above cover the math.
+        # embedding_lsh_topk, pages_pipeline_yield, multimodal_meta — LSH
+        # banding pipelines / Arrow-stage plumbing are not ANSI-SQL-
+        # expressible; the exact variants above cover the math.
     }

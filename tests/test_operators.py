@@ -119,3 +119,56 @@ def test_multimodal_stub_plumbing(spark):
 def test_multimodal_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_media_real(b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+def test_asof_join_basic_and_strict(spark):
+    from unified_ocr_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 205, "b"), ("u2", 50, "c"), ("u3", 10, "d")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, 1.0), ("u1", 100, 2.0), ("u1", 200, 3.0), ("u2", 60, 4.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        r["tag"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert out["a"] == (100, 2.0)   # equal ts matches (<= semantics)
+    assert out["b"] == (200, 3.0)
+    assert out["c"] == (None, None)  # right row is in the future
+    assert out["d"] == (None, None)  # no right rows for key
+
+    strict = {
+        r["tag"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], strict=True,
+        ).collect()
+    }
+    assert strict["a"] == (90, 1.0)  # equal-ts right row excluded
+
+
+def test_asof_join_tolerance(spark):
+    from unified_ocr_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u1", 1000, "a")], "k string, ts long, tag string")
+    right = spark.createDataFrame([("u1", 100, 9.0)], "k string, ts long, v double")
+    hit = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tolerance=900,
+    ).first()
+    assert (hit["asof_ts"], hit["asof_v"]) == (100, 9.0)
+    miss = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tolerance=899,
+    ).first()
+    assert (miss["asof_ts"], miss["asof_v"]) == (None, None)
