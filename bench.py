@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "broadcast_join_revenue",
     "anti_join_idle",
     "rollup_docs",
+    "asof_click_before_purchase",
+    "combined_text_agg",
+    "span_offsets",
+    "po_cascade",
+    "moving_avg",
+    "value_percentiles",
+    "cube_events",
 ]
 
 

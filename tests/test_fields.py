@@ -198,3 +198,28 @@ def test_po_validation_parity(reference_pipeline, pages):
         assert K.validate_po_number(candidate, text) == (
             reference_pipeline._validate_po_number(candidate, text)
         ), candidate
+
+
+def test_generic_extract_config_driven():
+    from unified_ocr_pipeline_spark.kernels.fields import generic_extract, get_extractor
+
+    spec = {
+        "po_number": {"regex": r"PO Number[:\s]*(\d+)", "description": "the PO"},
+        "mjo": r"MJO NO[:\s]*(\d+)",
+        "missing": r"Nothing[:\s]*(\d+)",
+    }
+    text = "PO Number: 4551234567\nMJO NO: 12345678"
+    got = generic_extract(text, spec)
+    assert got == {"po_number": "4551234567", "mjo": "12345678", "missing": None}
+
+    gen = get_extractor("generic", spec)
+    assert gen(text)["po_number"] == "4551234567"
+    reg = get_extractor("regex")
+    rec = reg(text)
+    assert rec["Whittaker_Shipper"] == "4551234567"
+    try:
+        get_extractor("ai")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("'ai' strategy must raise (off the deterministic contract)")

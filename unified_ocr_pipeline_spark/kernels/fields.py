@@ -452,3 +452,39 @@ def fallback_regex_extraction(pages: Sequence[str], po_number: str) -> Dict[str,
         "buyer_phone": extract_buyer_phone(pages),
         "buyer_email": extract_buyer_email(pages),
     }
+
+
+# ---------------------------------------------------------------------------
+# F20 — config-driven generic extractor + U1 strategy seam
+# ---------------------------------------------------------------------------
+
+def generic_extract(text: str, spec: Dict[str, object]) -> Dict[str, Optional[str]]:
+    """F20 (extractors.py:12-19): for each spec field, ``re.search(pattern,
+    text, re.MULTILINE).group(1)`` else None. Spec values may be the bare
+    pattern string or a ``{"regex": ..., "description": ...}`` mapping
+    (the reference's extraction_config.yaml:2-26 shape)."""
+    out: Dict[str, Optional[str]] = {}
+    for field_name, value in spec.items():
+        pattern = value["regex"] if isinstance(value, dict) else value
+        m = re.search(pattern, text, re.MULTILINE)
+        out[field_name] = m.group(1) if m else None
+    return out
+
+
+def get_extractor(name: str, spec: Optional[Dict[str, object]] = None):
+    """U1 (extractors.py:43-46): strategy selector returning a
+    ``text -> dict`` callable. 'regex' is the deterministic F1-F19 record;
+    'generic' is the config-driven F20 path. The reference's 'ai' strategy
+    is deliberately absent from the deterministic contract (SURVEY.md U2 —
+    the LLM path is non-deterministic and off the correctness surface)."""
+    if name == "regex":
+        def _regex(text: str) -> Dict[str, object]:
+            pages = [text]
+            po = find_po_number(pages)
+            return fallback_regex_extraction(pages, po if po else "UNKNOWN_PO")
+        return _regex
+    if name == "generic":
+        if spec is None:
+            raise ValueError("generic extractor requires a spec")
+        return lambda text: generic_extract(text, spec)
+    raise ValueError(f"unknown extractor strategy: {name!r}")

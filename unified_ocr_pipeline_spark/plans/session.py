@@ -39,7 +39,13 @@ def get_spark(
         # parquet input split sizing — at 100 TB this bounds task input so a
         # partition's documents fit executor memory (SURVEY.md §4 X9)
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # the vectorized reader's default 4096-row batch is sized for narrow
+        # numeric columns; with ~10-25 KB binary payloads per row that is
+        # ~100 MB of heap PER CONCURRENT TASK (measured: heap OOM at 32-way
+        # parallelism). 512 rows × 25 KB ≈ 13 MB/task keeps N-way reads
+        # bounded — the per-core read-buffer budget a real cluster would set.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
