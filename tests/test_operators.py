@@ -172,3 +172,27 @@ def test_asof_join_tolerance(spark):
         value_cols=["v"], tolerance=899,
     ).first()
     assert (miss["asof_ts"], miss["asof_v"]) == (None, None)
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG" + b"x" * 20000), (2, b"\xff\xd8\xffzz" + b"y" * 9000)],
+        "media_id long, media binary",
+    )
+    resized = {r["media_id"]: r for r in MM.resize_media(media, max_dim=100).collect()}
+    for mid in (1, 2):
+        assert max(resized[mid]["width"], resized[mid]["height"]) <= 100
+        assert len(resized[mid]["media"]) <= [20004, 9005][mid - 1]
+
+    frames = MM.sample_frames(media, every_n_bytes=4096, max_frames=3).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 3          # 20 KB → capped at 3 frames
+    assert len(by_id[2]) == 2          # 9 KB → 2 full strides
+    assert all(len(r["frame"]) <= 4096 for r in frames)
+    # deterministic: same input → same frames
+    again = MM.sample_frames(media, every_n_bytes=4096, max_frames=3).collect()
+    assert sorted((r["media_id"], r["frame_no"]) for r in again) == sorted(
+        (r["media_id"], r["frame_no"]) for r in frames
+    )

@@ -90,3 +90,78 @@ def extract_media_metadata(df: DataFrame) -> DataFrame:
     return df.select("media_id", "media").mapInPandas(
         _decode_batches, schema=MEDIA_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample — same stubbed-codec, real-plumbing pattern
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_media_stub(payload: bytes, max_dim: int) -> tuple:
+    """Deterministic stand-in for an image resize: clamps the pseudo
+    dimensions to ``max_dim`` preserving aspect, and 'transcodes' by
+    truncating the payload proportionally (so output byte counts exercise
+    realistic Arrow batch shrinkage). A real implementation plugs
+    PIL.Image.thumbnail here."""
+    meta = decode_media(payload)
+    w, h = meta["width"], meta["height"]
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    keep = max(1, int(len(payload) * scale * scale))
+    return payload[:keep], nw, nh
+
+
+def resize_media(df: DataFrame, max_dim: int = 128) -> DataFrame:
+    """df(media_id, media) → resized media + new dimensions. Column-pruned,
+    Arrow-batched; the decode/encode step is the stub seam."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media": [], "width": [], "height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                blob, w, h = resize_media_stub(bytes(payload), max_dim)
+                out["media_id"].append(mid)
+                out["media"].append(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "media").mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
+    """df(media_id, media) → one row per sampled 'frame' (UDTF shape: one
+    input row fans out to M output rows, like video frame sampling). The
+    stub cuts fixed-stride byte windows; a real implementation plugs
+    ffmpeg keyframe extraction into the same batch loop — the Spark
+    plumbing (explode shape, schema, batching) is identical."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(payload)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["frame"].append(b[i * every_n_bytes:(i + 1) * every_n_bytes])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "media").mapInPandas(gen, schema=FRAME_SCHEMA)
