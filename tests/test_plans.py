@@ -99,3 +99,20 @@ def test_no_python_udfs_in_driver_queries(spark):
         plan = plan_of(E.queries()[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join's union-window plan must shuffle exactly once (on the
+    key), not once per side — the property that makes it beat a range-join
+    at scale."""
+    from unified_ocr_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 1, 1.0)], "k string, ts long, x double")
+    right = spark.createDataFrame([("a", 1, 2.0)], "k string, ts long, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"])
+    plan = plan_of(out)
+    import re
+
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_shuffles == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

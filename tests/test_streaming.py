@@ -47,3 +47,25 @@ def test_available_now_incremental(spark, tmp_path):
     assert n2 >= 1
     urls_all = {r["url"] for r in pipe.read_extracted().select("url").collect()}
     assert urls_all == {r["url"] for r in rows}
+
+
+def test_windowed_ingest_stats_with_watermark(spark, tmp_path):
+    from unified_ocr_pipeline_spark.streaming.incremental import windowed_ingest_stats
+
+    pages_dir = tmp_path / "wpages"
+    pages_dir.mkdir()
+    rows = generate_pages_rows(150, seed=7)
+    _write_batch(pages_dir, rows, "w1")
+
+    q = windowed_ingest_stats(
+        spark, str(pages_dir), str(tmp_path / "wckpt"), query_name="wstats_t"
+    )
+    q.awaitTermination()
+
+    got = spark.sql("SELECT * FROM wstats_t").collect()
+    assert got, "windowed aggregation produced no rows"
+    # every window is exactly 1 hour and counts sum to the input rows
+    assert all((r["window_end"] - r["window_start"]).total_seconds() == 3600 for r in got)
+    assert sum(r["n_pages"] for r in got) == 150
+    langs = {r["lang"] for r in got}
+    assert langs.issubset({"en", "de", "fr", "es", "unk"}) and len(langs) >= 2

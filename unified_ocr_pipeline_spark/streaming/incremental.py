@@ -77,3 +77,53 @@ def run_available_now(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def windowed_ingest_stats(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "ingest_stats",
+):
+    """Event-time windowed ingest statistics with a watermark: per
+    (tumbling warc_ts window, lang) page counts and byte totals, tolerating
+    late-arriving crawl records up to ``watermark``.
+
+    The reference has no event-time concept (SURVEY.md §2.10 — warc_ts is
+    a plain column there); this is the Structured Streaming surface the
+    round brief adds: ``readStream → withWatermark → window() groupBy →
+    writeStream``. Update mode + an in-memory sink keeps the demo
+    self-contained; a production deployment points the same query at a
+    parquet/Kafka sink with exactly-once via the checkpoint.
+
+    Returns the started StreamingQuery (caller awaits/ stops it; results
+    readable from the ``query_name`` in-memory table).
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    agg = (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.octet_length(F.coalesce("html", F.lit(b"")))).alias("raw_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "raw_bytes",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", f"{checkpoint_dir}/windowed")
+        .trigger(availableNow=True)
+        .start()
+    )
