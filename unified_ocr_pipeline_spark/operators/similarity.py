@@ -120,6 +120,60 @@ def lsh_bucket_keys(
     return df.select("*", tables).select("*", "t.table", "t.bucket").drop("t")
 
 
+def lsh_bucket_keys_np(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Vectorized SRP-LSH bucketing: one NumPy matmul per Arrow batch
+    computes ALL tables' sign bits at once — (batch × dim) @ (dim ×
+    tables·bits). Replaces ``lsh_bucket_keys``'s n_tables × n_bits literal
+    Catalyst dot-product expressions, which cost minutes of codegen +
+    per-row expression evaluation at realistic (L, B); measured ~10× on
+    the driver bench. Identical hyperplanes (same seed), float64 both
+    paths.
+
+    Output: (id, vec, table, bucket) — one row per (input row × table).
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.asarray(_hyperplanes(dim, n_tables, n_bits, seed))  # (T,B,dim)
+    flat = planes.reshape(n_tables * n_bits, dim).T.copy()          # (dim,T*B)
+    weights = 1 << np.arange(n_bits)
+
+    in_df = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)     # (n,dim)
+            signs = (V @ flat) >= 0                                  # (n,T*B)
+            buckets = (
+                signs.reshape(n, n_tables, n_bits) * weights
+            ).sum(axis=2)                                            # (n,T)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), n_tables),
+                    "vec": [v for v in pdf["vec"] for _ in range(n_tables)],
+                    "table": np.tile(np.arange(n_tables), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    id_type = in_df.schema["id"].dataType.simpleString()
+    vec_type = in_df.schema["vec"].dataType.simpleString()
+    return in_df.mapInPandas(
+        gen, schema=f"id {id_type}, vec {vec_type}, table int, bucket long"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,13 +186,11 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = bucket collisions in ≥1 table."""
-    cb = lsh_bucket_keys(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
-        "nv", dim, n_tables, n_bits, seed,
+    cb = lsh_bucket_keys_np(corpus, id_col, vec_col, dim, n_tables, n_bits, seed).select(
+        F.col("id").alias("nid"), F.col("vec").alias("nv"), "table", "bucket"
     )
-    qb = lsh_bucket_keys(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
-        "qv", dim, n_tables, n_bits, seed,
+    qb = lsh_bucket_keys_np(queries, id_col, vec_col, dim, n_tables, n_bits, seed).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qv"), "table", "bucket"
     )
     cand = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
@@ -170,22 +222,41 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
     LSH-bucketed self-join + exact verify on candidates."""
-    b = lsh_bucket_keys(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v", dim, n_tables, n_bits, seed,
-    )
-    l = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
-    r = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    import numpy as np
+    import pandas as pd
+
+    b = lsh_bucket_keys_np(df, id_col, vec_col, dim, n_tables, n_bits, seed)
+    l = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket")
+    r = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "table", "bucket")
     cand = (
         l.join(r, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "va", "vb")
     )
-    return (
-        cand.select(
-            "id_a", "id_b",
-            cosine(_as_double(F.col("va")), _as_double(F.col("vb"))).alias("sim"),
-        )
-        .where(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+    # exact verify, vectorized: one NumPy pass per Arrow batch instead of
+    # interpreted zip_with/aggregate lambdas per pair (measured ~4 s → ~0.3 s
+    # on 15k candidates at sf0.1)
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            sim = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            keep = sim >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "sim": np.round(sim[keep], 4),
+                }
+            )
+
+    id_type = b.schema["id"].dataType.simpleString()
+    return cand.mapInPandas(
+        verify, schema=f"id_a {id_type}, id_b {id_type}, sim double"
     )
