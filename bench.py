@@ -70,11 +70,16 @@ def main() -> None:
     from unified_ocr_pipeline_spark.plans.pipeline import ExtractionPipeline
     from unified_ocr_pipeline_spark.sources.fixtures import write_pages_parquet
 
-    # seeded pages fixture sized to sf, cached across runs
-    n_pages = max(1000, int(120_000 * sf))
-    pages_path = f"/tmp/bench_pages_{n_pages}_seed42"
+    # seeded pages fixture sized to sf, cached across runs. content_scale=6
+    # matches the scaling-bench corpus (~8-27 KB/doc, realistic crawl page
+    # weight) so the headline docs/sec measures kernel throughput, not
+    # per-job fixed costs over toy documents.
+    n_pages = max(4000, int(480_000 * sf))
+    pages_path = f"/tmp/bench_pages_{n_pages}_s6_seed42"
     if not os.path.exists(f"{pages_path}/part-00000.parquet"):
-        write_pages_parquet(pages_path, n_pages, seed=42, n_files=max(8, cpus))
+        write_pages_parquet(
+            pages_path, n_pages, seed=42, n_files=max(8, cpus), content_scale=6
+        )
     input_bytes = sum(
         os.path.getsize(os.path.join(pages_path, f))
         for f in os.listdir(pages_path)
