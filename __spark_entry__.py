@@ -613,6 +613,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql — DuckDB mirrors (ANSI), aliases matched to the Spark side
 # ---------------------------------------------------------------------------
 
+# The near-dup / LSH oracles below replay the engine's EXACT math in SQL:
+# the signature hash is md5-based (first 15 hex chars → 60-bit int, see
+# operators/dedup.py:_md5_60), the permutation coefficients and hyperplanes
+# come from the same seeded generators, and the candidate topology
+# (banding / pigeonhole / bucket collision) is reproduced with exact
+# set logic (band-slice equality ≡ the engine's 64-bit band hash join,
+# all-pairs hamming ≡ the pigeonhole superset filtered to the same bound).
+
+
+def _minhash_oracle(num_hashes: int = 32, num_bands: int = 8, seed: int = 42) -> str:
+    from unified_ocr_pipeline_spark.operators.dedup import _P, _seeded_coeffs
+
+    a, b = _seeded_coeffs(num_hashes, seed)
+    rows_per_band = num_hashes // num_bands
+    coeff_values = ", ".join(
+        f"({i}, CAST({a[i]} AS BIGINT), CAST({b[i]} AS BIGINT))"
+        for i in range(num_hashes)
+    )
+    return rf"""
+        WITH coeffs(i, a, b) AS (VALUES {coeff_values}),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks WHERE len(t) >= 3),
+        hashed AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_P} AS h
+          FROM sh),
+        mins AS (
+          SELECT doc_id, c.i, min((h * c.a + c.b) % {_P}) AS m
+          FROM hashed CROSS JOIN coeffs c GROUP BY 1, 2),
+        sigs AS (
+          SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY 1),
+        bands AS (
+          SELECT doc_id, j,
+                 array_to_string(sig[j*{rows_per_band}+1:j*{rows_per_band}+{rows_per_band}], ',') AS bh
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {num_bands})) AS j)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands l JOIN bands r ON l.j = r.j AND l.bh = r.bh
+          WHERE l.doc_id < r.doc_id),
+        est AS (
+          SELECT id_a, id_b,
+                 list_sum(list_transform(range(1, {num_hashes + 1}),
+                          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                   / {num_hashes}.0 AS e
+          FROM cand
+          JOIN sigs sa ON sa.doc_id = id_a
+          JOIN sigs sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, round(e, 4) AS est_jaccard FROM est WHERE e >= 0.5
+    """
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    from unified_ocr_pipeline_spark.operators.dedup import _P  # noqa: F401
+
+    bit_sums = ",\n                 ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+          FROM toks WHERE length(tok) > 0),
+        bitsums AS (
+          SELECT doc_id,
+                 {bit_sums}
+          FROM h GROUP BY 1),
+        sigs AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM bitsums)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _lsh_topk_oracle(
+    dim: int = 64, k: int = 3, n_tables: int = 4, n_bits: int = 8, seed: int = 42
+) -> str:
+    from unified_ocr_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for bnum in range(n_bits):
+            lit = ", ".join(repr(x) for x in planes[t][bnum])
+            terms.append(
+                f"CASE WHEN list_dot_product(v, [{lit}]) >= 0 "
+                f"THEN {1 << bnum} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    bucket_selects = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, v, {t} AS tbl, ({bucket_expr(t)}) AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        buckets AS (
+          {bucket_selects}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          FROM buckets q JOIN buckets c
+            ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        sims AS (
+          SELECT qid, nid, list_cosine_similarity(eq.v, ec.v) AS s
+          FROM cand
+          JOIN e eq ON eq.vec_id = qid
+          JOIN e ec ON ec.vec_id = nid),
+        ranked AS (
+          SELECT qid, nid, s,
+                 row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+          FROM sims)
+        SELECT qid, nid, round(s, 4) AS sim FROM ranked WHERE rn <= {k}
+    """
+
+
 _STOP_EN = r"\b(the|a|an|of|to|in|and|is)\b"
 _STOP_DE = r"\b(der|die|das|und|ist|ein|zu|mit)\b"
 _STOP_FR = r"\b(le|la|les|et|est|un|une|dans)\b"
@@ -930,8 +1061,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n
             FROM orders GROUP BY 1
         """,
-        # rows-only (no SQL oracle): minhash_dups, simhash_dups,
-        # embedding_lsh_topk, pages_pipeline_yield, multimodal_meta — LSH
-        # banding pipelines / Arrow-stage plumbing are not ANSI-SQL-
-        # expressible; the exact variants above cover the math.
+        "minhash_dups": _minhash_oracle(),
+        "simhash_dups": _simhash_oracle(),
+        "embedding_lsh_topk": _lsh_topk_oracle(),
+        # pages_pipeline_yield: for text-layer rows the extraction kernel's
+        # observable aggregate is deterministic SQL — status 'ok' iff the
+        # text layer is non-empty (kernels/document.py:203-206), chars =
+        # length(text) for the single logical page.
+        "pages_pipeline_yield": """
+            SELECT lang,
+                   CASE WHEN text IS NOT NULL AND text <> '' THEN 'ok'
+                        ELSE 'empty' END AS status,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN text IS NOT NULL AND text <> ''
+                            THEN length(text) ELSE 0 END) AS BIGINT) AS chars
+            FROM documents GROUP BY 1, 2
+        """,
+        # multimodal_meta: the deterministic stub decoder's math replayed in
+        # SQL — utf-8 byte length, magic-byte format sniff (PNG/JPEG magic
+        # bytes cannot lead a utf-8 string; RIFF can), sha256-derived pseudo
+        # dimensions (operators/multimodal.py:decode_media).
+        "multimodal_meta": """
+            WITH m AS (
+              SELECT doc_id AS media_id, octet_length(encode(text)) AS nb,
+                     sha256(text) AS sha, substr(text, 1, 4) AS head
+              FROM documents)
+            SELECT media_id,
+                   CAST(nb AS BIGINT) AS n_bytes,
+                   CASE WHEN head = 'RIFF' THEN 'wav' ELSE 'bin' END AS format,
+                   CAST(64 + CAST('0x' || substr(sha, 1, 2) AS BIGINT) % 192
+                        AS INT) AS width,
+                   CAST(64 + CAST('0x' || substr(sha, 3, 2) AS BIGINT) % 192
+                        AS INT) AS height,
+                   sha AS content_sha256
+            FROM m
+        """,
     }

@@ -207,6 +207,10 @@ def test_generic_extract_config_driven():
         "po_number": {"regex": r"PO Number[:\s]*(\d+)", "description": "the PO"},
         "mjo": r"MJO NO[:\s]*(\d+)",
         "missing": r"Nothing[:\s]*(\d+)",
+        # entries without a truthy regex are skipped entirely, matching the
+        # reference's props.get('regex') + `if pattern` guard (extractors.py:15-16)
+        "desc_only": {"description": "no pattern here"},
+        "none_regex": {"regex": None},
     }
     text = "PO Number: 4551234567\nMJO NO: 12345678"
     got = generic_extract(text, spec)

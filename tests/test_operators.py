@@ -112,8 +112,8 @@ def test_multimodal_stub_plumbing(spark):
     assert all(64 <= out[i]["width"] < 256 for i in out)
     assert out[1]["n_bytes"] == 8
     # deterministic
-    again = {r["media_id"]: r["content_sha1"] for r in MM.extract_media_metadata(df).collect()}
-    assert all(again[i] == out[i]["content_sha1"] for i in out)
+    again = {r["media_id"]: r["content_sha256"] for r in MM.extract_media_metadata(df).collect()}
+    assert all(again[i] == out[i]["content_sha256"] for i in out)
 
 
 def test_multimodal_real_decoder_is_stubbed():

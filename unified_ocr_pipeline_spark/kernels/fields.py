@@ -462,10 +462,15 @@ def generic_extract(text: str, spec: Dict[str, object]) -> Dict[str, Optional[st
     """F20 (extractors.py:12-19): for each spec field, ``re.search(pattern,
     text, re.MULTILINE).group(1)`` else None. Spec values may be the bare
     pattern string or a ``{"regex": ..., "description": ...}`` mapping
-    (the reference's extraction_config.yaml:2-26 shape)."""
+    (the reference's extraction_config.yaml:2-26 shape). A spec entry
+    without a (truthy) regex is skipped — absent from the result — matching
+    the reference's ``props.get('regex')`` + ``if pattern`` guard
+    (extractors.py:15-16)."""
     out: Dict[str, Optional[str]] = {}
     for field_name, value in spec.items():
-        pattern = value["regex"] if isinstance(value, dict) else value
+        pattern = value.get("regex") if isinstance(value, dict) else value
+        if not pattern:
+            continue
         m = re.search(pattern, text, re.MULTILINE)
         out[field_name] = m.group(1) if m else None
     return out

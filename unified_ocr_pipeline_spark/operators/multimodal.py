@@ -29,7 +29,7 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("content_sha1", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
     ]
 )
 
@@ -45,7 +45,9 @@ def decode_media_real(payload: bytes) -> dict:
 
 def decode_media(payload: bytes) -> dict:
     """Deterministic stand-in decoder: sniffs a fake format from magic bytes
-    and derives stable pseudo-dimensions from a content hash."""
+    and derives stable pseudo-dimensions from a content hash (sha256 — the
+    one hash both this kernel and the driver's DuckDB oracle can compute,
+    so the stub's math is replayable in ANSI SQL)."""
     if payload[:4] == b"\x89PNG":
         fmt = "png"
     elif payload[:3] == b"\xff\xd8\xff":
@@ -54,7 +56,7 @@ def decode_media(payload: bytes) -> dict:
         fmt = "wav"
     else:
         fmt = "bin"
-    digest = hashlib.sha1(payload).digest()
+    digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     return {
@@ -62,7 +64,7 @@ def decode_media(payload: bytes) -> dict:
         "format": fmt,
         "width": width,
         "height": height,
-        "content_sha1": hashlib.sha1(payload).hexdigest(),
+        "content_sha256": hashlib.sha256(payload).hexdigest(),
     }
 
 
@@ -76,7 +78,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "format": [m["format"] for m in metas],
                 "width": [m["width"] for m in metas],
                 "height": [m["height"] for m in metas],
-                "content_sha1": [m["content_sha1"] for m in metas],
+                "content_sha256": [m["content_sha256"] for m in metas],
             }
         )
 

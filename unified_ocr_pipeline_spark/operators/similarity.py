@@ -244,9 +244,11 @@ def cosine_near_dup_pairs(
                 continue
             A = np.array(pdf["va"].tolist(), dtype=np.float64)
             B = np.array(pdf["vb"].tolist(), dtype=np.float64)
-            sim = (A * B).sum(axis=1) / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            )
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            # explicit zero-norm handling: sim = -1 (never a near-dup)
+            # instead of an accidental NaN + RuntimeWarning
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, (A * B).sum(axis=1) / denom, -1.0)
             keep = sim >= threshold
             yield pd.DataFrame(
                 {

@@ -212,8 +212,12 @@ class ExtractionPipeline:
         # read back ONLY the light columns to build manifests + metrics —
         # partition-pruned to this epoch (columnar scan; extracted_text is
         # hashed but never fully re-materialized)
+        # mergeSchema: an extracted table written by an older engine version
+        # may predate row_hash; schema-union keeps the read-back valid atop
+        # mixed-version output (this run's rows — the only ones selected by
+        # the run_id filter below — always carry it)
         back = (
-            spark.read.parquet(self.extracted_path)
+            spark.read.option("mergeSchema", "true").parquet(self.extracted_path)
             .where((F.col("epoch") == epoch) & (F.col("run_id") == run_id))
             .select(
                 "bucket", "partition_id", "raw_bytes", "total_text_length",

@@ -119,8 +119,13 @@ def windowed_ingest_stats(
             "raw_bytes",
         )
     )
+    # complete mode for the in-memory demo sink: update mode appends a new
+    # cumulative row per micro-batch for each updated (window, lang), so a
+    # multi-micro-batch availableNow run would leave duplicate rows in the
+    # memory table; complete rewrites the full result each batch. A real
+    # parquet/Kafka sink would use update/append + watermark eviction.
     return (
-        agg.writeStream.outputMode("update")
+        agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", f"{checkpoint_dir}/windowed")
