@@ -540,6 +540,104 @@ def _q_order_months(spark, sf):
     ).agg(F.count("*").alias("n"))
 
 
+def _q_ocr_quality_grades(spark, sf):
+    """F21 exact grade CASE (ref unified_ocr_pipeline.py:797-821) as a JVM
+    Column expression; confidence synthesized deterministically from doc_id
+    so every grade branch is exercised."""
+    from unified_ocr_pipeline_spark.kernels import quality as Q
+
+    d = _t(spark, sf, "documents")
+    conf = F.pmod(F.col("doc_id") * 37, F.lit(101)).cast("double")
+    return d.select(
+        "doc_id",
+        conf.alias("confidence"),
+        Q.quality_grade_col(F.col("text"), conf).alias("grade"),
+    )
+
+
+def _q_strategy_routing(spark, sf):
+    """U3 quality-gated routing (ref :846-865): grade → overall
+    HIGH/MEDIUM/LOW → 'ai' | 'regex' strategy, all JVM-side."""
+    from unified_ocr_pipeline_spark.kernels import quality as Q
+
+    d = _t(spark, sf, "documents")
+    conf = F.pmod(F.col("doc_id") * 37, F.lit(101)).cast("double")
+    grade = Q.quality_grade_col(F.col("text"), conf)
+    overall, route = Q.route_col(grade)
+    return d.select(
+        "doc_id", grade.alias("grade"), overall.alias("overall"),
+        route.alias("route"),
+    )
+
+
+def _q_ai_normalizer(spark, sf):
+    """F23 AI-output normalizer (ref :887-919): the actual Python kernel
+    (kernels/quality.py:format_ai_data) applied per Arrow batch to
+    synthesized AI-shaped records covering every branch — dash→asterisk
+    part rewrite, labeled/standalone/no-digit MJO, float/int/garbage/empty
+    quantities."""
+    from unified_ocr_pipeline_spark.kernels import quality as Q
+
+    d = _t(spark, sf, "documents")
+    m3 = F.pmod("doc_id", F.lit(3))
+    m4 = F.pmod("doc_id", F.lit(4))
+    base = F.concat(
+        F.lit("139"),
+        F.lpad(F.pmod("doc_id", F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-2SA"),
+    )
+    op = F.pmod("doc_id", F.lit(100)).cast("string")
+    part = (
+        F.when(m3 == 0, F.concat(base, F.lit("-OP"), op))
+        .when(m3 == 1, F.concat(base, F.lit("*OP"), op))
+        .otherwise(base)
+    )
+    mjo = (
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit("Production Order: "),
+                (F.col("doc_id") + 100000).cast("string"),
+            ),
+        )
+        .when(
+            m3 == 1,
+            F.concat(F.lit("seq "), (F.col("doc_id") + 90000000).cast("string")),
+        )
+        .otherwise(F.lit("no digits"))
+    )
+    qty = (
+        F.when(m4 == 0, F.lit("12.0"))
+        .when(m4 == 1, F.concat(F.col("doc_id").cast("string"), F.lit(".75")))
+        .when(m4 == 2, F.lit("oops"))
+        .otherwise(F.lit(""))
+    )
+    synth = d.select(
+        "doc_id", part.alias("part"), mjo.alias("mjo"), qty.alias("qty")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "part_fmt": [], "mjo_fmt": [], "qty_fmt": []}
+            for did, p, m, q in zip(
+                pdf["doc_id"], pdf["part"], pdf["mjo"], pdf["qty"]
+            ):
+                rec = Q.format_ai_data(
+                    {"PART_NUMBER": p, "MJO_NO": m, "QTY_SHIP": q}
+                )
+                out["doc_id"].append(did)
+                out["part_fmt"].append(rec["PART_NUMBER"])
+                out["mjo_fmt"].append(rec["MJO_NO"])
+                out["qty_fmt"].append(rec["QTY_SHIP"])
+            yield pd.DataFrame(out)
+
+    return synth.mapInPandas(
+        gen, schema="doc_id long, part_fmt string, mjo_fmt string, qty_fmt string"
+    )
+
+
 def _q_pages_pipeline_yield(spark, sf):
     """Rows-only: the real extraction pipeline stage over the documents
     table adapted to the pages shape (exercises mapInPandas end-to-end in
@@ -604,6 +702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": _q_cube_events,
         "rollup_docs": _q_rollup_docs,
         "order_months": _q_order_months,
+        "ocr_quality_grades": _q_ocr_quality_grades,
+        "strategy_routing": _q_strategy_routing,
+        "ai_normalizer": _q_ai_normalizer,
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
     }
@@ -741,6 +842,96 @@ def _lsh_topk_oracle(
                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
           FROM sims)
         SELECT qid, nid, round(s, 4) AS sim FROM ranked WHERE rn <= {k}
+    """
+
+
+def _grade_case_sql(text: str = "text", conf: str = "conf") -> str:
+    """F21 grade CASE in ANSI SQL, same thresholds/keywords as
+    kernels/quality.py:assess_ocr_quality (ref :797-821)."""
+    from unified_ocr_pipeline_spark.kernels.quality import _PO_INDICATOR_KEYWORDS
+
+    ind = "(" + " OR ".join(
+        f"position('{k}' IN lower({text})) > 0" for k in _PO_INDICATOR_KEYWORDS
+    ) + ")"
+    tlen = f"length(trim({text}))"
+    has_num = f"regexp_matches({text}, '[0-9]')"
+    return f"""CASE
+        WHEN {tlen} = 0 THEN 'FAILED'
+        WHEN {conf} > 80 AND {ind} AND {tlen} > 50 THEN 'EXCELLENT'
+        WHEN {conf} > 60 AND ({ind} OR {has_num}) AND {tlen} > 30 THEN 'GOOD'
+        WHEN {conf} > 40 AND {tlen} > 20 THEN 'FAIR'
+        WHEN {conf} > 20 AND {tlen} > 10 THEN 'POOR'
+        ELSE 'FAILED' END"""
+
+
+_SYNTH_CONF = "CAST((doc_id * 37) % 101 AS DOUBLE)"
+
+
+def _ocr_quality_oracle() -> str:
+    return f"""
+        WITH c AS (SELECT doc_id, text, {_SYNTH_CONF} AS conf FROM documents)
+        SELECT doc_id, conf AS confidence,
+               {_grade_case_sql()} AS grade
+        FROM c
+    """
+
+
+def _strategy_routing_oracle() -> str:
+    return f"""
+        WITH c AS (SELECT doc_id, text, {_SYNTH_CONF} AS conf FROM documents),
+        g AS (SELECT doc_id, {_grade_case_sql()} AS grade FROM c),
+        o AS (SELECT doc_id, grade,
+                     CASE WHEN grade IN ('EXCELLENT', 'GOOD') THEN 'HIGH'
+                          WHEN grade = 'FAIR' THEN 'MEDIUM'
+                          ELSE 'LOW' END AS overall
+              FROM g)
+        SELECT doc_id, grade, overall,
+               CASE WHEN overall IN ('HIGH', 'MEDIUM') THEN 'ai'
+                    ELSE 'regex' END AS route
+        FROM o
+    """
+
+
+def _ai_normalizer_oracle() -> str:
+    # mirrors the synthesized AI-record columns in _q_ai_normalizer and the
+    # F23 transforms (kernels/quality.py:format_ai_data, ref :887-919)
+    return r"""
+        WITH synth AS (
+          SELECT doc_id,
+                 '139' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-2SA'
+                   AS base,
+                 CAST(doc_id % 100 AS VARCHAR) AS op,
+                 doc_id % 3 AS m3, doc_id % 4 AS m4
+          FROM documents),
+        rec AS (
+          SELECT doc_id,
+                 CASE WHEN m3 = 0 THEN base || '-OP' || op
+                      WHEN m3 = 1 THEN base || '*OP' || op
+                      ELSE base END AS part,
+                 CASE WHEN m3 = 0
+                        THEN 'Production Order: ' || CAST(doc_id + 100000 AS VARCHAR)
+                      WHEN m3 = 1
+                        THEN 'seq ' || CAST(doc_id + 90000000 AS VARCHAR)
+                      ELSE 'no digits' END AS mjo,
+                 CASE WHEN m4 = 0 THEN '12.0'
+                      WHEN m4 = 1 THEN CAST(doc_id AS VARCHAR) || '.75'
+                      WHEN m4 = 2 THEN 'oops'
+                      ELSE '' END AS qty
+          FROM synth)
+        SELECT doc_id,
+               CASE WHEN position('*' IN part) > 0 THEN part
+                    ELSE regexp_replace(part, '-OP(\d+)$', '*OP\1') END
+                 AS part_fmt,
+               CASE WHEN regexp_extract(mjo, '(?i)Production Order[:\s]*(\d+)', 1) <> ''
+                      THEN regexp_extract(mjo, '(?i)Production Order[:\s]*(\d+)', 1)
+                    WHEN regexp_extract(mjo, '(\d{8,12})', 1) <> ''
+                      THEN regexp_extract(mjo, '(\d{8,12})', 1)
+                    ELSE mjo END AS mjo_fmt,
+               CASE WHEN qty = '' THEN qty
+                    WHEN try_cast(qty AS DOUBLE) IS NOT NULL
+                      THEN CAST(CAST(trunc(try_cast(qty AS DOUBLE)) AS BIGINT) AS VARCHAR)
+                    ELSE qty END AS qty_fmt
+        FROM rec
     """
 
 
@@ -1061,6 +1252,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n
             FROM orders GROUP BY 1
         """,
+        "ocr_quality_grades": _ocr_quality_oracle(),
+        "strategy_routing": _strategy_routing_oracle(),
+        "ai_normalizer": _ai_normalizer_oracle(),
         "minhash_dups": _minhash_oracle(),
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),

@@ -1,0 +1,188 @@
+"""S4 parse fallback, P8 preflight, and the U2 LLM-as-UDF seam."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from unified_ocr_pipeline_spark.kernels import document as D
+from unified_ocr_pipeline_spark.kernels import pdf_layout as PL
+
+
+# ---------------------------------------------------------------------------
+# S4 — strict → lenient backend fallback
+# ---------------------------------------------------------------------------
+
+def test_parse_with_backend_prefers_strict():
+    payload = PL.render_pages([[(0, 0, "hello world"), (40, 0, "second block")]])
+    pages, backend = PL.parse_with_backend(payload)
+    assert backend == "syn-strict"
+    assert pages == ["hello world\nsecond block"]
+
+
+def test_parse_fallback_on_malformed_coordinates():
+    # 'B xx yy' breaks the strict parser's int() — the lenient backend
+    # still recovers the text lines
+    payload = b"%PDF-SYN1\nP 1\nB xx yy\nhello recovered\nE\nB 0 0\nmore text\nE"
+    with pytest.raises(ValueError):
+        PL.parse_pages(payload)
+    pages, backend = PL.parse_with_backend(payload)
+    assert backend == "syn-lenient"
+    assert pages == ["hello recovered\nmore text"]
+
+
+def test_parse_fallback_on_undecodable_bytes():
+    payload = b"%PDF-SYN1\nP 1\nB 0 0\nok line \xff\xfe\nE"
+    pages, backend = PL.parse_with_backend(payload)
+    assert backend == "syn-lenient"
+    assert pages and "ok line" in pages[0]
+
+
+def test_lenient_keeps_physical_order_no_layout():
+    # shuffled blocks: strict restores reading order, lenient keeps
+    # physical order (the degraded-capability contract)
+    payload = PL.render_pages([[(40, 0, "below"), (0, 0, "above")]])
+    assert PL.parse_pages(payload) == ["above\nbelow"]
+    assert PL.parse_pages_lenient(payload) == ["below\nabove"]
+
+
+def test_process_document_uses_fallback():
+    payload = b"%PDF-SYN1\nP 1\nB bad coords\nPurchase Order 4551234567\nE"
+    r = D.process_document("u://x", payload, None)
+    assert r.status == D.STATUS_OK
+    assert r.po_number == "4551234567"
+    assert "Purchase Order" in r.extracted_text
+
+
+def test_probe_backends():
+    assert PL.probe_backends() == ["syn-strict", "syn-lenient"]
+
+
+# ---------------------------------------------------------------------------
+# P8 — preflight health check
+# ---------------------------------------------------------------------------
+
+def test_health_check_healthy_without_input():
+    from unified_ocr_pipeline_spark.plans.preflight import health_check
+
+    rep = health_check()
+    assert rep["status"] == "healthy", rep["problems"]
+    assert rep["pdf_backends"] == ["syn-strict", "syn-lenient"]
+    assert all(v == "available" for v in rep["kernels"].values())
+    assert all(v == "available" for v in rep["dependencies"].values())
+
+
+def test_health_check_validates_input_schema(spark, tmp_path):
+    from unified_ocr_pipeline_spark.plans.preflight import (
+        PreflightError,
+        health_check,
+        require_healthy,
+    )
+    from unified_ocr_pipeline_spark.sources.fixtures import write_pages_parquet
+
+    good = str(tmp_path / "good")
+    write_pages_parquet(good, 20, seed=3)
+    rep = health_check(spark, good)
+    assert rep["status"] == "healthy", rep["problems"]
+    assert rep["input"]["columns"]["url"] == "string"
+
+    # wrong schema → unhealthy with a named problem, and require raises
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(1, "x")], "id long, body string").write.parquet(bad)
+    rep_bad = health_check(spark, bad)
+    assert rep_bad["status"] == "unhealthy"
+    assert any("url" in p for p in rep_bad["problems"])
+    with pytest.raises(PreflightError):
+        require_healthy(spark, bad)
+
+    # unreadable path → unhealthy, not an exception
+    rep_missing = health_check(spark, str(tmp_path / "nope"))
+    assert rep_missing["status"] == "unhealthy"
+
+
+def test_pipeline_run_preflight_gate(spark, tmp_path):
+    from unified_ocr_pipeline_spark.plans.pipeline import ExtractionPipeline
+    from unified_ocr_pipeline_spark.plans.preflight import PreflightError
+
+    bad = str(tmp_path / "badpages")
+    spark.createDataFrame([(1, "x")], "id long, body string").write.parquet(bad)
+    pipe = ExtractionPipeline(
+        spark, str(tmp_path / "out"), num_buckets=8, salt_factor=4
+    )
+    with pytest.raises(PreflightError):
+        pipe.run(bad)
+
+
+# ---------------------------------------------------------------------------
+# U2 — LLM-as-UDF seam (stubbed client, real plumbing)
+# ---------------------------------------------------------------------------
+
+def test_llm_extract_stub_deterministic(spark):
+    from unified_ocr_pipeline_spark.operators.llm import llm_extract
+
+    df = spark.createDataFrame(
+        [
+            (1, "Purchase Order 4551234567 Production Order: 99887766"),
+            (2, "no po content here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in llm_extract(df, "doc_id", "text").collect()}
+    assert rows[1]["ok"] and rows[1]["attempts"] == 1
+    rec = json.loads(rows[1]["response"])
+    assert rec["Whittaker_Shipper"] == "4551234567"
+    assert rec["MJO_NO"] == "99887766"
+    # deterministic across runs
+    again = {r["id"]: r["response"] for r in llm_extract(df, "doc_id", "text").collect()}
+    assert again == {i: rows[i]["response"] for i in rows}
+
+
+def test_llm_extract_retries_and_quarantines(spark):
+    from unified_ocr_pipeline_spark.operators import llm as L
+
+    def flaky_factory():
+        state = {"n": 0}
+
+        def _call(prompt):
+            state["n"] += 1
+            if "fail-always" in prompt:
+                raise RuntimeError("model down")
+            if state["n"] % 2 == 1:  # fail every first attempt per row pair
+                raise TimeoutError("slow")
+            return {"echo": prompt[:10]}
+
+        return _call
+
+    df = spark.createDataFrame(
+        [(1, "retry me please"), (2, "fail-always payload")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    rows = {
+        r["id"]: r
+        for r in L.llm_extract(
+            df, "doc_id", "text", client_factory=flaky_factory, max_retries=2
+        ).collect()
+    }
+    assert rows[1]["ok"] and rows[1]["attempts"] == 2          # retried once
+    assert not rows[2]["ok"] and rows[2]["attempts"] == 3      # exhausted
+    assert "RuntimeError" in rows[2]["error"]
+    assert rows[2]["response"] is None
+
+
+def test_llm_extract_truncates_input(spark):
+    from unified_ocr_pipeline_spark.operators import llm as L
+
+    seen = {}
+
+    def probe_factory():
+        def _call(prompt):
+            return {"len": len(prompt)}
+
+        return _call
+
+    df = spark.createDataFrame([(1, "x" * 10000)], "doc_id long, text string")
+    out = L.llm_extract(
+        df, "doc_id", "text", client_factory=probe_factory, max_chars=6000
+    ).first()
+    assert json.loads(out["response"])["len"] == 6000

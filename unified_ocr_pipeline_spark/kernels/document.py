@@ -191,9 +191,12 @@ def process_document(
     ctype = sniff.sniff_content_type(payload)
 
     if ctype == sniff.PDF:
-        try:
-            pages = pdf_layout.parse_pages(payload)  # type: ignore[arg-type]
-        except (ValueError, UnicodeDecodeError):
+        # S4: strict layout-aware parse first; a malformed payload falls
+        # back to the lenient line-scan backend (reference's
+        # pymupdf→pdfplumber cascade, :42-61/:1051-1093). Only a payload
+        # neither backend can extract anything from is quarantined.
+        pages, _backend = pdf_layout.parse_with_backend(payload)  # type: ignore[arg-type]
+        if not pages:
             return _empty_result(url, ctype, STATUS_ERROR)
         return _paged_result(url, ctype, pages)
 

@@ -492,4 +492,16 @@ def get_extractor(name: str, spec: Optional[Dict[str, object]] = None):
         if spec is None:
             raise ValueError("generic extractor requires a spec")
         return lambda text: generic_extract(text, spec)
+    if name == "quality_gated":
+        # U3 (unified_ocr_pipeline.py:856-885): route on OCR quality —
+        # HIGH/MEDIUM (with an AI callable supplied) → AI + F23 formatting,
+        # LOW/ungraded → the deterministic regex record. Default confidence
+        # 0 grades FAILED → LOW → regex, so the bare callable stays on the
+        # deterministic contract.
+        from . import quality as Q
+
+        def _gated(text: str, confidence: float = 0.0, ai_fn=None):
+            return Q.quality_gated_extract([text], [confidence], ai_fn)
+
+        return _gated
     raise ValueError(f"unknown extractor strategy: {name!r}")

@@ -80,6 +80,59 @@ def parse_pages(payload: bytes) -> List[str]:
     return out
 
 
+def parse_pages_lenient(payload: bytes) -> List[str]:
+    """S4 fallback parser — the pdfplumber analog (reference
+    unified_ocr_pipeline.py:1051-1093): a tolerant line-scan that recovers
+    whatever text a malformed PDF-SYN payload still carries.
+
+    Differences from the strict parser, mirroring a degraded-mode text
+    extractor: undecodable bytes are replaced (never raised), malformed
+    ``P``/``B`` headers are tolerated (bad page numbers start a new page
+    anyway; bad coordinates default to (0,0)), a missing ``E`` terminator
+    closes the block at the next structural line, and blocks keep PHYSICAL
+    order — no reading-order restoration (the fallback backend "extracts
+    text" but does not do layout analysis, exactly the pymupdf→pdfplumber
+    capability drop)."""
+    text = payload.decode("utf-8", errors="replace")
+    lines = text.split("\n")
+    pages: List[List[str]] = []
+    cur_lines: List[str] | None = None
+    in_block = False
+    for line in lines:
+        if line.startswith("%PDF"):
+            continue
+        if line.startswith("P ") or line == "P":
+            pages.append([])
+            cur_lines = pages[-1]
+            in_block = False
+        elif line.startswith("B ") or line == "B":
+            in_block = True
+        elif line == "E":
+            in_block = False
+        elif in_block and cur_lines is not None:
+            cur_lines.append(line)
+    return ["\n".join(p) for p in pages]
+
+
+def probe_backends() -> List[str]:
+    """S4 backend probe (reference :42-61): which parse backends this
+    worker can offer, preferred first. Both are in-process kernels here —
+    the probe shape (try primary, fall back, report) is what the reference
+    health check consumes."""
+    return ["syn-strict", "syn-lenient"]
+
+
+def parse_with_backend(payload: bytes) -> Tuple[List[str], str]:
+    """Parse with the primary (layout-aware) backend, falling back to the
+    lenient line-scan on malformed input — the reference's
+    pymupdf→pdfplumber cascade (:46-61 probe, :1051-1093 fallback
+    processing). Returns (pages, backend_used)."""
+    try:
+        return parse_pages(payload), "syn-strict"
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return parse_pages_lenient(payload), "syn-lenient"
+
+
 def render_pages(pages: List[List[Tuple[int, int, str]]]) -> bytes:
     """Encode pages of (y, x, block_text) into a PDF-SYN payload.
 

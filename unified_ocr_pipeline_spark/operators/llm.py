@@ -1,0 +1,104 @@
+"""U2 — LLM-as-UDF seam (SURVEY.md §2.11), deliberately OFF the
+deterministic correctness path.
+
+Reference analog: ``_query_ollama_for_extraction``
+(/root/reference/scripts/unified_ocr_pipeline.py:921-1005) — an HTTP call
+per document with an input-size cap (:867-871), availability probe, and
+regex fallback on failure. A live model is non-deterministic, so (like the
+multimodal codec stub) this module ships REAL Spark plumbing — Arrow-batched
+``mapInPandas``, one client per Python worker (the connection-pool seam),
+input truncation, bounded retries — around an injectable client. The
+default :func:`stub_client` is a deterministic stand-in that derives the
+"AI" record from the regex kernels, so the plumbing is testable end-to-end.
+
+Scale posture: the model call dominates, so the interesting properties are
+(a) one client/connection per worker, created once per partition iterator,
+not per row; (b) truncation BEFORE the call bounds request size; (c) row
+outcomes carry (ok, attempts, error) so a downstream filter can quarantine
+failures without killing the job — at 10^12 documents some calls WILL fail.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_CHARS = 6000  # reference OLLAMA_MAX_CHARS default (:868)
+
+# a client is a callable prompt -> dict (the parsed model JSON)
+ClientFactory = Callable[[], Callable[[str], Dict[str, object]]]
+
+
+def stub_client() -> Callable[[str], Dict[str, object]]:
+    """Deterministic stand-in 'model': extracts the F1-F19 record with the
+    regex kernels and post-formats it like an AI response would be
+    (kernels/quality.py:format_ai_data). Plug a real HTTP client (the
+    reference's Ollama POST, :940-1005) into ``client_factory`` instead on
+    a cluster with a model endpoint."""
+    from ..kernels.fields import fallback_regex_extraction, find_po_number
+    from ..kernels.quality import format_ai_data
+
+    def _call(prompt: str) -> Dict[str, object]:
+        pages = [prompt]
+        po = find_po_number(pages)
+        rec = fallback_regex_extraction(pages, po if po else "UNKNOWN_PO")
+        rec.pop("Quality_Clauses", None)
+        return format_ai_data({k: str(v) for k, v in rec.items()})
+
+    return _call
+
+
+def llm_extract(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    client_factory: Optional[ClientFactory] = None,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    max_retries: int = 2,
+) -> DataFrame:
+    """(id, response string(JSON), ok boolean, attempts int, error string).
+
+    Column-pruned before the Python stage; the client is constructed once
+    per partition iterator (per-worker connection pool seam); each row gets
+    ``max_retries + 1`` attempts; failures yield ok=false rows instead of
+    failing the task (quarantine-don't-crash, like the pipeline's status
+    column)."""
+    import pandas as pd
+
+    factory = client_factory or stub_client
+    in_df = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = factory()  # once per partition — the connection-pool seam
+        for pdf in batches:
+            out = {"id": [], "response": [], "ok": [], "attempts": [], "error": []}
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                prompt = (text or "")[:max_chars]  # cap request size (:867-871)
+                resp, ok, err = None, False, None
+                attempts = 0
+                while attempts <= max_retries:
+                    attempts += 1
+                    try:
+                        resp = client(prompt)
+                        ok = True
+                        break
+                    except Exception as exc:  # noqa: BLE001
+                        err = f"{type(exc).__name__}: {exc}"
+                out["id"].append(rid)
+                out["response"].append(json.dumps(resp, sort_keys=True) if ok else None)
+                out["ok"].append(ok)
+                out["attempts"].append(attempts)
+                out["error"].append(None if ok else err)
+            yield pd.DataFrame(out)
+
+    id_type = in_df.schema["id"].dataType.simpleString()
+    return in_df.mapInPandas(
+        gen,
+        schema=(
+            f"id {id_type}, response string, ok boolean, "
+            "attempts int, error string"
+        ),
+    )

@@ -126,14 +126,30 @@ class ExtractionPipeline:
             fs.delete(p, True)
 
     # -- the job ---------------------------------------------------------------
-    def run(self, pages_path: str, resume: bool = True, epoch: int = 0) -> RunResult:
+    def run(
+        self,
+        pages_path: str,
+        resume: bool = True,
+        epoch: int = 0,
+        preflight: bool = True,
+    ) -> RunResult:
         """Process one input (batch: epoch=0; incremental: one epoch per
         micro-batch). Output partitions are (epoch, bucket): a replayed
         micro-batch dynamically overwrites exactly its own partitions, so
-        at-least-once input delivery composes to exactly-once output."""
+        at-least-once input delivery composes to exactly-once output.
+
+        ``preflight`` (P8, reference :63-86): validate backends, kernel
+        imports, and the input schema BEFORE submitting any job — one
+        footer read, raises PreflightError with the full health report on
+        a misconfigured cluster instead of a mid-job executor trace."""
         t0 = time.perf_counter()
         run_id = uuid.uuid4().hex[:12]
         spark = self.spark
+
+        if preflight:
+            from .preflight import require_healthy
+
+            require_healthy(spark, pages_path)
 
         pages = spark.read.parquet(pages_path)
         pages = with_host(pages)
