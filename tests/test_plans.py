@@ -116,3 +116,28 @@ def test_asof_join_single_exchange(spark):
     n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_shuffles == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auto_num_buckets_scales_with_cluster(spark):
+    """Post-extraction parallelism (the bucket exchange AND the bucketed
+    write) is capped at num_buckets; the auto-sizer must therefore track
+    cluster size — ≥ 4× total cores with skew headroom, never below the
+    floor, and always a salt_factor multiple (salted_bucket divisibility)."""
+    from unified_ocr_pipeline_spark.plans.pipeline import (
+        ExtractionPipeline,
+        auto_num_buckets,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    n = auto_num_buckets(spark, salt_factor=8, floor=8, per_core=4)
+    assert n >= 4 * cores
+    assert n % 8 == 0
+    # floor wins on tiny clusters
+    assert auto_num_buckets(spark, salt_factor=8, floor=10_000) == 10_000
+    # non-divisible raw value rounds UP to a salt multiple
+    n5 = auto_num_buckets(spark, salt_factor=8, floor=1, per_core=5)
+    assert n5 % 8 == 0 and n5 >= 5 * cores
+    # the pipeline default (num_buckets=None) picks the auto size
+    pipe = ExtractionPipeline(spark, "/tmp/_unused_out")
+    assert pipe.num_buckets == auto_num_buckets(spark)
+    assert pipe.num_buckets >= 4 * cores

@@ -40,8 +40,29 @@ from pyspark.sql import functions as F
 from ..kernels import document as D
 from .extraction import extract_stage, gate_oversize
 
-DEFAULT_NUM_BUCKETS = 64
+DEFAULT_NUM_BUCKETS = 64  # floor — the auto-sizer only goes up from here
 DEFAULT_SALT_FACTOR = 8
+
+
+def auto_num_buckets(
+    spark: SparkSession,
+    salt_factor: int = DEFAULT_SALT_FACTOR,
+    floor: int = DEFAULT_NUM_BUCKETS,
+    per_core: int = 4,
+) -> int:
+    """Size the bucket count from the cluster, not a constant.
+
+    The bucket exchange and the bucketed write are the pipeline's ONLY
+    shuffle; their parallelism is capped at num_buckets, so a forgotten
+    fixed default serializes the post-extraction stage on a big cluster
+    (64 tasks on 1000 executors). Default: ``per_core ×`` total cores
+    (headroom for skew/stragglers), at least ``floor``, rounded up to a
+    multiple of ``salt_factor`` (salted_bucket requires divisibility)."""
+    cores = spark.sparkContext.defaultParallelism
+    n = max(floor, per_core * cores)
+    if n % salt_factor:
+        n += salt_factor - (n % salt_factor)
+    return n
 
 
 def with_host(df: DataFrame) -> DataFrame:
@@ -81,7 +102,7 @@ class ExtractionPipeline:
         self,
         spark: SparkSession,
         output_dir: str,
-        num_buckets: int = DEFAULT_NUM_BUCKETS,
+        num_buckets: Optional[int] = None,
         salt_factor: int = DEFAULT_SALT_FACTOR,
         max_bytes: int = D.DEFAULT_MAX_BYTES,
     ) -> None:
@@ -90,7 +111,13 @@ class ExtractionPipeline:
         self.extracted_path = os.path.join(output_dir, "extracted")
         self.manifest_path = os.path.join(output_dir, "manifests")
         self.metrics_path = os.path.join(output_dir, "metrics")
-        self.num_buckets = num_buckets
+        # None → derive from cluster size so post-extraction parallelism
+        # scales with executors instead of a fixed 64-task ceiling
+        self.num_buckets = (
+            num_buckets
+            if num_buckets is not None
+            else auto_num_buckets(spark, salt_factor)
+        )
         self.salt_factor = salt_factor
         self.max_bytes = max_bytes
 
@@ -104,26 +131,47 @@ class ExtractionPipeline:
 
     def _clear_incomplete_buckets(self, epoch: int, skipped_df) -> None:
         """Delete output dirs of buckets NOT in the manifest for this epoch
-        (those are exactly the buckets this run may rewrite)."""
+        (those are exactly the buckets this run may rewrite).
+
+        One LIST of the epoch dir finds the bucket dirs that actually exist
+        — deletes are issued only for those, in a small thread pool. The
+        old loop issued one delete RPC per possible bucket (num_buckets
+        serial round-trips even on a fresh-ish store); with auto-sized
+        buckets on S3 that's minutes of driver time for a usually-empty
+        result."""
         spark = self.spark
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        root = jvm.org.apache.hadoop.fs.Path(self.extracted_path)
-        fs = root.getFileSystem(conf)
-        if not fs.exists(root):
-            return  # fresh run: nothing to clear, skip 1 RPC per bucket
+        epoch_path = jvm.org.apache.hadoop.fs.Path(
+            f"{self.extracted_path}/epoch={epoch}"
+        )
+        fs = epoch_path.getFileSystem(conf)
+        if not fs.exists(epoch_path):
+            return  # fresh run/epoch: nothing to clear
         done = (
             {r["bucket"] for r in skipped_df.collect()}
             if skipped_df is not None
             else set()
         )
-        for b in range(self.num_buckets):
-            if b in done:
+        to_delete = []
+        for status in fs.listStatus(epoch_path):
+            name = status.getPath().getName()
+            if not name.startswith("bucket="):
                 continue
-            p = jvm.org.apache.hadoop.fs.Path(
-                f"{self.extracted_path}/epoch={epoch}/bucket={b}"
-            )
-            fs.delete(p, True)
+            try:
+                bucket = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bucket not in done:
+                to_delete.append(status.getPath())
+        if not to_delete:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        # py4j serializes calls per connection but opens one connection per
+        # thread — 16 concurrent delete RPCs, bounded
+        with ThreadPoolExecutor(max_workers=min(16, len(to_delete))) as pool:
+            list(pool.map(lambda p: fs.delete(p, True), to_delete))
 
     # -- the job ---------------------------------------------------------------
     def run(
