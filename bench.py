@@ -34,7 +34,11 @@ BENCH_QUERIES = [
     "simhash_dups",
     "ngram_jaccard",
     "embedding_topk",
+    "embedding_lsh_topk",
     "cosine_near_dups",
+    "ocr_quality_grades",
+    "strategy_routing",
+    "ai_normalizer",
     "sessionize",
     "topk_per_user",
     "tumbling_hour",
@@ -90,9 +94,9 @@ def main() -> None:
 
     # 1. end-to-end extraction pipeline (fresh output dir each run)
     out_dir = f"/tmp/bench_out_{int(time.time() * 1000)}"
-    pipe = ExtractionPipeline(
-        spark, out_dir, num_buckets=max(cpus * 2, 8), salt_factor=8
-    )
+    # num_buckets=None → the cluster-derived default (4× cores) — bench the
+    # engine at its real defaults, preflight included
+    pipe = ExtractionPipeline(spark, out_dir, salt_factor=8)
     t0 = time.perf_counter()
     res = pipe.run(pages_path, resume=False)
     e2e_sec = time.perf_counter() - t0

@@ -169,7 +169,16 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and
     est_jaccard ≥ threshold. est_jaccard = fraction of equal signature
     positions (the standard MinHash estimator).
+
+    The signature DataFrame feeds BOTH sides of the banding self-join;
+    without materialization Spark evaluates the (Python-stage) signature
+    subtree twice. Persisted here — at petabyte scale you'd write the
+    signature table out once and join against the stored copy, which is
+    the same decision.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = num_hashes // num_bands
 
     bands = sigs.select(
@@ -271,7 +280,12 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole on ``chunks`` bit-chunks (pairs
     within ``max_hamming ≤ chunks-1`` share ≥1 exact chunk), then verify
-    the true hamming distance."""
+    the true hamming distance. ``sig_df`` is persisted — it feeds both
+    sides of the chunk-collision self-join (same reasoning as
+    :func:`minhash_lsh_pairs`)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sig_df = sig_df.persist(StorageLevel.MEMORY_AND_DISK)
     width = bits // chunks
     mask = (1 << width) - 1
     chunked = sig_df.select(
@@ -323,10 +337,12 @@ def ngram_jaccard_pairs(
     inverted-index self-join. High-document-frequency shingles (> max_shingle_df)
     are pruned before the join — they explode the pair count while carrying
     no discriminative signal."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes, DF-prune, and both join sides
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     rare = (
         sh.groupBy("shingle")

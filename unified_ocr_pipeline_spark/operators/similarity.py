@@ -224,8 +224,13 @@ def cosine_near_dup_pairs(
     LSH-bucketed self-join + exact verify on candidates."""
     import numpy as np
     import pandas as pd
+    from pyspark.storagelevel import StorageLevel
 
-    b = lsh_bucket_keys_np(df, id_col, vec_col, dim, n_tables, n_bits, seed)
+    # the bucketed table feeds both sides of the self-join — persist so the
+    # NumPy bucketing stage runs once, not twice
+    b = lsh_bucket_keys_np(df, id_col, vec_col, dim, n_tables, n_bits, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     l = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket")
     r = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "table", "bucket")
     cand = (
