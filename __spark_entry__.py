@@ -540,6 +540,33 @@ def _q_order_months(spark, sf):
     ).agg(F.count("*").alias("n"))
 
 
+def _q_word_conf_filter(spark, sf):
+    """P6/A4: per-word confidence filter + page average confidence — the
+    reference's word loop exactly (unified_ocr_pipeline.py:721-729: keep
+    words with conf > 30, join with ' ', average over the KEPT confidences,
+    0 when none survive). Tesseract is off the deterministic contract, so
+    per-word confidences are synthesized from the word itself; the array
+    filter/aggregate semantics are the operator surface, all JVM-side."""
+    d = _t(spark, sf, "documents")
+    words = F.slice(F.split(F.col("text"), " "), 1, 12)
+    conf = lambda w: F.pmod(F.length(w) * 37 + F.ascii(w), F.lit(101))  # noqa: E731
+    kept = F.filter(words, lambda w: conf(w) > 30)
+    total_kept = F.aggregate(
+        F.transform(kept, conf), F.lit(0).cast("long"), lambda a, c: a + c
+    )
+    avg = F.when(
+        F.size(kept) > 0,
+        F.round(total_kept.cast("double") / F.size(kept), 2),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("ocr_text"),
+        avg.alias("avg_conf"),
+    )
+
+
 def _q_ocr_quality_grades(spark, sf):
     """F21 exact grade CASE (ref unified_ocr_pipeline.py:797-821) as a JVM
     Column expression; confidence synthesized deterministically from doc_id
@@ -702,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": _q_cube_events,
         "rollup_docs": _q_rollup_docs,
         "order_months": _q_order_months,
+        "word_conf_filter": _q_word_conf_filter,
         "ocr_quality_grades": _q_ocr_quality_grades,
         "strategy_routing": _q_strategy_routing,
         "ai_normalizer": _q_ai_normalizer,
@@ -1251,6 +1279,28 @@ def oracle_sql() -> dict[str, str]:
         "order_months": """
             SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n
             FROM orders GROUP BY 1
+        """,
+        # word confidences synthesized as (length*37 + ascii(first char)) % 101
+        # in BOTH engines; the array filter/aggregate semantics are the test
+        "word_conf_filter": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ')[1:12] AS words
+              FROM documents),
+            c AS (
+              SELECT doc_id, words,
+                     list_filter(words,
+                       x -> (length(x) * 37 + ascii(x)) % 101 > 30) AS kept
+              FROM w)
+            SELECT doc_id,
+                   CAST(len(words) AS INT) AS n_words,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   array_to_string(kept, ' ') AS ocr_text,
+                   CASE WHEN len(kept) > 0
+                        THEN round(CAST(list_sum(list_transform(kept,
+                               x -> (length(x) * 37 + ascii(x)) % 101))
+                             AS DOUBLE) / len(kept), 2)
+                        ELSE 0.0 END AS avg_conf
+            FROM c
         """,
         "ocr_quality_grades": _ocr_quality_oracle(),
         "strategy_routing": _strategy_routing_oracle(),

@@ -158,19 +158,46 @@ def cpu_baseline() -> dict:
     return out
 
 
+def spin_probe(procs: int) -> float:
+    """Delivered pure-CPU throughput (aggregate Mops/s) at this width, NOW.
+    Run immediately before a trial, it measures what the shared host is
+    actually giving this width in this minute — the per-trial noise
+    normalizer (host-delivered CPU swings 4×+ between rounds; see
+    BENCH/BASELINE.md)."""
+    with mp.Pool(procs) as p:
+        res = p.map(_spin, range(procs))
+    return round(sum(res) / 4.0 / 1e6, 2)
+
+
 def paired_rounds(lo: int, hi: int, pages: str, out: str, rounds: int):
-    """K rounds of (lo trial, hi trial) back-to-back; per-round efficiency."""
+    """K rounds of (lo trial, hi trial) back-to-back; per-round raw
+    efficiency AND spin-normalized efficiency (docs/s per delivered Mops at
+    the same width, same minute — ~1.0 means the engine captures all the
+    scaling the host actually offers)."""
     rl = LevelRunner(lo, pages, out)
     rh = LevelRunner(hi, pages, out)
     rl.wait_ready()
     rh.wait_ready()
     pairs = []
     for k in range(rounds):
+        mops_lo = spin_probe(lo)
         a = rl.trial(f"r{k}")
+        mops_hi = spin_probe(hi)
         b = rh.trial(f"r{k}")
         eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
-        pairs.append({"round": k, "lo": a, "hi": b, "eff": round(eff, 3)})
-        print(f"  ROUND {lo}->{hi} #{k}: eff={eff:.3f}", file=sys.stderr)
+        norm = (b["docs_per_sec"] / mops_hi) / (a["docs_per_sec"] / mops_lo)
+        pairs.append(
+            {
+                "round": k, "lo": a, "hi": b, "eff": round(eff, 3),
+                "mops_lo": mops_lo, "mops_hi": mops_hi,
+                "norm_eff": round(norm, 3),
+            }
+        )
+        print(
+            f"  ROUND {lo}->{hi} #{k}: eff={eff:.3f} norm={norm:.3f} "
+            f"(mops {mops_lo}->{mops_hi})",
+            file=sys.stderr,
+        )
     rl.quit()
     rh.quit()
     return pairs
@@ -192,12 +219,20 @@ def main() -> None:
     subprocess.run(["rm", "-rf", out], check=True)
 
     def stats(pairs):
-        effs = sorted(p["eff"] for p in pairs)
-        med = effs[len(effs) // 2] if len(effs) % 2 else (
-            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
-        )
-        return {"median_eff": round(med, 3), "best_eff": max(effs),
-                "rounds": pairs}
+        def med_of(key):
+            vals = sorted(p[key] for p in pairs if key in p)
+            if not vals:
+                return None
+            mid = len(vals) // 2
+            m = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+            return round(m, 3)
+
+        out = {"median_eff": med_of("eff"),
+               "best_eff": max(p["eff"] for p in pairs), "rounds": pairs}
+        if any("norm_eff" in p for p in pairs):
+            out["median_norm_eff"] = med_of("norm_eff")
+            out["best_norm_eff"] = max(p["norm_eff"] for p in pairs)
+        return out
 
     s416, s832 = stats(p416), stats(p832)
     i416 = round((infra[16] / infra[4]) / 4, 3)

@@ -69,3 +69,70 @@ def test_windowed_ingest_stats_with_watermark(spark, tmp_path):
     assert sum(r["n_pages"] for r in got) == 150
     langs = {r["lang"] for r in got}
     assert langs.issubset({"en", "de", "fr", "es", "unk"}) and len(langs) >= 2
+
+
+def test_stateful_host_sessions_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-host session state must persist across
+    micro-batches and match a batch recomputation over the full history."""
+    from unified_ocr_pipeline_spark.streaming.stateful import run_host_session_stats
+
+    pages_dir = tmp_path / "spages"
+    pages_dir.mkdir()
+    rows = generate_pages_rows(150, seed=11)
+    # global time order across files: the streaming fold sees per-host pages
+    # in event-time order, making the batch cross-check exact
+    rows.sort(key=lambda r: r["warc_ts"])
+    for i in range(3):
+        _write_batch(pages_dir, rows[i * 50 : (i + 1) * 50], f"b{i}")
+
+    q = run_host_session_stats(
+        spark, str(pages_dir), str(tmp_path / "sckpt"), query_name="hs_t",
+        session_gap="30 minutes", max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    got_rows = spark.sql("SELECT * FROM hs_t").collect()
+    # update mode: one row per (host, micro-batch it appeared in); hosts
+    # spanning several micro-batches prove state carried over
+    from collections import Counter
+
+    per_host_rows = Counter(r["host"] for r in got_rows)
+    assert max(per_host_rows.values()) >= 2, "no host spanned micro-batches"
+    # final cumulative row per host = the one with max n_pages (monotone)
+    final = {}
+    for r in got_rows:
+        if r["host"] not in final or r["n_pages"] > final[r["host"]]["n_pages"]:
+            final[r["host"]] = r
+
+    # independent batch recomputation of the same fold
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(str(pages_dir))
+        .select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            "url",
+            F.unix_millis(F.col("warc_ts").cast("timestamp")).alias("ms"),
+            F.octet_length(F.coalesce("html", F.lit(b""))).cast("long").alias("nb"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_host = defaultdict(list)
+    for r in batch:
+        by_host[r["host"]].append((r["ms"], r["url"], r["nb"]))
+    gap = 30 * 60 * 1000
+    for host, items in by_host.items():
+        items.sort()
+        sessions, last = 0, None
+        for ms, _, _ in items:
+            if last is None or ms - last > gap:
+                sessions += 1
+            last = ms
+        f = final[host]
+        assert f["n_pages"] == len(items), host
+        assert f["n_bytes"] == sum(nb for _, _, nb in items), host
+        assert f["first_ms"] == items[0][0] and f["last_ms"] == items[-1][0], host
+        assert f["n_sessions"] == sessions, (host, f["n_sessions"], sessions)
+    assert set(final) == set(by_host)

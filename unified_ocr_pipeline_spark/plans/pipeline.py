@@ -276,17 +276,23 @@ class ExtractionPipeline:
         # read back ONLY the light columns to build manifests + metrics —
         # partition-pruned to this epoch (columnar scan; extracted_text is
         # hashed but never fully re-materialized)
-        # mergeSchema: an extracted table written by an older engine version
-        # may predate row_hash; schema-union keeps the read-back valid atop
-        # mixed-version output (this run's rows — the only ones selected by
-        # the run_id filter below — always carry it)
-        back = (
-            spark.read.option("mergeSchema", "true").parquet(self.extracted_path)
-            .where((F.col("epoch") == epoch) & (F.col("run_id") == run_id))
-            .select(
-                "bucket", "partition_id", "raw_bytes", "total_text_length",
-                "status", "proc_us", "warc_ts", "url", "row_hash",
+        # An extracted table written by an older engine version may predate
+        # row_hash, and single-footer schema inference may then miss it.
+        # mergeSchema would handle that but reads EVERY part footer (one
+        # fixed job over ~num_buckets × tasks files per run — measurable
+        # drag on fast wide runs); instead read plain and, only in the
+        # legacy-mixed case, recompute the hash from the data columns.
+        back = spark.read.parquet(self.extracted_path).where(
+            (F.col("epoch") == epoch) & (F.col("run_id") == run_id)
+        )
+        if "row_hash" not in back.columns:
+            back = back.withColumn(
+                "row_hash",
+                F.xxhash64("url", F.coalesce("extracted_text", F.lit(""))),
             )
+        back = back.select(
+            "bucket", "partition_id", "raw_bytes", "total_text_length",
+            "status", "proc_us", "warc_ts", "url", "row_hash",
         )
         per_bucket = back.groupBy("bucket", "partition_id").agg(
             F.count("*").alias("row_count"),
