@@ -73,7 +73,9 @@ def test_spans_and_fields_match_oracle(run_output, golden):
     rows = pipe.read_extracted().select(
         "url", "spans", "fields", "quality_clauses",
         "total_pages", "po_page_count", "router_page_count",
+        "total_images", "image_counts",
     ).collect()
+    some_images = False
     for r in rows:
         g = golden[r["url"]]
         got_spans = [(s["label"], s["page_no"], s["start"], s["end"]) for s in r["spans"]]
@@ -84,6 +86,11 @@ def test_spans_and_fields_match_oracle(run_output, golden):
         assert r["total_pages"] == g.total_pages
         assert r["po_page_count"] == g.po_page_count
         assert r["router_page_count"] == g.router_page_count
+        # P2/A2: per-page image counts and the doc total
+        assert r["total_images"] == g.total_images, r["url"]
+        assert list(r["image_counts"] or []) == list(g.image_counts), r["url"]
+        some_images = some_images or g.total_images > 0
+    assert some_images, "fixture produced no embedded-image records"
 
 
 def test_statuses_cover_quarantine_classes(run_output):
@@ -104,6 +111,8 @@ def test_metrics_and_manifest_written(run_output, spark):
     cols = set(m.columns)
     assert {"bucket", "partition_id", "row_count", "stage_proc_us",
             "content_hash", "ok_rows", "quarantined_rows"} <= cols
+    # A2: images aggregate in the lineage metrics
+    assert m.agg({"total_images": "sum"}).first()[0] > 0
     man = spark.read.parquet(pipe.manifest_path)
     assert man.select("bucket").distinct().count() == result.buckets_processed
 

@@ -16,9 +16,10 @@ from unified_ocr_pipeline_spark.kernels import pdf_layout as PL
 
 def test_parse_with_backend_prefers_strict():
     payload = PL.render_pages([[(0, 0, "hello world"), (40, 0, "second block")]])
-    pages, backend = PL.parse_with_backend(payload)
+    pages, images, backend = PL.parse_with_backend(payload)
     assert backend == "syn-strict"
     assert pages == ["hello world\nsecond block"]
+    assert images == [0]
 
 
 def test_parse_fallback_on_malformed_coordinates():
@@ -27,16 +28,35 @@ def test_parse_fallback_on_malformed_coordinates():
     payload = b"%PDF-SYN1\nP 1\nB xx yy\nhello recovered\nE\nB 0 0\nmore text\nE"
     with pytest.raises(ValueError):
         PL.parse_pages(payload)
-    pages, backend = PL.parse_with_backend(payload)
+    pages, images, backend = PL.parse_with_backend(payload)
     assert backend == "syn-lenient"
     assert pages == ["hello recovered\nmore text"]
+    assert images == [0]
 
 
 def test_parse_fallback_on_undecodable_bytes():
     payload = b"%PDF-SYN1\nP 1\nB 0 0\nok line \xff\xfe\nE"
-    pages, backend = PL.parse_with_backend(payload)
+    pages, images, backend = PL.parse_with_backend(payload)
     assert backend == "syn-lenient"
     assert pages and "ok line" in pages[0]
+
+
+def test_image_records_counted_both_backends():
+    """P2/A2: 'I y x n_bytes' records count per page, strict and lenient."""
+    payload = PL.render_pages(
+        [[(0, 0, "page one text")], [(0, 0, "page two text")]],
+        images=[[(5, 3, 1000), (12, 3, 1037)], []],
+    )
+    pages, images = PL.parse_pages_with_images(payload)
+    assert pages == ["page one text", "page two text"]
+    assert images == [2, 0]
+    lpages, limages = PL.parse_pages_lenient_with_images(payload)
+    assert limages == [2, 0]
+
+    from unified_ocr_pipeline_spark.kernels.document import process_document
+
+    r = process_document("u://img", payload, None)
+    assert r.total_images == 2 and r.image_counts == [2, 0]
 
 
 def test_lenient_keeps_physical_order_no_layout():

@@ -68,6 +68,10 @@ class DocumentResult:
     spans: List[Span] = field(default_factory=list)
     fields: Dict[str, str] = field(default_factory=dict)
     quality_clauses: Dict[str, str] = field(default_factory=dict)
+    # P2/A2 (reference :158-170, 1076-1082): per-page embedded-image counts
+    # and their document total — counted, never decoded (codec-free)
+    image_counts: List[int] = field(default_factory=list)
+    total_images: int = 0
 
 
 def classify_pages(pages: List[str]) -> List[bool]:
@@ -79,7 +83,12 @@ def classify_pages(pages: List[str]) -> List[bool]:
     ]
 
 
-def _paged_result(url: str, content_type: str, pages: List[str]) -> DocumentResult:
+def _paged_result(
+    url: str,
+    content_type: str,
+    pages: List[str],
+    image_counts: Optional[List[int]] = None,
+) -> DocumentResult:
     po_number = F.find_po_number(pages)
     is_po = classify_pages(pages)
 
@@ -104,6 +113,7 @@ def _paged_result(url: str, content_type: str, pages: List[str]) -> DocumentResu
     final_po = po_number if po_number else UNKNOWN_PO
     field_record = F.fallback_regex_extraction(pages, final_po)
     quality_clauses = field_record.pop("Quality_Clauses")
+    image_counts = list(image_counts) if image_counts else [0] * len(pages)
 
     return DocumentResult(
         url=url,
@@ -118,6 +128,8 @@ def _paged_result(url: str, content_type: str, pages: List[str]) -> DocumentResu
         spans=spans,
         fields={k: str(v) for k, v in field_record.items()},
         quality_clauses=dict(quality_clauses),
+        image_counts=image_counts,
+        total_images=sum(image_counts),
     )
 
 
@@ -134,6 +146,7 @@ def _html_result(url: str, html_bytes: bytes) -> DocumentResult:
     spans = [
         Span(label="main", page_no=1, start=s, end=e) for s, e in offsets
     ]
+    n_img = html_text.lower().count("<img")
     return DocumentResult(
         url=url,
         content_type=sniff.HTML,
@@ -147,6 +160,8 @@ def _html_result(url: str, html_bytes: bytes) -> DocumentResult:
         spans=spans,
         fields={k: str(v) for k, v in field_record.items()},
         quality_clauses=dict(quality_clauses),
+        image_counts=[n_img],
+        total_images=n_img,
     )
 
 
@@ -195,10 +210,10 @@ def process_document(
         # back to the lenient line-scan backend (reference's
         # pymupdf→pdfplumber cascade, :42-61/:1051-1093). Only a payload
         # neither backend can extract anything from is quarantined.
-        pages, _backend = pdf_layout.parse_with_backend(payload)  # type: ignore[arg-type]
+        pages, image_counts, _backend = pdf_layout.parse_with_backend(payload)  # type: ignore[arg-type]
         if not pages:
             return _empty_result(url, ctype, STATUS_ERROR)
-        return _paged_result(url, ctype, pages)
+        return _paged_result(url, ctype, pages, image_counts)
 
     if ctype == sniff.HTML:
         return _html_result(url, payload)  # type: ignore[arg-type]

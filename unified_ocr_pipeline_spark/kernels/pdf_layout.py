@@ -38,12 +38,17 @@ def is_pdf_syn(payload: bytes) -> bool:
     return payload.startswith(MAGIC)
 
 
-def parse_pages(payload: bytes) -> List[str]:
-    """Decode a PDF-SYN payload into ordered per-page text strings.
+def parse_pages_with_images(payload: bytes) -> Tuple[List[str], List[int]]:
+    """Decode a PDF-SYN payload into ordered per-page text strings plus the
+    per-page image-record count (P2/A2: the reference's per-page
+    ``images_found`` / doc ``total_images``, unified_ocr_pipeline.py:158-170).
 
     Reading order: blocks sorted by (y // LINE_BAND, x, y) — the band
     quantization makes side-by-side blocks read left-to-right even when
     their y origins differ by a few units (the reference's OCR zones analog).
+    ``I <y> <x> <n_bytes>`` records mark embedded images; they carry no
+    text and are counted, not decoded (codec-free, like the multimodal
+    metadata stub).
     """
     text = payload.decode("utf-8")
     lines = text.split("\n")
@@ -52,6 +57,7 @@ def parse_pages(payload: bytes) -> List[str]:
 
     # pages: page_no -> list of (y, x, block_lines)
     pages: dict[int, List[Tuple[int, int, List[str]]]] = {}
+    images: dict[int, int] = {}
     cur_page: int | None = None
     cur_block: List[str] | None = None
     cur_yx: Tuple[int, int] = (0, 0)
@@ -60,10 +66,17 @@ def parse_pages(payload: bytes) -> List[str]:
         if line.startswith("P "):
             cur_page = int(line[2:])
             pages.setdefault(cur_page, [])
+            images.setdefault(cur_page, 0)
         elif line.startswith("B "):
             parts = line[2:].split()
             cur_yx = (int(parts[0]), int(parts[1]))
             cur_block = []
+        elif line.startswith("I ") and cur_block is None:
+            if cur_page is None:
+                raise ValueError("image record outside any page")
+            parts = line[2:].split()
+            int(parts[0]), int(parts[1]), int(parts[2])  # validate shape
+            images[cur_page] += 1
         elif line == "E":
             if cur_page is not None and cur_block is not None:
                 pages[cur_page].append((cur_yx[0], cur_yx[1], cur_block))
@@ -72,15 +85,22 @@ def parse_pages(payload: bytes) -> List[str]:
             cur_block.append(line)
 
     out: List[str] = []
+    counts: List[int] = []
     for page_no in sorted(pages):
         blocks = pages[page_no]
         blocks.sort(key=lambda b: (b[0] // LINE_BAND, b[1], b[0]))
         page_text = "\n".join("\n".join(blk) for _, _, blk in blocks)
         out.append(page_text)
-    return out
+        counts.append(images.get(page_no, 0))
+    return out, counts
 
 
-def parse_pages_lenient(payload: bytes) -> List[str]:
+def parse_pages(payload: bytes) -> List[str]:
+    """Text-only strict parse (see :func:`parse_pages_with_images`)."""
+    return parse_pages_with_images(payload)[0]
+
+
+def parse_pages_lenient_with_images(payload: bytes) -> Tuple[List[str], List[int]]:
     """S4 fallback parser — the pdfplumber analog (reference
     unified_ocr_pipeline.py:1051-1093): a tolerant line-scan that recovers
     whatever text a malformed PDF-SYN payload still carries.
@@ -96,6 +116,7 @@ def parse_pages_lenient(payload: bytes) -> List[str]:
     text = payload.decode("utf-8", errors="replace")
     lines = text.split("\n")
     pages: List[List[str]] = []
+    counts: List[int] = []
     cur_lines: List[str] | None = None
     in_block = False
     for line in lines:
@@ -103,15 +124,24 @@ def parse_pages_lenient(payload: bytes) -> List[str]:
             continue
         if line.startswith("P ") or line == "P":
             pages.append([])
+            counts.append(0)
             cur_lines = pages[-1]
             in_block = False
         elif line.startswith("B ") or line == "B":
             in_block = True
+        elif line.startswith("I ") and not in_block:
+            if counts:
+                counts[-1] += 1
         elif line == "E":
             in_block = False
         elif in_block and cur_lines is not None:
             cur_lines.append(line)
-    return ["\n".join(p) for p in pages]
+    return ["\n".join(p) for p in pages], counts
+
+
+def parse_pages_lenient(payload: bytes) -> List[str]:
+    """Text-only lenient parse (see :func:`parse_pages_lenient_with_images`)."""
+    return parse_pages_lenient_with_images(payload)[0]
 
 
 def probe_backends() -> List[str]:
@@ -122,19 +152,25 @@ def probe_backends() -> List[str]:
     return ["syn-strict", "syn-lenient"]
 
 
-def parse_with_backend(payload: bytes) -> Tuple[List[str], str]:
+def parse_with_backend(payload: bytes) -> Tuple[List[str], List[int], str]:
     """Parse with the primary (layout-aware) backend, falling back to the
     lenient line-scan on malformed input — the reference's
     pymupdf→pdfplumber cascade (:46-61 probe, :1051-1093 fallback
-    processing). Returns (pages, backend_used)."""
+    processing). Returns (pages, per_page_image_counts, backend_used)."""
     try:
-        return parse_pages(payload), "syn-strict"
+        pages, images = parse_pages_with_images(payload)
+        return pages, images, "syn-strict"
     except (ValueError, UnicodeDecodeError, IndexError):
-        return parse_pages_lenient(payload), "syn-lenient"
+        pages, images = parse_pages_lenient_with_images(payload)
+        return pages, images, "syn-lenient"
 
 
-def render_pages(pages: List[List[Tuple[int, int, str]]]) -> bytes:
-    """Encode pages of (y, x, block_text) into a PDF-SYN payload.
+def render_pages(
+    pages: List[List[Tuple[int, int, str]]],
+    images: List[List[Tuple[int, int, int]]] | None = None,
+) -> bytes:
+    """Encode pages of (y, x, block_text) into a PDF-SYN payload;
+    ``images[i]`` optionally adds (y, x, n_bytes) image records to page i.
 
     Used only by the fixture generator (blocks are emitted in the order
     given — callers shuffle them to exercise the reading-order sort).
@@ -146,4 +182,7 @@ def render_pages(pages: List[List[Tuple[int, int, str]]]) -> bytes:
             lines.append(f"B {y} {x}")
             lines.extend(block_text.split("\n"))
             lines.append("E")
+        if images and i - 1 < len(images):
+            for y, x, n_bytes in images[i - 1]:
+                lines.append(f"I {y} {x} {n_bytes}")
     return "\n".join(lines).encode("utf-8")

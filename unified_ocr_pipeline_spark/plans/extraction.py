@@ -64,6 +64,8 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("po_page_count", T.IntegerType()),
         T.StructField("router_page_count", T.IntegerType()),
         T.StructField("total_text_length", T.LongType()),
+        T.StructField("total_images", T.IntegerType()),
+        T.StructField("image_counts", T.ArrayType(T.IntegerType())),
         T.StructField("extracted_text", T.StringType()),
         T.StructField("po_number", T.StringType()),
         T.StructField("spans", SPAN_TYPE),
@@ -110,6 +112,8 @@ def _extract_batches(
             "po_page_count": [],
             "router_page_count": [],
             "total_text_length": [],
+            "total_images": [],
+            "image_counts": [],
             "extracted_text": [],
             "po_number": [],
             "spans": [],
@@ -140,6 +144,8 @@ def _extract_batches(
             out["po_page_count"].append(r.po_page_count)
             out["router_page_count"].append(r.router_page_count)
             out["total_text_length"].append(r.total_text_length)
+            out["total_images"].append(r.total_images)
+            out["image_counts"].append(list(r.image_counts))
             out["extracted_text"].append(r.extracted_text)
             out["po_number"].append(r.po_number)
             out["spans"].append(

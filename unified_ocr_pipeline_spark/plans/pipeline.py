@@ -292,12 +292,13 @@ class ExtractionPipeline:
             )
         back = back.select(
             "bucket", "partition_id", "raw_bytes", "total_text_length",
-            "status", "proc_us", "warc_ts", "url", "row_hash",
+            "total_images", "status", "proc_us", "warc_ts", "url", "row_hash",
         )
         per_bucket = back.groupBy("bucket", "partition_id").agg(
             F.count("*").alias("row_count"),
             F.sum("raw_bytes").alias("input_bytes"),
             F.sum("total_text_length").alias("extracted_chars"),
+            F.sum("total_images").alias("total_images"),
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_rows"),
             F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
                 "quarantined_rows"

@@ -141,7 +141,8 @@ def _pages_to_pdf_syn(rng: random.Random, pages: List[str]) -> bytes:
     text (blocks restore to the same order by coordinates).
     """
     encoded = []
-    for text in pages:
+    images: List[List[Tuple[int, int, int]]] = []
+    for pg_no, text in enumerate(pages):
         lines = text.split("\n")
         blocks: List[Tuple[int, int, str]] = []
         y = 10
@@ -154,7 +155,13 @@ def _pages_to_pdf_syn(rng: random.Random, pages: List[str]) -> bytes:
             i += k
         rng.shuffle(blocks)
         encoded.append(blocks)
-    return pdf_layout.render_pages(encoded)
+        # P2/A2: embedded-image records, derived from page content rather
+        # than rng so adding them did not perturb the existing seeded draws
+        # (cached fixtures and goldens regenerate identically modulo the
+        # new records)
+        n_img = (len(text) + pg_no) % 3
+        images.append([(5 + 7 * j, 3, 1000 + 37 * j) for j in range(n_img)])
+    return pdf_layout.render_pages(encoded, images)
 
 
 def _html_article(rng: random.Random, scale: int = 1) -> bytes:
