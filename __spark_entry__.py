@@ -395,6 +395,31 @@ def _q_asof_click_before_purchase(spark, sf):
     )
 
 
+def _q_range_join_clicks(spark, sf):
+    """Range join (banded bin equi-join, operators/interval.py): for each
+    purchase, the number and value-sum of the same user's clicks in the
+    preceding 30 minutes (inclusive)."""
+    from unified_ocr_pipeline_spark.operators.interval import range_join
+
+    ev = _t(spark, sf, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ms"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ms", "value"
+    )
+    j = range_join(
+        purchases, clicks, on="user_id", left_ts="ms", right_ts="ms",
+        lower=-1800000, upper=0, value_cols=["value"], how="inner",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value_sum"),
+    )
+
+
 def _q_combined_text_agg(spark, sf):
     """A6 ordered string-agg: page-break-joined doc text per (lang, source),
     compared by md5 (the byte-identity surface of SURVEY.md K5)."""
@@ -718,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_buyers_clickers": _q_intersect_buyers_clickers,
         "union_doc_langs": _q_union_doc_langs,
         "asof_click_before_purchase": _q_asof_click_before_purchase,
+        "range_join_clicks": _q_range_join_clicks,
         "combined_text_agg": _q_combined_text_agg,
         "span_offsets": _q_span_offsets,
         "po_cascade": _q_po_cascade,
@@ -1175,6 +1201,21 @@ def oracle_sql() -> dict[str, str]:
                    c.click_value AS asof_click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND c.ms <= p.ms
+        """,
+        "range_join_clicks": """
+            WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                               event_type, value FROM events),
+            p AS (SELECT event_id, user_id, ms FROM ev
+                  WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ms, value FROM ev
+                  WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   count(*) AS n_clicks,
+                   round(sum(c.value), 2) AS click_value_sum
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.ms BETWEEN p.ms - 1800000 AND p.ms
+            GROUP BY 1, 2
         """,
         "combined_text_agg": r"""
             SELECT lang, source,

@@ -196,3 +196,72 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert sorted((r["media_id"], r["frame_no"]) for r in again) == sorted(
         (r["media_id"], r["frame_no"]) for r in frames
     )
+
+
+# ---------------------------------------------------------------------------
+# range join (operators/interval.py)
+# ---------------------------------------------------------------------------
+
+def test_range_join_inner_exact_window(spark):
+    from unified_ocr_pipeline_spark.operators.interval import range_join
+
+    left = spark.createDataFrame(
+        [("u1", 1000, "a"), ("u1", 5000, "b"), ("u2", 1000, "c")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 900, 1.0), ("u1", 1000, 2.0), ("u1", 1100, 3.0),
+         ("u1", 4500, 4.0), ("u2", 3000, 5.0)],
+        "k string, ts long, v double",
+    )
+    out = range_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        lower=-100, upper=100, value_cols=["v"],
+    ).collect()
+    got = sorted((r["tag"], r["r_ts"], r["v"]) for r in out)
+    # window inclusive both ends; bin boundaries must not lose edge matches
+    assert got == [("a", 900, 1.0), ("a", 1000, 2.0), ("a", 1100, 3.0)]
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from unified_ocr_pipeline_spark.operators.interval import range_join
+
+    left = spark.createDataFrame(
+        [("u1", 1000, "a"), ("u3", 9999, "z")], "k string, ts long, tag string"
+    )
+    right = spark.createDataFrame([("u1", 950, 7.0)], "k string, ts long, v double")
+    out = {
+        r["tag"]: (r["r_ts"], r["v"])
+        for r in range_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            lower=-100, upper=0, value_cols=["v"], how="left",
+        ).collect()
+    }
+    assert out["a"] == (950, 7.0)
+    assert out["z"] == (None, None)
+
+
+def test_range_join_bin_width_invariance(spark):
+    """Same result for any bin width (bins are an execution detail)."""
+    from unified_ocr_pipeline_spark.operators.interval import range_join
+
+    rng = random.Random(5)
+    left = spark.createDataFrame(
+        [("u%d" % rng.randint(0, 3), rng.randint(0, 10000), i) for i in range(40)],
+        "k string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("u%d" % rng.randint(0, 3), rng.randint(0, 10000), float(i)) for i in range(60)],
+        "k string, ts long, v double",
+    )
+    def run(bw):
+        return sorted(
+            (r["lid"], r["r_ts"], r["v"])
+            for r in range_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                lower=-500, upper=250, value_cols=["v"], bin_width=bw,
+            ).collect()
+        )
+    base = run(None)
+    assert base == run(100) == run(10000)
+    assert len(base) > 0

@@ -141,3 +141,19 @@ def test_auto_num_buckets_scales_with_cluster(spark):
     pipe = ExtractionPipeline(spark, "/tmp/_unused_out")
     assert pipe.num_buckets == auto_num_buckets(spark)
     assert pipe.num_buckets >= 4 * cores
+
+
+def test_range_join_no_nested_loop(spark):
+    """The banded-bin range join must compile to a plain equi-join — a
+    range predicate alone degenerates to BroadcastNestedLoopJoin, which is
+    the scale failure mode this operator exists to avoid."""
+    from unified_ocr_pipeline_spark.operators.interval import range_join
+
+    left = spark.createDataFrame([("a", 1, 1)], "k string, ts long, lid long")
+    right = spark.createDataFrame([("a", 1, 1.0)], "k string, ts long, v double")
+    plan = plan_of(
+        range_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                   lower=-10, upper=10, value_cols=["v"])
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -157,15 +157,38 @@ def test_get_extractor_quality_gated_seam():
     assert rec_ai["_strategy"] == "ai" and rec_ai["MJO_NO"] == "445566778"
 
 
-@settings(max_examples=100, deadline=None)
-@given(text=_TEXTS, conf=_CONFS)
-def test_quality_grade_col_matches_kernel_caselogic(text, conf):
-    # Column variant vs Python kernel on the same inputs, evaluated without
-    # a SparkSession via the pure-Python mirror of the CASE (the Spark-side
-    # end-to-end check lives in the ocr_quality_grades oracle query).
-    # trim() in SQL strips spaces only — restrict to space-trim semantics.
-    grade = Q.assess_ocr_quality(text, conf)
-    assert grade in ("FAILED", "POOR", "FAIR", "GOOD", "EXCELLENT")
+def test_quality_grade_col_boundary_grid(spark):
+    """Column variant vs Python kernel on the full boundary cross-product:
+    every confidence threshold edge × every length edge × indicator/digit
+    presence — one DataFrame, one comparison pass."""
+    from pyspark.sql import functions as F
+
+    confs = [0.0, 20.0, 20.5, 40.0, 40.5, 60.0, 60.5, 80.0, 80.5, 100.0]
+    bodies = {
+        "plain": "x",             # no indicator, no digit
+        "digit": "7q",            # digit only
+        "indicator": "vendor a",  # keyword only
+        "both": "vendor 7",
+    }
+    lengths = [0, 5, 12, 22, 32, 52]
+    rows = []
+    rid = 0
+    for conf in confs:
+        for kind, stem in bodies.items():
+            for ln in lengths:
+                text = (stem + " ") * 50  # long enough, then cut
+                text = text[:ln] if ln else ""
+                rows.append((rid, text, conf))
+                rid += 1
+    df = spark.createDataFrame(rows, "id long, text string, conf double")
+    got = {
+        r["id"]: r["grade"]
+        for r in df.select(
+            "id", Q.quality_grade_col(F.col("text"), F.col("conf")).alias("grade")
+        ).collect()
+    }
+    for i, text, conf in rows:
+        assert got[i] == Q.assess_ocr_quality(text, conf), (i, text, conf)
 
 
 def test_quality_grade_col_on_spark(spark):
