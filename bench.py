@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "anti_join_idle",
     "rollup_docs",
     "asof_click_before_purchase",
+    "range_join_clicks",
     "combined_text_agg",
     "span_offsets",
     "po_cascade",
