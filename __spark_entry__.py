@@ -565,6 +565,23 @@ def _q_order_months(spark, sf):
     ).agg(F.count("*").alias("n"))
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher/MassiveText-style repetition + shape gates per document:
+    duplicate-word fraction, top-word coverage, mean word length,
+    symbol-per-word ratio, and the composite keep flag — the standard
+    pre-training corpus filters, as JVM Column expressions."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.dup_word_fraction(t).alias("dup_frac"),
+        TX.top_word_coverage(t).alias("top_cov"),
+        TX.mean_word_length(t).alias("mean_wlen"),
+        TX.symbol_word_ratio(t).alias("sym_ratio"),
+        TX.gopher_keep(t).alias("keep"),
+    )
+
+
 def _q_word_conf_filter(spark, sf):
     """P6/A4: per-word confidence filter + page average confidence — the
     reference's word loop exactly (unified_ocr_pipeline.py:721-729: keep
@@ -755,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": _q_cube_events,
         "rollup_docs": _q_rollup_docs,
         "order_months": _q_order_months,
+        "gopher_quality": _q_gopher_quality,
         "word_conf_filter": _q_word_conf_filter,
         "ocr_quality_grades": _q_ocr_quality_grades,
         "strategy_routing": _q_strategy_routing,
@@ -1320,6 +1338,37 @@ def oracle_sql() -> dict[str, str]:
         "order_months": """
             SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n
             FROM orders GROUP BY 1
+        """,
+        "gopher_quality": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS syms
+              FROM documents),
+            s AS (
+              SELECT doc_id, ws, syms, len(ws) AS n,
+                     len(list_distinct(ws)) AS nd,
+                     list_sum(list_transform(ws, x -> length(x))) AS total_len
+              FROM w),
+            m AS (
+              SELECT doc_id, n,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(1.0 - nd / CAST(n AS DOUBLE), 4) END AS dup_frac,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(list_max(list_transform(list_distinct(ws),
+                                 d -> len(list_filter(ws, x -> x = d))))
+                               / CAST(n AS DOUBLE), 4) END AS top_cov,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(total_len / CAST(n AS DOUBLE), 4) END AS mean_wlen,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(syms / CAST(n AS DOUBLE), 4) END AS sym_ratio
+              FROM s)
+            SELECT doc_id, dup_frac, top_cov, mean_wlen, sym_ratio,
+                   (dup_frac <= 0.3 AND top_cov <= 0.2
+                    AND mean_wlen BETWEEN 2.0 AND 12.0
+                    AND sym_ratio <= 0.3) AS keep
+            FROM m
         """,
         # word confidences synthesized as (length*37 + ascii(first char)) % 101
         # in BOTH engines; the array filter/aggregate semantics are the test

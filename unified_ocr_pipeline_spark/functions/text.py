@@ -90,6 +90,82 @@ def quality_score(text: Column) -> Column:
     return F.round(len_signal * (1.0 - noise) * (0.5 + 0.5 * stop_cov), 4)
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / shape signals (training-data filtering)
+# ---------------------------------------------------------------------------
+# Standard web-text quality heuristics from published LLM-corpus pipelines
+# (Gopher / MassiveText-style rules): repetition and shape statistics that
+# gate documents before training. All JVM Column expressions; the
+# per-distinct-word counting is an O(distinct × n) array lambda, fine for
+# page-sized docs — at corpus scale the same statistic comes from the
+# explode + groupBy formulation (one shuffle) instead.
+
+
+def words_of(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """1 - distinct_words / total_words: repetitiveness at the unigram
+    level (0 when empty)."""
+    w = words_of(text)
+    n = F.size(w)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(w)) / n.cast("double"), 4)
+    )
+
+
+def top_word_coverage(text: Column) -> Column:
+    """Fraction of the document consumed by its single most frequent word
+    (Gopher gates docs where one token dominates)."""
+    w = words_of(text)
+    n = F.size(w)
+    counts = F.transform(
+        F.array_distinct(w),
+        lambda d: F.size(F.filter(w, lambda x: x == d)),
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.array_max(counts) / n.cast("double"), 4)
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    w = words_of(text)
+    n = F.size(w)
+    total = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(total / n.cast("double"), 4)
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Non-alphanumeric symbols per word (high → markup/boilerplate junk)."""
+    syms = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    n = F.size(words_of(text))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(syms / n.cast("double"), 4)
+    )
+
+
+def gopher_keep(text: Column, max_dup_frac: float = 0.3,
+                max_top_cov: float = 0.2, min_mwl: float = 2.0,
+                max_mwl: float = 12.0, max_sym_ratio: float = 0.3) -> Column:
+    """The composite keep/drop gate over the shape signals."""
+    return (
+        (dup_word_fraction(text) <= max_dup_frac)
+        & (top_word_coverage(text) <= max_top_cov)
+        & mean_word_length(text).between(min_mwl, max_mwl)
+        & (symbol_word_ratio(text) <= max_sym_ratio)
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint over whitespace-normalized,
     lower-cased text (md5 — same function exists in DuckDB)."""
