@@ -133,6 +133,10 @@ _QCLAUSE_DELIMITED = re.compile(
     r"(Q\d+)\s+([A-Z][A-Z\s,\[\]()]+?)(?=\s*Q\d+|\s*$|\n\n)", _ID
 )
 _QCLAUSE_STANDALONE = re.compile(r"(Q\d+)\s*([A-Z][A-Z\s,\[\]()]{10,50})", _I)
+# cheap necessary-condition probe for both Q-clause patterns (a letter Q/q
+# immediately followed by a digit) — skips the two expensive findalls on
+# pages that cannot match
+_QCLAUSE_PROBE = re.compile(r"[Qq]\d")
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +150,16 @@ def validate_po_number(po_number: str, full_text: str) -> bool:
     single-digit confusion alternative occurs MORE often; else accept iff
     it starts with '45' and is all digits.
     """
-    po_occurrences = len(re.findall(po_number, full_text))
+    # candidates are all-digit strings (regex \d groups), so counting the
+    # literal with str.count is exactly re.findall's non-overlapping
+    # left-to-right count — without compiling a fresh pattern per call
+    # (the reference compiles per call, :758; measured ~10% of kernel time)
+    count = (
+        full_text.count
+        if po_number.isdigit()
+        else (lambda s: len(re.findall(s, full_text)))
+    )
+    po_occurrences = count(po_number)
     if po_occurrences >= 2:
         return True
     for pos in range(len(po_number)):
@@ -154,7 +167,7 @@ def validate_po_number(po_number: str, full_text: str) -> bool:
         alt = _CONFUSIONS.get(original)
         if alt is not None:
             alternative_po = po_number[:pos] + alt + po_number[pos + 1:]
-            if len(re.findall(alternative_po, full_text)) > po_occurrences:
+            if count(alternative_po) > po_occurrences:
                 return False
     return po_number.startswith("45") and po_number.isdigit()
 
@@ -223,14 +236,22 @@ def extract_amount(pages: Sequence[str]) -> str:
 
 
 def extract_delivery_date(pages: Sequence[str]) -> str:
-    """F7 (:386-405): delivery-section, dockdate, then EA-line patterns."""
+    """F7 (:386-405): delivery-section, dockdate, then EA-line patterns.
+
+    Literal prescreens: the two label-anchored patterns cannot match a
+    page that lacks their (case-insensitive) label substring, so the
+    expensive DOTALL scans are skipped on such pages — semantics
+    unchanged (Hypothesis parity vs the live reference gates this)."""
     for text in pages:
-        m = _DELIVERY_DATE.search(text)
-        if m:
-            return m.group(1)
-        m = _DOCK_DATE.search(text)
-        if m:
-            return m.group(1)
+        lt = text.lower()
+        if "delivery date" in lt:
+            m = _DELIVERY_DATE.search(text)
+            if m:
+                return m.group(1)
+        if "dockdate" in lt:
+            m = _DOCK_DATE.search(text)
+            if m:
+                return m.group(1)
         m = _EA_DATE.search(text)
         if m:
             return m.group(1)
@@ -285,6 +306,8 @@ def extract_part_number(pages: Sequence[str]) -> str:
 def extract_quantity(pages: Sequence[str]) -> str:
     """F11 (:458-467)."""
     for text in pages:
+        if "quantity" not in text.lower():
+            continue
         m = _QUANTITY.search(text)
         if m:
             return m.group(1)
@@ -292,8 +315,11 @@ def extract_quantity(pages: Sequence[str]) -> str:
 
 
 def extract_net_per_price(pages: Sequence[str]) -> str:
-    """F12 (:469-478)."""
+    """F12 (:469-478). 'net per' literal prescreen skips the DOTALL
+    ``.*?`` scan on pages that cannot match."""
     for text in pages:
+        if "net per" not in text.lower():
+            continue
         m = _NET_PER.search(text)
         if m:
             return m.group(1)
@@ -313,14 +339,18 @@ def extract_po_number_strict(pages: Sequence[str]) -> str:
 
 def extract_production_order(pages: Sequence[str]) -> str:
     """F13 (:494-516): Production Order → MJO → standalone 9-12 digits
-    (excluding 45-prefixed PO numbers)."""
+    (excluding 45-prefixed PO numbers). Label-literal prescreens on the
+    first two patterns (cannot match without their label substring)."""
     for text in pages:
-        m = _PROD_ORDER.search(text)
-        if m:
-            return m.group(1)
-        m = _MJO.search(text)
-        if m:
-            return m.group(1)
+        lt = text.lower()
+        if "production order" in lt:
+            m = _PROD_ORDER.search(text)
+            if m:
+                return m.group(1)
+        if "mjo" in lt:
+            m = _MJO.search(text)
+            if m:
+                return m.group(1)
         m = _STANDALONE_9_12.search(text)
         if m:
             num = m.group(1)
@@ -372,6 +402,8 @@ def extract_dpas_rating(pages: Sequence[str]) -> str:
     """F17 (:592-605): findall across ALL pages, comma-joined."""
     ratings: List[str] = []
     for text in pages:
+        if "dpas" not in text.lower():
+            continue
         ratings.extend(_DPAS.findall(text))
     if ratings:
         return ", ".join(ratings) if len(ratings) > 1 else ratings[0]
@@ -382,6 +414,8 @@ def check_payment_terms(pages: Sequence[str]) -> str:
     """F18 (:607-620): STANDARD/NON_STANDARD flag. Pattern quirk preserved
     (see module docstring)."""
     for text in pages:
+        if "payment terms" not in text.lower():
+            continue
         m = _PAYMENT_TERMS.search(text)
         if m:
             terms = m.group(1).strip()
@@ -397,6 +431,8 @@ def extract_quality_clauses(pages: Sequence[str]) -> Dict[str, str]:
     Descriptions whitespace-normalized and truncated to 100 chars."""
     quality_clauses: Dict[str, str] = {}
     for text in pages:
+        if not _QCLAUSE_PROBE.search(text):
+            continue
         for q_code, description in _QCLAUSE_DELIMITED.findall(text):
             clean_desc = " ".join(description.strip().split())
             quality_clauses[q_code.upper()] = clean_desc[:100]

@@ -62,27 +62,33 @@ def parse_pages_with_images(payload: bytes) -> Tuple[List[str], List[int]]:
     cur_block: List[str] | None = None
     cur_yx: Tuple[int, int] = (0, 0)
 
+    # in-block fast path first: text lines (the overwhelming majority) take
+    # one None-check + one "E" comparison instead of a startswith chain
     for line in lines[1:]:
-        if line.startswith("P "):
+        if cur_block is not None:
+            if line == "E":
+                if cur_page is not None:
+                    pages[cur_page].append((cur_yx[0], cur_yx[1], cur_block))
+                cur_block = None
+            else:
+                cur_block.append(line)
+            continue
+        head = line[:2]
+        if head == "P ":
             cur_page = int(line[2:])
             pages.setdefault(cur_page, [])
             images.setdefault(cur_page, 0)
-        elif line.startswith("B "):
+        elif head == "B ":
             parts = line[2:].split()
             cur_yx = (int(parts[0]), int(parts[1]))
             cur_block = []
-        elif line.startswith("I ") and cur_block is None:
+        elif head == "I ":
             if cur_page is None:
                 raise ValueError("image record outside any page")
             parts = line[2:].split()
             int(parts[0]), int(parts[1]), int(parts[2])  # validate shape
             images[cur_page] += 1
-        elif line == "E":
-            if cur_page is not None and cur_block is not None:
-                pages[cur_page].append((cur_yx[0], cur_yx[1], cur_block))
-            cur_block = None
-        elif cur_block is not None:
-            cur_block.append(line)
+        # stray non-structural lines outside any block are ignored
 
     out: List[str] = []
     counts: List[int] = []
