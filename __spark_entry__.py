@@ -28,6 +28,7 @@ if REPO not in sys.path:
 from unified_ocr_pipeline_spark.functions import text as TX  # noqa: E402
 from unified_ocr_pipeline_spark.operators import asof as ASOF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import dedup as DD  # noqa: E402
+from unified_ocr_pipeline_spark.operators import ivf as IVF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import similarity as SIM  # noqa: E402
 from unified_ocr_pipeline_spark.operators import multimodal as MM  # noqa: E402
 from unified_ocr_pipeline_spark.plans.extraction import extract_stage  # noqa: E402
@@ -181,6 +182,13 @@ def _q_embedding_topk(spark, sf):
 def _q_embedding_lsh_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     return SIM.lsh_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=3)
+
+
+def _q_ivf_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return IVF.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), k=3, n_cells=16, nprobe=4, dim=64
+    )
 
 
 def _q_cosine_near_dups(spark, sf):
@@ -745,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": _q_simhash_dups,
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "cosine_near_dups": _q_cosine_near_dups,
         "sessionize": _q_sessionize,
         "topk_per_user": _q_topk_per_user,
@@ -871,6 +880,54 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _ivf_topk_oracle(
+    k: int = 3, n_cells: int = 16, nprobe: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """Replays operators/ivf.ivf_topk with the seeded quantizer: the same
+    centroid literals, the same assignment score (-2·v·c + ||c||², a
+    monotone transform of L2 distance), stable tie-break by cell index
+    (numpy stable argsort ≡ ORDER BY score, cid)."""
+    from unified_ocr_pipeline_spark.operators.ivf import seeded_centroids
+
+    cents = seeded_centroids(n_cells, dim, seed)
+    values = ",\n            ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in enumerate(cents)
+    )
+    return f"""
+        WITH cents AS (
+          SELECT cid, cv, list_dot_product(cv, cv) AS c2
+          FROM (VALUES
+            {values}) AS t(cid, cv)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT e.vec_id, e.v, cents.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY -2 * list_dot_product(e.v, cents.cv) + cents.c2,
+                            cents.cid) AS crn
+          FROM e CROSS JOIN cents),
+        assign AS (SELECT vec_id, cid AS cell FROM scored WHERE crn = 1),
+        probes AS (
+          SELECT vec_id AS qid, cid AS cell FROM scored
+          WHERE vec_id < 5 AND crn <= {nprobe}),
+        cand AS (
+          SELECT p.qid, a.vec_id AS nid
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id <> p.qid),
+        sims AS (
+          SELECT qid, nid, list_cosine_similarity(eq.v, ec.v) AS s
+          FROM cand
+          JOIN e eq ON eq.vec_id = qid
+          JOIN e ec ON ec.vec_id = nid),
+        ranked AS (
+          SELECT qid, nid, s,
+                 row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+          FROM sims)
+        SELECT qid, nid, round(s, 4) AS sim FROM ranked WHERE rn <= {k}
     """
 
 
@@ -1398,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dups": _minhash_oracle(),
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),
+        "ivf_topk": _ivf_topk_oracle(),
         # pages_pipeline_yield: for text-layer rows the extraction kernel's
         # observable aggregate is deterministic SQL — status 'ok' iff the
         # text layer is non-empty (kernels/document.py:203-206), chars =

@@ -1,0 +1,234 @@
+"""IVF (inverted-file) approximate nearest neighbor over an embedding column.
+
+The second scale path for similarity search next to SRP-LSH
+(operators/similarity.py): a coarse quantizer partitions the corpus into
+``n_cells`` Voronoi cells; each query probes only its ``nprobe`` nearest
+cells and re-ranks candidates exactly. At 100 TB the cell assignment is a
+single vectorized matmul per Arrow batch, the corpus is written partitioned
+by ``cell`` (partition pruning = the "inverted file"), and the probe join
+touches ``nprobe / n_cells`` of the data instead of all of it.
+
+Two quantizer sources:
+
+- ``seeded_centroids``: data-independent Gaussian centroids from a fixed
+  seed. Deterministic and replayable in ANSI SQL (the DuckDB oracle inlines
+  the same literals), so the full IVF path is hash-checked end-to-end by
+  the driver harness.
+- ``kmeans_train``: real Lloyd's k-means on a driver-collected sample.
+  Training on a bounded sample (10^5-10^6 vectors) is the standard IVF
+  practice at any corpus scale — the sample fits on the driver even when
+  the corpus is 100 TB, and the resulting centroids are broadcast literals
+  exactly like the seeded ones.
+
+Reference has no ANN surface; this extends the engine for training-data
+pipelines (brief: "an IVF or LSH-bucketed variant as the scale path").
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def seeded_centroids(n_cells: int, dim: int, seed: int = 42) -> List[List[float]]:
+    """Data-independent Gaussian centroids (fixed seed) — the
+    oracle-replayable quantizer. Same RNG discipline as
+    similarity._hyperplanes."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)]
+
+
+def kmeans_train(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> List[List[float]]:
+    """Lloyd's k-means on a bounded, deterministic sample.
+
+    ``sample_rows`` caps driver memory regardless of corpus size (ordered
+    take, not ``.sample`` — deterministic across runs/partitions). Empty
+    clusters are reseeded from the farthest points, so exactly ``n_cells``
+    centroids come back.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<double>").cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    if len(cents) < n_cells:  # corpus smaller than n_cells
+        pad = rng.standard_normal((n_cells - len(cents), X.shape[1]))
+        cents = np.vstack([cents, pad])
+    for _ in range(iters):
+        # (n, k) squared distances via ||x||² - 2x·c + ||c||²
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        new = np.empty_like(cents)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+            else:  # reseed dead cell from the globally farthest point
+                new[c] = X[d2.min(axis=1).argmax()]
+        if np.allclose(new, cents):
+            cents = new
+            break
+        cents = new
+    return cents.tolist()
+
+
+def assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: List[List[float]],
+) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment, one NumPy matmul per
+    Arrow batch — centroids ride the closure (broadcast), no join, no
+    per-row Python. Output is the corpus side of the inverted file; at
+    scale, write it ``partitionBy("cell")`` so probes prune partitions."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    c_sq = (C * C).sum(axis=1)                           # (k,)
+
+    in_df = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            d2 = -2.0 * (V @ C.T) + c_sq                 # ||v||² constant per row
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "vec": pdf["vec"],
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    id_type = in_df.schema["id"].dataType.simpleString()
+    vec_type = in_df.schema["vec"].dataType.simpleString()
+    return in_df.mapInPandas(
+        gen, schema=f"id {id_type}, vec {vec_type}, cell int"
+    )
+
+
+def probe_cells(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: List[List[float]],
+    nprobe: int,
+) -> DataFrame:
+    """(qid, qv, cell) with ``nprobe`` rows per query: the cells whose
+    centroids are nearest to the query (ties broken by cell index)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    in_df = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            d2 = -2.0 * (V @ C.T) + c_sq
+            # argsort is stable → equal distances keep ascending cell index
+            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(), nprobe),
+                    "qv": [v for v in pdf["qv"] for _ in range(nprobe)],
+                    "cell": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    id_type = in_df.schema["qid"].dataType.simpleString()
+    vec_type = in_df.schema["qv"].dataType.simpleString()
+    return in_df.mapInPandas(
+        gen, schema=f"qid {id_type}, qv {vec_type}, cell int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: Optional[List[List[float]]] = None,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: candidates are corpus vectors in
+    the query's ``nprobe`` nearest cells; exact cosine re-rank within them.
+
+    With ``centroids=None`` the seeded (oracle-replayable) quantizer is
+    used; pass ``kmeans_train(...)`` output for a trained one. Join shape:
+    corpus-side cell assignment streams (one matmul per batch, never
+    shuffles raw vectors beyond the candidate join); the probe side is tiny
+    (n_queries × nprobe) and broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = centroids if centroids is not None else seeded_centroids(n_cells, dim, seed)
+    cb = assign_cells(corpus, id_col, vec_col, cents).select(
+        F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell"
+    )
+    qb = probe_cells(queries, id_col, vec_col, cents, nprobe)
+    cand = (
+        cb.join(F.broadcast(qb), ["cell"])
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "qv", "nid", "nv")
+    )
+
+    # exact verify: one NumPy pass per Arrow batch (same pattern as
+    # similarity.cosine_near_dup_pairs)
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            B = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, (A * B).sum(axis=1) / denom, -1.0)
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "nid": pdf["nid"], "sim": sim}
+            )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    sims = cand.mapInPandas(
+        verify, schema=f"qid {id_type}, nid {id_type}, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", F.round("sim", 4).alias("sim"))
+    )
