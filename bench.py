@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "embedding_topk",
     "embedding_lsh_topk",
+    "ivf_topk",
     "cosine_near_dups",
     "ocr_quality_grades",
     "strategy_routing",
