@@ -29,6 +29,7 @@ from unified_ocr_pipeline_spark.functions import text as TX  # noqa: E402
 from unified_ocr_pipeline_spark.operators import asof as ASOF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import dedup as DD  # noqa: E402
 from unified_ocr_pipeline_spark.operators import ivf as IVF  # noqa: E402
+from unified_ocr_pipeline_spark.operators import sampling as SAMP  # noqa: E402
 from unified_ocr_pipeline_spark.operators import similarity as SIM  # noqa: E402
 from unified_ocr_pipeline_spark.operators import multimodal as MM  # noqa: E402
 from unified_ocr_pipeline_spark.plans.extraction import extract_stage  # noqa: E402
@@ -182,6 +183,25 @@ def _q_embedding_topk(spark, sf):
 def _q_embedding_lsh_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     return SIM.lsh_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=3)
+
+
+def _q_stratified_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SAMP.sample_per_group(d, ["source"], "doc_id", 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_quality_gate(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SAMP.quantile_gate_per_group(
+        d, ["lang"], "n_chars", 0.5, tie_cols=["doc_id"]
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _q_vocab_topk(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SAMP.vocab_topk(d, "text", "lang", k=5)
 
 
 def _q_ivf_topk(spark, sf):
@@ -754,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "stratified_sample": _q_stratified_sample,
+        "quality_gate": _q_quality_gate,
+        "vocab_topk": _q_vocab_topk,
         "cosine_near_dups": _q_cosine_near_dups,
         "sessionize": _q_sessionize,
         "topk_per_user": _q_topk_per_user,
@@ -1456,6 +1479,37 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
+        # stratified_sample: the md5-60bit order key replayed verbatim
+        # (operators/sampling.md5_60 ≡ ('0x'||substr(md5(x),1,15))::BIGINT)
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                                doc_id) AS rn
+              FROM documents) WHERE rn <= 10
+        """,
+        "quality_gate": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+              FROM documents) WHERE pr >= 0.5
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (
+              SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents),
+            counts AS (
+              SELECT lang, token, count(*) AS n FROM toks
+              WHERE token <> '' GROUP BY 1, 2)
+            SELECT lang, token, n, rank FROM (
+              SELECT lang, token, n,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, token) AS rank
+              FROM counts) WHERE rank <= 5
+        """,
         # pages_pipeline_yield: for text-layer rows the extraction kernel's
         # observable aggregate is deterministic SQL — status 'ok' iff the
         # text layer is non-empty (kernels/document.py:203-206), chars =

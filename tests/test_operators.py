@@ -356,3 +356,62 @@ def test_ivf_kmeans_train_beats_seeded_quantization(spark):
         return d2.min(axis=1).sum()
 
     assert qerr(c1) < qerr(IVF.seeded_centroids(8, 64))
+
+
+# --------------------------------------------------------------------------
+# sampling / curation — operators/sampling.py
+# --------------------------------------------------------------------------
+
+def test_sample_per_group_quota_and_determinism(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = SAMP.sample_per_group(d, ["source"], "doc_id", 10)
+    per = {r["source"]: r["n"] for r in s1.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(per.values()) == {10}            # exact quota per group
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    s2 = SAMP.sample_per_group(
+        d.repartition(7), ["source"], "doc_id", 10  # partition-order independent
+    )
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_quantile_gate_keeps_top_half(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kept = SAMP.quantile_gate_per_group(
+        d, ["lang"], "n_chars", 0.5, tie_cols=["doc_id"]
+    )
+    tot = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    k = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, n in tot.items():
+        # percent_rank >= 0.5 keeps ceil(n/2)±1 rows of each group
+        assert abs(k[lang] - n / 2) <= 1, (lang, k[lang], n)
+    # gate keeps the LARGE half: min kept n_chars >= median-ish per lang
+    lo = kept.groupBy("lang").agg(F.min("n_chars").alias("lo")).collect()
+    med = {
+        r["lang"]: r["m"]
+        for r in d.groupBy("lang").agg(
+            F.expr("percentile(n_chars, 0.5)").alias("m")).collect()
+    }
+    for r in lo:
+        assert r["lo"] >= med[r["lang"]] - 1
+
+
+def test_vocab_topk_counts(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    rows = [
+        (1, "a", "b b c"), (2, "a", "b c c c"),
+        (3, "x", "z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = SAMP.vocab_topk(df, "text", "lang", k=2).collect()
+    got = {(r["lang"], r["rank"]): (r["token"], r["n"]) for r in out}
+    assert got[("a", 1)] == ("c", 4) and got[("a", 2)] == ("b", 3)
+    assert got[("x", 1)] == ("z", 2) and ("x", 2) not in got

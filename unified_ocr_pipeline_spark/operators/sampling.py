@@ -1,0 +1,107 @@
+"""Deterministic corpus sampling / curation operators.
+
+Training-data pipelines downsample and gate the crawl before anything
+expensive touches it: fixed-quota samples per domain/language (corpus
+balancing) and per-group quantile gates (quality curation). Both must be
+deterministic — a re-run of the pipeline has to pick the same rows — so
+ordering comes from a content hash, never from partition order or RNG
+state.
+
+Scale shape: one shuffle each (the window partition / the groupBy), both
+with map-side partial work; no driver-side collection anywhere. The
+sample hash is the md5-60bit trick from operators/dedup (replayable in
+ANSI SQL, so the DuckDB oracle checks these end-to-end).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_60(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5(string(col)) —
+    identical to DuckDB's ('0x' || substr(md5(x), 1, 15))::BIGINT and to
+    operators/dedup._md5_60 on utf-8 bytes. JVM-side, codegen-friendly."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_group`` rows per group
+    with the smallest md5-60 hash of ``id_col`` (ties by id).
+
+    Quota sampling needs a per-group top-k, i.e. one window shuffle over
+    the group key. When an approximate *rate* (not quota) is enough at
+    scale, prefer the shuffle-free gate ``md5_60(id) < rate * 2**60``
+    instead — that is a plain filter pushed to the scan.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        md5_60(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
+def quantile_gate_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metric_col: str,
+    min_quantile: float,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Keep rows whose ``metric_col`` sits at or above the ``min_quantile``
+    percent-rank within their group — the per-language quality gate of a
+    curation pipeline (e.g. keep the top half by quality score per lang).
+
+    Exact, rank-based (no distribution assumptions), one window shuffle.
+    ``tie_cols`` pins a total order so the gate is deterministic when
+    metric values repeat. At 100 TB with heavy groups, the same semantics
+    come from a two-pass approx_percentile + broadcast-join gate; the
+    window form is exact and is what the oracle replays.
+    """
+    order = [F.col(metric_col)] + [F.col(c) for c in tie_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .where(F.col("_pr") >= min_quantile)
+        .drop("_pr")
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group top-k vocabulary by token frequency: (group, token, n,
+    rank). The vocabulary-building pass of a tokenizer/corpus-stats
+    pipeline: explode whitespace tokens → count per (group, token) →
+    top-k per group by (n desc, token).
+
+    The explode inflates rows ~doc_length×, but Catalyst's partial
+    hash-aggregation collapses each map partition to its distinct
+    (group, token) counts BEFORE the exchange, so the shuffle carries
+    vocabulary-sized data, not corpus-sized.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("grp", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "token", "n", "rank")
+    )
