@@ -94,22 +94,38 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
 
-    # 1. end-to-end extraction pipeline (fresh output dir each run)
-    out_dir = f"/tmp/bench_out_{int(time.time() * 1000)}"
+    # 1. end-to-end extraction pipeline — best of two runs (fresh output
+    # dir each), same steady-state/noise rationale as the queries below;
+    # the first run additionally pays Python-worker pool startup.
     # num_buckets=None → the cluster-derived default (4× cores) — bench the
     # engine at its real defaults, preflight included
-    pipe = ExtractionPipeline(spark, out_dir, salt_factor=8)
-    t0 = time.perf_counter()
-    res = pipe.run(pages_path, resume=False)
-    e2e_sec = time.perf_counter() - t0
+    e2e_sec = float("inf")
+    for rep in range(2):
+        out_dir = f"/tmp/bench_out_{int(time.time() * 1000)}_{rep}"
+        pipe = ExtractionPipeline(spark, out_dir, salt_factor=8)
+        t0 = time.perf_counter()
+        res = pipe.run(pages_path, resume=False)
+        e2e_sec = min(e2e_sec, time.perf_counter() - t0)
     timings["extraction_pipeline"] = round(e2e_sec, 3)
 
-    # 2. driver queries (each fully materialized via a cheap count action)
+    # 2. driver queries, fully materialized; per-query time = best of two
+    # runs. The first run pays Catalyst codegen/JIT compilation and any
+    # cold file reads; the second measures steady-state throughput — and
+    # min-of-2 halves this shared VM's delivered-CPU noise (documented in
+    # BENCH/BASELINE.md), which otherwise dominates sub-second queries.
     qmap = E.queries()
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        qmap[name](spark, sf_dir).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            # operators that persist() internally (minhash/simhash/LSH
+            # self-join inputs) would otherwise be served from Spark's
+            # CacheManager on the second run — clear so every rep does
+            # the full compute and min-of-2 measures compute, not cache
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qmap[name](spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -119,6 +135,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "runs_per_query": 2,  # best-of-2, cache cleared between reps
         "extraction_docs": res.rows_written,
         "docs_per_sec": round(res.rows_written / e2e_sec, 2),
         "input_mb_per_sec": round(input_bytes / 1e6 / e2e_sec, 2),
