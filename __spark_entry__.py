@@ -199,6 +199,13 @@ def _q_quality_gate(spark, sf):
     ).select("doc_id", "lang", "n_chars")
 
 
+def _q_pack_sequences(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SAMP.pack_sequences(d, ["lang"], "doc_id", "n_chars", 4096).select(
+        "doc_id", "lang", "n_chars", "pack_window", "pack_offset", "pack_spans"
+    )
+
+
 def _q_vocab_topk(spark, sf):
     d = _t(spark, sf, "documents")
     return SAMP.vocab_topk(d, "text", "lang", k=5)
@@ -776,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "stratified_sample": _q_stratified_sample,
         "quality_gate": _q_quality_gate,
+        "pack_sequences": _q_pack_sequences,
         "vocab_topk": _q_vocab_topk,
         "cosine_near_dups": _q_cosine_near_dups,
         "sessionize": _q_sessionize,
@@ -1496,6 +1504,20 @@ def oracle_sql() -> dict[str, str]:
                      percent_rank() OVER (
                        PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
               FROM documents) WHERE pr >= 0.5
+        """,
+        "pack_sequences": """
+            SELECT doc_id, lang, n_chars,
+                   (before // 4096)::BIGINT AS pack_window,
+                   (before % 4096)::BIGINT AS pack_offset,
+                   ((before + greatest(n_chars, 1) - 1) // 4096
+                    - before // 4096 + 1)::BIGINT AS pack_spans
+            FROM (
+              SELECT doc_id, lang, n_chars,
+                     coalesce(sum(n_chars) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS before
+              FROM documents)
         """,
         "vocab_topk": r"""
             WITH toks AS (

@@ -415,3 +415,19 @@ def test_vocab_topk_counts(spark):
     got = {(r["lang"], r["rank"]): (r["token"], r["n"]) for r in out}
     assert got[("a", 1)] == ("c", 4) and got[("a", 2)] == ("b", 3)
     assert got[("x", 1)] == ("z", 2) and ("x", 2) not in got
+
+
+def test_pack_sequences_layout(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    rows = [(1, "a", 100), (2, "a", 50), (3, "a", 80), (4, "b", 300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+    out = {r["doc_id"]: r.asDict() for r in SAMP.pack_sequences(
+        df, ["lang"], "doc_id", "toks", budget=128).collect()}
+    # group a: doc1 [0..100) window 0; doc2 starts at 100, crosses into
+    # window 1 (100+50=150 > 128 → spans 2); doc3 starts at 150 → window 1
+    assert (out[1]["pack_window"], out[1]["pack_offset"], out[1]["pack_spans"]) == (0, 0, 1)
+    assert (out[2]["pack_window"], out[2]["pack_offset"], out[2]["pack_spans"]) == (0, 100, 2)
+    assert (out[3]["pack_window"], out[3]["pack_offset"], out[3]["pack_spans"]) == (1, 22, 1)
+    # group b independent; 300 tokens spans ceil(300/128)=3 windows
+    assert (out[4]["pack_window"], out[4]["pack_offset"], out[4]["pack_spans"]) == (0, 0, 3)

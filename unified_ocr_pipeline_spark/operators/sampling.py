@@ -78,6 +78,45 @@ def quantile_gate_per_group(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    deterministic ``id_col`` order within each group and chunked into
+    fixed ``budget``-token context windows (the standard packed-pretraining
+    layout). Each row gains:
+
+    - ``pack_window``: the window index where this document starts,
+    - ``pack_offset``: its offset within that window,
+    - ``pack_spans``: how many windows the document straddles.
+
+    One window-function shuffle per group; the running total is
+    ``sum(weight) OVER (... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)``, so
+    the assignment is a pure function of the sorted prefix — deterministic
+    and exactly replayable in ANSI SQL. At 100 TB, pack per shard/group
+    (the group key bounds each window partition); a single global order
+    would serialize into one partition.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0)).cast("long")
+    wt = F.col(weight_col).cast("long")
+    start_w = F.floor(before / budget)
+    end_w = F.floor((before + F.greatest(wt, F.lit(1)) - 1) / budget)
+    return (
+        df.withColumn("pack_window", start_w)
+        .withColumn("pack_offset", (before % budget).cast("long"))
+        .withColumn("pack_spans", (end_w - start_w + 1).cast("long"))
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str,
