@@ -179,3 +179,34 @@ def test_partial_manifest_resume(spark, pages_path, golden, tmp_path_factory):
     }
     assert set(got) == set(golden)
     assert all(got[u] == g.extracted_text for u, g in golden.items())
+
+
+def test_compact_epoch_preserves_content(spark, pages_path, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("out") / "compact")
+    pipe = ExtractionPipeline(
+        spark, out, num_buckets=16, salt_factor=4, max_bytes=MAX_BYTES
+    )
+    pipe.run(pages_path)
+
+    def state():
+        df = pipe.read_extracted().where(F.col("epoch") == 0)
+        rows = df.groupBy("bucket").agg(
+            F.count("*").alias("n"), F.expr("bit_xor(row_hash)").alias("h")
+        ).collect()
+        return {r["bucket"]: (r["n"], r["h"]) for r in rows}
+
+    import glob
+    before_files = len(glob.glob(f"{out}/extracted/epoch=0/bucket=*/*.parquet"))
+    before = state()
+    n_files = pipe.compact_epoch(0)
+    after = state()
+    after_files = len(glob.glob(f"{out}/extracted/epoch=0/bucket=*/*.parquet"))
+
+    assert after == before                      # content identical per bucket
+    assert n_files == after_files == len(after) # exactly one file per bucket
+    assert after_files <= before_files
+    # manifests still valid → a resumed run skips every bucket
+    res = pipe.run(pages_path)
+    assert res.buckets_processed == 0 and res.buckets_skipped == len(after)

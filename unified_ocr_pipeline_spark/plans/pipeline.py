@@ -355,3 +355,56 @@ class ExtractionPipeline:
 
     def read_extracted(self) -> DataFrame:
         return self.spark.read.parquet(self.extracted_path)
+
+    # -- maintenance -----------------------------------------------------------
+    def compact_epoch(self, epoch: int = 0) -> int:
+        """Iceberg-style small-file compaction for one epoch.
+
+        The hot-path write emits one file per (task, bucket) — correct and
+        contention-free while writing, but after many runs/micro-batches a
+        bucket accumulates small files and every downstream scan pays one
+        open/footer-read per file. This rewrites the epoch so each bucket
+        holds ONE file (`repartition("bucket")` → one task per bucket →
+        one file), then swaps directories: old → `.old`, compacted →
+        live, delete `.old`. A crash mid-swap leaves either the old or the
+        new directory intact under a recoverable name, never neither.
+
+        Content is untouched — manifests (bucket, row_count, content_hash)
+        remain valid, which the compaction test asserts via the same
+        bit_xor(row_hash) the manifest stores. Returns the number of data
+        files after compaction.
+        """
+        spark = self.spark
+        src = f"{self.extracted_path}/epoch={epoch}"
+        tmp = f"{self.extracted_path}/.compact_epoch={epoch}"
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(src).getFileSystem(conf)
+        if not fs.exists(Path(src)):
+            return 0
+
+        df = spark.read.parquet(src)  # bucket comes back as partition col
+        (
+            df.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        old = f"{self.extracted_path}/.old_epoch={epoch}"
+        fs.delete(Path(old), True)
+        if not fs.rename(Path(src), Path(old)):
+            raise IOError(f"compact: could not stash {src}")
+        if not fs.rename(Path(tmp), Path(src)):
+            # roll back: put the original epoch dir back
+            fs.rename(Path(old), Path(src))
+            raise IOError(f"compact: could not swap in {tmp}")
+        fs.delete(Path(old), True)
+
+        n_files = 0
+        it = fs.listFiles(Path(src), True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                n_files += 1
+        return n_files
