@@ -136,3 +136,30 @@ def test_stateful_host_sessions_across_microbatches(spark, tmp_path):
         assert f["first_ms"] == items[0][0] and f["last_ms"] == items[-1][0], host
         assert f["n_sessions"] == sessions, (host, f["n_sessions"], sessions)
     assert set(final) == set(by_host)
+
+
+def test_streaming_url_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first record per url across
+    micro-batches (bounded state via watermark eviction)."""
+    from unified_ocr_pipeline_spark.streaming.incremental import streaming_url_dedup
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "dedup_out")
+
+    rows = generate_pages_rows(60, seed=42)
+    # plant duplicates: re-submit 10 urls (same url, same event time window)
+    dups = [dict(r) for r in rows[:10]]
+    _write_batch(pages_dir, rows, "b1")
+    _write_batch(pages_dir, dups, "b2")
+
+    q = streaming_url_dedup(
+        spark, str(pages_dir), ckpt, out, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    urls = [r["url"] for r in got.select("url").collect()]
+    assert len(urls) == len(set(urls))                 # no dup rows emitted
+    assert set(urls) == {r["url"] for r in rows}       # every url exactly once

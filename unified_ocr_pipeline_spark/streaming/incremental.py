@@ -79,6 +79,47 @@ def run_available_now(
     return n_batches["n"]
 
 
+def streaming_url_dedup(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 64,
+):
+    """Streaming exact-dedup by url within an event-time watermark:
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST record seen per url
+    and evicts each url's dedup state once the watermark passes its event
+    time — bounded state, unlike a plain ``dropDuplicates`` whose state
+    grows with every url ever seen (a non-starter on an endless crawl).
+
+    Reference analog: the existing-output duplicate check
+    (unified_ocr_pipeline.py:249-271) — same effect, but as a stateful
+    streaming operator instead of a filesystem probe. Complements the
+    batch pipeline's latest-crawl-wins window dedup: the streaming form
+    dedups *within* the ingest stream before the batch semantics apply.
+
+    Appends deduped rows to ``out_dir`` (parquet) exactly-once via the
+    checkpoint. Returns the started StreamingQuery.
+    """
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    deduped = stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{checkpoint_dir}/dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_ingest_stats(
     spark: SparkSession,
     pages_dir: str,
