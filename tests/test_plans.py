@@ -157,3 +157,34 @@ def test_range_join_no_nested_loop(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_candidate_join_broadcasts_probe_side(spark):
+    """IVF's candidate join must broadcast the tiny probe side (n_queries ×
+    nprobe rows) against the streamed corpus — never a shuffled join of
+    the corpus, never a nested loop."""
+    from unified_ocr_pipeline_spark.operators import ivf as IVF
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = IVF.ivf_topk(e, e.where("vec_id < 5"), k=3, n_cells=16, nprobe=4, dim=64)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_and_sample_single_exchange(spark):
+    """pack_sequences and sample_per_group are one-window operators: their
+    plans must contain exactly one shuffle (the group-key hash partition)."""
+    import re
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        SAMP.pack_sequences(d, ["lang"], "doc_id", "n_chars", 4096),
+        SAMP.sample_per_group(d, ["source"], "doc_id", 10),
+        SAMP.quantile_gate_per_group(d, ["lang"], "n_chars", 0.5, tie_cols=["doc_id"]),
+    ):
+        plan = plan_of(df)
+        n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+        assert n == 1, plan
+        assert "BatchEvalPython" not in plan
