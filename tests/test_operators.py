@@ -431,3 +431,32 @@ def test_pack_sequences_layout(spark):
     assert (out[3]["pack_window"], out[3]["pack_offset"], out[3]["pack_spans"]) == (1, 22, 1)
     # group b independent; 300 tokens spans ceil(300/128)=3 windows
     assert (out[4]["pack_window"], out[4]["pack_offset"], out[4]["pack_spans"]) == (0, 0, 3)
+
+
+def test_pack_sequences_differential_vs_sequential(spark):
+    """Differential: the window-function packing must equal a sequential
+    concat-and-chunk reference over any weights (Hypothesis-style sweep
+    with fixed seeds — one Spark job total, many generated cases would
+    pay per-example job latency)."""
+    import random as _random
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    rng = _random.Random(11)
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(40):
+            rows.append((len(rows), g, rng.choice([0, 1, 7, 100, 128, 129, 4096])))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+    budget = 128
+    got = {
+        r["doc_id"]: (r["pack_window"], r["pack_offset"], r["pack_spans"])
+        for r in SAMP.pack_sequences(df, ["lang"], "doc_id", "toks", budget).collect()
+    }
+    # sequential reference: running offset per group in doc_id order
+    by_group: dict = {}
+    for doc_id, g, toks in rows:
+        before = by_group.get(g, 0)
+        start_w, off = divmod(before, budget)
+        end_w = (before + max(toks, 1) - 1) // budget
+        assert got[doc_id] == (start_w, off, end_w - start_w + 1), (doc_id, toks)
+        by_group[g] = before + toks
