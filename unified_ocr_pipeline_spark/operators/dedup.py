@@ -311,12 +311,17 @@ def simhash_near_dups(
     r = chunked.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
     )
+    # hamming is a pure function of the pair, so the cheap bit_count filter
+    # runs BEFORE dropDuplicates: the dedup exchange then carries the
+    # passing pairs instead of every chunk-collision candidate — 234k vs
+    # 2.7M rows measured at sf0.1 (clustered vocabularies collide chunks
+    # far more often than they pass the full-hash bound)
     return (
         l.join(r, ["chunk", "cv"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming32(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
