@@ -460,3 +460,36 @@ def test_pack_sequences_differential_vs_sequential(spark):
         end_w = (before + max(toks, 1) - 1) // budget
         assert got[doc_id] == (start_w, off, end_w - start_w + 1), (doc_id, toks)
         by_group[g] = before + toks
+
+
+def test_band_bucket_cap_prunes_flood(spark):
+    """A cluster of identical docs collides in every band/chunk — without a
+    bucket cap the self-join is quadratic in the flood size. With the cap,
+    the flood bucket is pruned while ordinary near-dups still pair up."""
+    rng = random.Random(3)
+    rows = [(i, _doc(rng)) for i in range(20)]
+    flood_text = _doc(rng)
+    rows += [(1000 + i, flood_text) for i in range(50)]       # 50 exact copies
+    base = _doc(rng)
+    toks = base.split(); toks[3] = "OMEGA"
+    rows += [(2000, base), (2001, " ".join(toks))]            # one true near-dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = DD.minhash_signatures(df, "doc_id", "text", num_hashes=32)
+    uncapped = DD.minhash_lsh_pairs(sigs, num_hashes=32, num_bands=8, threshold=0.5)
+    capped = DD.minhash_lsh_pairs(
+        sigs, num_hashes=32, num_bands=8, threshold=0.5, max_band_bucket=10
+    )
+    flood_pairs = lambda pdf: [  # noqa: E731
+        r for r in pdf if r["id_a"] >= 1000 and r["id_b"] < 2000
+    ]
+    un = uncapped.collect()
+    cp = capped.collect()
+    assert len(flood_pairs(un)) == 50 * 49 // 2               # quadratic blowup
+    assert not flood_pairs(cp)                                # pruned
+    assert any(r["id_a"] == 2000 and r["id_b"] == 2001 for r in cp)  # kept
+
+    sh = DD.simhash(df, "doc_id", "text")
+    capped_sh = DD.simhash_near_dups(sh, max_hamming=3, max_chunk_bucket=10)
+    cps = capped_sh.collect()
+    assert not [r for r in cps if r["id_a"] >= 1000 and r["id_b"] < 2000]

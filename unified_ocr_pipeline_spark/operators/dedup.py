@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import re as _re
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -163,6 +163,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.5,
+    max_band_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified on signature agreement.
 
@@ -175,6 +176,15 @@ def minhash_lsh_pairs(
     subtree twice. Persisted here — at petabyte scale you'd write the
     signature table out once and join against the stored copy, which is
     the same decision.
+
+    ``max_band_bucket`` guards the 100 TB flood hazard: a cluster of
+    near-identical documents collides in every band, making that band
+    bucket's self-join quadratic (10⁶ copies → 10¹² candidate pairs).
+    Buckets larger than the cap are dropped from the candidate join —
+    same posting-list pruning as ``ngram_jaccard_pairs``'s
+    ``max_shingle_df``; exact-duplicate floods belong to exact_dedup
+    upstream, not to the near-dup join. The count window partitions on
+    the join key, so no extra exchange.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -198,6 +208,12 @@ def minhash_lsh_pairs(
             )
         ).alias("b"),
     ).select("id", "sig", "b.band", "b.bh")
+
+    if max_band_bucket is not None:
+        bsz = F.count("*").over(Window.partitionBy("band", "bh"))
+        bands = bands.withColumn("_bsz", bsz).where(
+            F.col("_bsz") <= max_band_bucket
+        ).drop("_bsz")
 
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
@@ -276,13 +292,19 @@ def hamming32(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(
-    sig_df: DataFrame, max_hamming: int = 3, chunks: int = 4, bits: int = 32
+    sig_df: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 32,
+    max_chunk_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole on ``chunks`` bit-chunks (pairs
     within ``max_hamming ≤ chunks-1`` share ≥1 exact chunk), then verify
     the true hamming distance. ``sig_df`` is persisted — it feeds both
     sides of the chunk-collision self-join (same reasoning as
-    :func:`minhash_lsh_pairs`)."""
+    :func:`minhash_lsh_pairs`). ``max_chunk_bucket`` prunes flood buckets
+    (identical-hash clusters) before the quadratic self-join — see
+    :func:`minhash_lsh_pairs`."""
     from pyspark.storagelevel import StorageLevel
 
     sig_df = sig_df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -305,6 +327,11 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select("id", "simhash", "c.chunk", "c.cv")
+    if max_chunk_bucket is not None:
+        bsz = F.count("*").over(Window.partitionBy("chunk", "cv"))
+        chunked = chunked.withColumn("_bsz", bsz).where(
+            F.col("_bsz") <= max_chunk_bucket
+        ).drop("_bsz")
     l = chunked.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
     )
