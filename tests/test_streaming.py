@@ -163,3 +163,37 @@ def test_streaming_url_dedup_within_watermark(spark, tmp_path):
     urls = [r["url"] for r in got.select("url").collect()]
     assert len(urls) == len(set(urls))                 # no dup rows emitted
     assert set(urls) == {r["url"] for r in rows}       # every url exactly once
+
+
+def test_read_extracted_latest_across_epochs(spark, tmp_path):
+    """A url recrawled in a later micro-batch appears once per epoch in the
+    extracted table; the latest-view keeps exactly the newest row per url."""
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    rows = generate_pages_rows(40, seed=42)
+    _write_batch(pages_dir, rows, "b1")
+    pipe = ExtractionPipeline(spark, out, num_buckets=8, salt_factor=4)
+    run_available_now(spark, str(pages_dir), pipe, ckpt)
+
+    # recrawl 10 urls with a later warc_ts in a second micro-batch
+    recrawl = []
+    for r in rows[:10]:
+        r2 = dict(r)
+        r2["warc_ts"] = r2["warc_ts"].replace(year=2025)
+        recrawl.append(r2)
+    _write_batch(pages_dir, recrawl, "b2")
+    run_available_now(spark, str(pages_dir), pipe, ckpt)
+
+    full = pipe.read_extracted()
+    latest = pipe.read_extracted_latest()
+    n_urls = full.select("url").distinct().count()
+    assert full.count() == n_urls + 10          # recrawled urls twice
+    assert latest.count() == n_urls             # one row per url
+    recrawled = {r["url"] for r in recrawl}
+    got = {r["url"]: r["warc_ts"].year for r in
+           latest.select("url", "warc_ts").collect()}
+    for u in recrawled:
+        assert got[u] == 2025                   # newest epoch won

@@ -356,6 +356,23 @@ class ExtractionPipeline:
     def read_extracted(self) -> DataFrame:
         return self.spark.read.parquet(self.extracted_path)
 
+    def read_extracted_latest(self) -> DataFrame:
+        """Current-corpus view across epochs: one row per url — the latest
+        (epoch, warc_ts) wins. Within one epoch the pipeline already
+        deduped; across micro-batches a recrawled url legitimately appears
+        once per epoch, and readers usually want only the newest. The
+        window partitions by url (bucket is a function of url, so at scale
+        pre-partitioned reads keep this shuffle-local)."""
+        df = self.read_extracted()
+        w = Window.partitionBy("url").orderBy(
+            F.col("epoch").desc(), F.col("warc_ts").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     # -- maintenance -----------------------------------------------------------
     def compact_epoch(self, epoch: int = 0) -> int:
         """Iceberg-style small-file compaction for one epoch.
