@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Training-data curation over an extracted/documents table: dedup →
+quality gate → stratified balance → pack into context windows.
+
+Run:
+    spark-submit --py-files engine.zip examples/curate_job.py \
+        <documents_parquet> [cores]
+
+The input needs (doc_id, text, lang, source) columns — the driver
+testdata documents table shape. Stages:
+  1. exact dedup (hash groups, keep one per group)
+  2. MinHash-LSH near-dup pairs (flood-capped banding join) → drop the
+     higher doc_id of each pair
+  3. per-lang quality gate (keep the top half by Gopher-style score)
+  4. per-source stratified sample (balance the corpus)
+  5. concat-and-chunk packing into 4096-char context windows
+"""
+import sys
+
+from pyspark.sql import functions as F
+
+from unified_ocr_pipeline_spark.plans.session import get_spark
+from unified_ocr_pipeline_spark.functions import text as TX
+from unified_ocr_pipeline_spark.operators import dedup as DD
+from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+
+def main() -> None:
+    docs_path = sys.argv[1]
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    spark = get_spark(app_name="curate_job", cores=cores,
+                      shuffle_partitions=max(cores, 16))
+    d = spark.read.parquet(docs_path)
+    n0 = d.count()
+
+    # 1. exact dedup
+    keep = DD.exact_dedup_groups(d, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    d = d.join(keep, "doc_id", "left_semi")
+    n1 = d.count()
+
+    # 2. near-dup removal (LSH banding, flood-capped)
+    sigs = DD.minhash_signatures(d, "doc_id", "text", num_hashes=32)
+    pairs = DD.minhash_lsh_pairs(
+        sigs, num_hashes=32, num_bands=8, threshold=0.7, max_band_bucket=10_000
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    d = d.join(losers, "doc_id", "left_anti")
+    n2 = d.count()
+
+    # 3. quality gate: Gopher-style score, keep top half per lang
+    d = d.withColumn("q", TX.quality_score(F.col("text")))
+    d = SAMP.quantile_gate_per_group(d, ["lang"], "q", 0.5, tie_cols=["doc_id"])
+    n3 = d.count()
+
+    # 4. balance per source
+    d = SAMP.sample_per_group(d, ["source"], "doc_id", 1_000_000)
+    # 5. pack into context windows
+    packed = SAMP.pack_sequences(d, ["lang"], "doc_id", "n_chars", 4096)
+    windows = packed.agg(F.max("pack_window")).first()[0]
+
+    print(f"docs: raw={n0} exact_dedup={n1} near_dedup={n2} "
+          f"quality_gated={n3} windows<=?{windows}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
