@@ -1501,9 +1501,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_gate": """
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars,
-                     percent_rank() OVER (
-                       PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
-              FROM documents) WHERE pr >= 0.5
+                     cume_dist() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id) AS cd
+              FROM documents) WHERE cd > 0.5
         """,
         "pack_sequences": """
             SELECT doc_id, lang, n_chars,

@@ -50,15 +50,21 @@ def main() -> None:
     d = d.join(losers, "doc_id", "left_anti")
     n2 = d.count()
 
-    # 3. quality gate: Gopher-style score, keep top half per lang
+    # 3. quality gate: Gopher-style score, keep top half per lang.
+    # Persist here: everything above (exact-dedup join + MinHash UDF +
+    # LSH self-join) is the dominant cost and feeds three more actions.
     d = d.withColumn("q", TX.quality_score(F.col("text")))
-    d = SAMP.quantile_gate_per_group(d, ["lang"], "q", 0.5, tie_cols=["doc_id"])
+    d = SAMP.quantile_gate_per_group(
+        d, ["lang"], "q", 0.5, tie_cols=["doc_id"]
+    ).persist()
     n3 = d.count()
 
     # 4. balance per source
     d = SAMP.sample_per_group(d, ["source"], "doc_id", 1_000_000)
-    # 5. pack into context windows
-    packed = SAMP.pack_sequences(d, ["lang"], "doc_id", "n_chars", 4096)
+    # 5. pack into context windows (weight derived from the text itself —
+    # only (doc_id, text, lang, source) are required of the input)
+    d = d.withColumn("weight", F.length("text"))
+    packed = SAMP.pack_sequences(d, ["lang"], "doc_id", "weight", 4096)
     windows = packed.agg(F.max("pack_window")).first()[0]
 
     print(f"docs: raw={n0} exact_dedup={n1} near_dedup={n2} "

@@ -403,6 +403,22 @@ def test_quantile_gate_keeps_top_half(spark):
         assert r["lo"] >= med[r["lang"]] - 1
 
 
+def test_quantile_gate_keeps_single_row_groups(spark):
+    """A group's only row is trivially its own top half — the cume_dist
+    gate keeps it (a percent_rank>=q gate would silently drop it)."""
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    df = spark.createDataFrame(
+        [(1, "solo", 10), (2, "pair", 1), (3, "pair", 2)],
+        "doc_id long, lang string, n_chars long",
+    )
+    kept = SAMP.quantile_gate_per_group(
+        df, ["lang"], "n_chars", 0.5, tie_cols=["doc_id"]
+    ).collect()
+    got = {(r["lang"], r["doc_id"]) for r in kept}
+    assert got == {("solo", 1), ("pair", 3)}
+
+
 def test_vocab_topk_counts(spark):
     from unified_ocr_pipeline_spark.operators import sampling as SAMP
 

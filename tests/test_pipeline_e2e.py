@@ -210,3 +210,26 @@ def test_compact_epoch_preserves_content(spark, pages_path, tmp_path_factory):
     # manifests still valid → a resumed run skips every bucket
     res = pipe.run(pages_path)
     assert res.buckets_processed == 0 and res.buckets_skipped == len(after)
+
+
+def test_compact_epoch_recovers_stranded_stash(spark, pages_path, tmp_path_factory):
+    """Simulate a crash between the two swap renames (epoch only present
+    as the hidden .old stash): the next compact_epoch must restore and
+    recompact instead of reporting an empty epoch."""
+    import os
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("out") / "crash")
+    pipe = ExtractionPipeline(
+        spark, out, num_buckets=16, salt_factor=4, max_bytes=MAX_BYTES
+    )
+    pipe.run(pages_path)
+    before = pipe.read_extracted().where(F.col("epoch") == 0).count()
+
+    src = f"{out}/extracted/epoch=0"
+    os.rename(src, f"{out}/extracted/.old_epoch=0")   # the crash window
+    n_files = pipe.compact_epoch(0)
+    assert n_files > 0                                 # not "empty epoch"
+    after = pipe.read_extracted().where(F.col("epoch") == 0).count()
+    assert after == before
+    assert not os.path.exists(f"{out}/extracted/.old_epoch=0")

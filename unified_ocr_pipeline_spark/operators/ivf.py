@@ -60,10 +60,15 @@ def kmeans_train(
 
     rows = (
         df.select(F.col(vec_col).alias("v"))
+        # orderBy().limit() compiles to TakeOrderedAndProject: a per-
+        # partition top-K heap + driver merge, NOT a global sort-shuffle —
+        # deterministic and scale-safe
         .orderBy(F.xxhash64(F.col("v").cast("array<double>").cast("string")))
         .limit(sample_rows)
         .collect()
     )
+    if not rows:
+        raise ValueError("kmeans_train: input has no vectors")
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -79,12 +84,19 @@ def kmeans_train(
         )
         assign = d2.argmin(axis=1)
         new = np.empty_like(cents)
+        # reseed dead cells from DISTINCT farthest points (same point for
+        # two dead cells would leave them duplicated forever — argmin ties
+        # resolve to the lower index, permanently starving the other)
+        farthest = iter(np.argsort(-d2.min(axis=1)))
         for c in range(n_cells):
             members = X[assign == c]
             if len(members):
                 new[c] = members.mean(axis=0)
-            else:  # reseed dead cell from the globally farthest point
-                new[c] = X[d2.min(axis=1).argmax()]
+            else:
+                try:
+                    new[c] = X[next(farthest)]
+                except StopIteration:  # more dead cells than sample points
+                    new[c] = cents[c]
         if np.allclose(new, cents):
             cents = new
             break
@@ -139,12 +151,15 @@ def probe_cells(
     nprobe: int,
 ) -> DataFrame:
     """(qid, qv, cell) with ``nprobe`` rows per query: the cells whose
-    centroids are nearest to the query (ties broken by cell index)."""
+    centroids are nearest to the query (ties broken by cell index).
+    ``nprobe`` is clamped to the cell count — probing "all cells plus
+    headroom" degrades to exact search instead of crashing."""
     import numpy as np
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
+    nprobe = min(nprobe, len(C))
 
     in_df = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
 
@@ -207,19 +222,19 @@ def ivf_topk(
         .select("qid", "qv", "nid", "nv")
     )
 
-    # exact verify: one NumPy pass per Arrow batch (same pattern as
-    # similarity.cosine_near_dup_pairs)
+    # exact verify: one NumPy pass per Arrow batch — the shared kernel
+    # also used by similarity.cosine_near_dup_pairs (one zero-norm
+    # convention for both ANN paths)
+    from .similarity import np_cosine
+
     def verify(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             A = np.array(pdf["qv"].tolist(), dtype=np.float64)
             B = np.array(pdf["nv"].tolist(), dtype=np.float64)
-            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = np.where(denom > 0, (A * B).sum(axis=1) / denom, -1.0)
             yield pd.DataFrame(
-                {"qid": pdf["qid"], "nid": pdf["nid"], "sim": sim}
+                {"qid": pdf["qid"], "nid": pdf["nid"], "sim": np_cosine(A, B)}
             )
 
     id_type = corpus.schema[id_col].dataType.simpleString()

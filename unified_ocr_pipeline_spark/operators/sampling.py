@@ -59,9 +59,15 @@ def quantile_gate_per_group(
     min_quantile: float,
     tie_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Keep rows whose ``metric_col`` sits at or above the ``min_quantile``
-    percent-rank within their group — the per-language quality gate of a
-    curation pipeline (e.g. keep the top half by quality score per lang).
+    """Keep rows whose ``metric_col`` sits strictly above the
+    ``min_quantile`` cumulative-distribution point within their group —
+    the per-language quality gate of a curation pipeline (e.g. keep the
+    top half by quality score per lang).
+
+    ``cume_dist`` (fraction of group rows ≤ this row), not
+    ``percent_rank``: percent_rank is 0 for a single-row group, so a
+    ``>=`` gate would silently drop a group's only — trivially top-half —
+    row; cume_dist is 1.0 there and the row survives any quantile < 1.
 
     Exact, rank-based (no distribution assumptions), one window shuffle.
     ``tie_cols`` pins a total order so the gate is deterministic when
@@ -72,9 +78,9 @@ def quantile_gate_per_group(
     order = [F.col(metric_col)] + [F.col(c) for c in tie_cols]
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
-        df.withColumn("_pr", F.percent_rank().over(w))
-        .where(F.col("_pr") >= min_quantile)
-        .drop("_pr")
+        df.withColumn("_cd", F.cume_dist().over(w))
+        .where(F.col("_cd") > min_quantile)
+        .drop("_cd")
     )
 
 

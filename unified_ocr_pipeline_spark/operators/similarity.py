@@ -42,6 +42,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def np_cosine(A, B):
+    """Batched cosine over two (n, dim) float64 arrays with explicit
+    zero-norm handling (sim = -1, never a near-dup/neighbor) — the shared
+    exact-verify kernel for the LSH and IVF candidate re-rank stages."""
+    import numpy as np
+
+    denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, (A * B).sum(axis=1) / denom, -1.0)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -249,11 +260,7 @@ def cosine_near_dup_pairs(
                 continue
             A = np.array(pdf["va"].tolist(), dtype=np.float64)
             B = np.array(pdf["vb"].tolist(), dtype=np.float64)
-            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            # explicit zero-norm handling: sim = -1 (never a near-dup)
-            # instead of an accidental NaN + RuntimeWarning
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = np.where(denom > 0, (A * B).sum(axis=1) / denom, -1.0)
+            sim = np_cosine(A, B)
             keep = sim >= threshold
             yield pd.DataFrame(
                 {

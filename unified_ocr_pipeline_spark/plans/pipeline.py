@@ -384,7 +384,9 @@ class ExtractionPipeline:
         holds ONE file (`repartition("bucket")` → one task per bucket →
         one file), then swaps directories: old → `.old`, compacted →
         live, delete `.old`. A crash mid-swap leaves either the old or the
-        new directory intact under a recoverable name, never neither.
+        new directory intact under a recoverable name, never neither —
+        and the next `compact_epoch` call detects the stash and restores
+        or drops it automatically before recompacting.
 
         Content is untouched — manifests (bucket, row_count, content_hash)
         remain valid, which the compaction test asserts via the same
@@ -394,10 +396,20 @@ class ExtractionPipeline:
         spark = self.spark
         src = f"{self.extracted_path}/epoch={epoch}"
         tmp = f"{self.extracted_path}/.compact_epoch={epoch}"
+        old = f"{self.extracted_path}/.old_epoch={epoch}"
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(src).getFileSystem(conf)
+        # recover from a crash inside a PREVIOUS compaction's swap window:
+        # src missing + .old present → the stash was never swapped back;
+        # restore it (and retry compaction below). src present + .old
+        # present → crash after the swap, before cleanup → drop the stash.
+        if fs.exists(Path(old)):
+            if not fs.exists(Path(src)):
+                fs.rename(Path(old), Path(src))
+            else:
+                fs.delete(Path(old), True)
         if not fs.exists(Path(src)):
             return 0
 
@@ -408,8 +420,6 @@ class ExtractionPipeline:
             .partitionBy("bucket")
             .parquet(tmp)
         )
-        old = f"{self.extracted_path}/.old_epoch={epoch}"
-        fs.delete(Path(old), True)
         if not fs.rename(Path(src), Path(old)):
             raise IOError(f"compact: could not stash {src}")
         if not fs.rename(Path(tmp), Path(src)):
