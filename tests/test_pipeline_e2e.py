@@ -233,3 +233,25 @@ def test_compact_epoch_recovers_stranded_stash(spark, pages_path, tmp_path_facto
     after = pipe.read_extracted().where(F.col("epoch") == 0).count()
     assert after == before
     assert not os.path.exists(f"{out}/extracted/.old_epoch=0")
+
+
+def test_resume_adopts_epoch_bucket_numbering(spark, pages_path, tmp_path_factory):
+    """Bucket ids belong to the epoch: a resume on a differently-sized
+    cluster (different auto num_buckets) must adopt the manifest's
+    recorded numbering, or the anti-join would skip never-processed pages
+    (silent loss) and reprocess others under a conflicting layout."""
+    out = str(tmp_path_factory.mktemp("out") / "elastic")
+    pipe1 = ExtractionPipeline(
+        spark, out, num_buckets=16, salt_factor=4, max_bytes=MAX_BYTES
+    )
+    res1 = pipe1.run(pages_path)
+    assert res1.buckets_processed == 16
+
+    # "new cluster": same output dir, different bucket config
+    pipe2 = ExtractionPipeline(
+        spark, out, num_buckets=32, salt_factor=8, max_bytes=MAX_BYTES
+    )
+    res2 = pipe2.run(pages_path)          # resume=True default
+    assert (pipe2.num_buckets, pipe2.salt_factor) == (16, 4)  # adopted
+    assert res2.buckets_processed == 0 and res2.buckets_skipped == 16
+    assert pipe2.read_extracted().count() == res1.rows_written

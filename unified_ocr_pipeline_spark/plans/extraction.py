@@ -78,20 +78,10 @@ EXTRACTED_SCHEMA = T.StructType(
 
 
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], max_bytes: int, dedup_sorted: bool
+    batches: Iterator[pd.DataFrame], max_bytes: int
 ) -> Iterator[pd.DataFrame]:
-    # The iterator spans one whole input partition, so carrying the last-seen
-    # url across batches dedups the partition globally when the caller has
-    # sorted it by (url, warc_ts desc) — first occurrence = latest crawl.
-    prev_url: str | None = None
     for pdf in batches:
         t0 = time.perf_counter()
-        if dedup_sorted and len(pdf):
-            keep = pdf["url"].ne(pdf["url"].shift())
-            if prev_url is not None and len(pdf) and pdf["url"].iloc[0] == prev_url:
-                keep.iloc[0] = False
-            prev_url = pdf["url"].iloc[-1]
-            pdf = pdf[keep]
         n = len(pdf)
         if n == 0:
             continue
@@ -165,16 +155,15 @@ def _extract_batches(
 def extract_stage(
     df: DataFrame,
     max_bytes: int = D.DEFAULT_MAX_BYTES,
-    dedup_sorted: bool = False,
 ) -> DataFrame:
     """Apply the extraction kernel to a pages DataFrame.
 
     Input must have columns (url, warc_ts, html, text, lang, partition_id);
     output follows EXTRACTED_SCHEMA. Column pruning: everything except the
     needed input columns is dropped before the Python stage so only needed
-    bytes cross the Arrow boundary. With ``dedup_sorted=True`` the input
-    partition must be sorted by (url, warc_ts desc); consecutive repeats of
-    a url are skipped (exact dedup, latest crawl wins).
+    bytes cross the Arrow boundary. Url dedup is NOT this stage's job —
+    the pipeline dedups inside its bucket exchange (latest crawl wins),
+    where both versions of a url are guaranteed co-located.
 
     The size guard (X9) is pushed into the JVM projection: payloads above
     ``max_bytes`` are nulled BEFORE the Arrow transfer (only a 16-byte
@@ -191,7 +180,7 @@ def extract_stage(
         "url", "warc_ts", "html", "prefix", "raw_len", "text", "lang", "partition_id"
     )
     return pruned.mapInPandas(
-        lambda it: _extract_batches(it, max_bytes, dedup_sorted),
+        lambda it: _extract_batches(it, max_bytes),
         schema=EXTRACTED_SCHEMA,
     )
 

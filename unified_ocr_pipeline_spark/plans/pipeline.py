@@ -3,8 +3,8 @@ Arrow-batched extraction → bucketed write + manifests + lineage metrics.
 
 Scale design (BASELINE.json north_rule / SURVEY.md §4):
 
-- **Salted bucketing for skewed hosts.** ``bucket = (xxhash64(host) * S +
-  pmod(xxhash64(url), S)) mod N``: every host maps to S consecutive buckets
+- **Salted bucketing for skewed hosts.** ``bucket = pmod(xxhash64(host),
+  N/S) * S + pmod(xxhash64(url), S)``: every host maps to S consecutive buckets
   — host locality is preserved (politeness/cache affinity on a real
   cluster) while a heavy host (30%+ of a crawl) is split S ways instead of
   melting one partition. Uniform-hash would also kill skew but destroys
@@ -21,9 +21,10 @@ Scale design (BASELINE.json north_rule / SURVEY.md §4):
 - **Lineage metrics.** Per (bucket, partition_id): row counts, byte counts,
   status breakdown, stage wall time — aggregated from columns the
   extraction stage emits, no second pass over the data.
-- **Exact dedup by url** before extraction (dropDuplicates on the shuffle
-  key — partial aggregation map-side, no extra shuffle beyond the bucket
-  exchange).
+- **Exact dedup by url** (latest crawl wins) inside the single bucket
+  exchange: the window that lays rows out for the bucketed write also
+  sorts (url, warc_ts desc), so a lag-based first-row filter dedups with
+  no extra shuffle.
 """
 
 from __future__ import annotations
@@ -129,6 +130,39 @@ class ExtractionPipeline:
             return None
         return m.where(m.epoch == epoch).select("bucket").distinct()
 
+    def _adopt_epoch_bucketing(self, epoch: int) -> None:
+        """Bucket ids belong to the EPOCH, not the cluster: a resume on a
+        differently-sized cluster would re-derive a different auto
+        num_buckets, re-number every page's bucket, and the manifest
+        anti-join would then skip pages that were never processed under
+        the new numbering (silent loss). Manifest rows record the
+        (num_buckets, salt_factor) they were written with; a resuming run
+        adopts them. Rows from before these columns existed fall back to
+        the current config (documented caveat, pre-release tables only)."""
+        try:
+            m = self.spark.read.parquet(self.manifest_path)
+        except Exception:
+            return
+        if "num_buckets" not in m.columns:
+            return
+        rows = (
+            m.where(m.epoch == epoch)
+            .select("num_buckets", "salt_factor")
+            .distinct()
+            .collect()
+        )
+        if not rows:
+            return
+        if len(rows) > 1:
+            raise ValueError(
+                f"manifest for epoch {epoch} records conflicting bucket "
+                f"configs {sorted((r[0], r[1]) for r in rows)} — refusing "
+                "to resume"
+            )
+        recorded = (rows[0]["num_buckets"], rows[0]["salt_factor"])
+        if recorded != (self.num_buckets, self.salt_factor):
+            self.num_buckets, self.salt_factor = recorded
+
     def _clear_incomplete_buckets(self, epoch: int, skipped_df) -> None:
         """Delete output dirs of buckets NOT in the manifest for this epoch
         (those are exactly the buckets this run may rewrite).
@@ -199,6 +233,14 @@ class ExtractionPipeline:
 
             require_healthy(spark, pages_path)
 
+        # a compact_epoch killed mid-swap leaves this epoch stashed under a
+        # hidden dir Spark can't see; running on top of that state would
+        # rewrite only unmanifested buckets and then strand the stash —
+        # recover it BEFORE any read of the extracted table
+        self._recover_compaction_stash(epoch)
+        if resume:
+            self._adopt_epoch_bucketing(epoch)
+
         pages = spark.read.parquet(pages_path)
         pages = with_host(pages)
         pages = salted_bucket(pages, self.num_buckets, self.salt_factor)
@@ -215,6 +257,22 @@ class ExtractionPipeline:
         # no downstream stage (Arrow boundary OR shuffle disk) ever carries
         # bytes the kernel would discard.
         pages = gate_oversize(pages, self.max_bytes)
+
+        # P9 empty-batch short-circuit — also guards the read-back below:
+        # a partitioned append of 0 rows creates an extracted dir with no
+        # schema-bearing part file, which a first-ever run could not then
+        # re-read (AnalysisException) to build metrics.
+        if pages.isEmpty():
+            # still clear un-manifested partial dirs a crashed predecessor
+            # may have left — same contract as the full path below
+            self._clear_incomplete_buckets(epoch, skipped_df=done)
+            return RunResult(
+                run_id=run_id,
+                buckets_processed=0,
+                buckets_skipped=skipped,
+                rows_written=0,
+                wall_sec=time.perf_counter() - t0,
+            )
 
         # EXTRACT BEFORE THE SHUFFLE (narrow, on scan partitions). Raw
         # payloads never enter an exchange: shuffling binary blobs and then
@@ -321,7 +379,16 @@ class ExtractionPipeline:
         # the read-back scan+agg runs once, not once per dependent write
         # (measured ~40% of the non-scaling per-run overhead)
         metrics = metrics.persist()
-        metrics.write.mode("append").parquet(self.metrics_path)
+        # resume=False means THIS run owns the whole epoch (fresh run or a
+        # replayed micro-batch): dynamic partition overwrite replaces
+        # exactly this epoch's metrics/manifest rows, so a replay leaves
+        # ONE set of lineage rows instead of appending duplicates that
+        # double-count in per-epoch aggregations. resume=True appends —
+        # completed buckets kept their rows and only new ones are added.
+        lineage_mode = "append" if resume else "overwrite"
+        metrics.write.mode(lineage_mode).partitionBy("epoch").parquet(
+            self.metrics_path
+        )
 
         manifest = (
             metrics.groupBy("bucket")
@@ -334,8 +401,14 @@ class ExtractionPipeline:
             .withColumn("run_id", F.lit(run_id))
             .withColumn("epoch", F.lit(epoch))
             .withColumn("completed_at", F.current_timestamp())
+            # record the bucket numbering these manifests were computed
+            # under — _adopt_epoch_bucketing replays it on resume
+            .withColumn("num_buckets", F.lit(self.num_buckets))
+            .withColumn("salt_factor", F.lit(self.salt_factor))
         )
-        manifest.write.mode("append").parquet(self.manifest_path)
+        manifest.write.mode(lineage_mode).partitionBy("epoch").parquet(
+            self.manifest_path
+        )
 
         # bucket/row totals from the persisted per-bucket aggregation —
         # no extra scan of the manifest table
@@ -374,6 +447,29 @@ class ExtractionPipeline:
         )
 
     # -- maintenance -----------------------------------------------------------
+    def _fs(self, path: str):
+        """(Hadoop FileSystem, Path class) for a path — HDFS/S3A/local."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        return Path(path).getFileSystem(conf), Path
+
+    def _recover_compaction_stash(self, epoch: int) -> None:
+        """Recover from a compact_epoch killed inside its swap window:
+        epoch dir missing + ``.old`` stash present → the stash was never
+        swapped back; restore it. Both present → the swap completed but
+        cleanup didn't; drop the stash. Called by both ``run`` and
+        ``compact_epoch`` so no code path ever operates on a half-swapped
+        epoch."""
+        src = f"{self.extracted_path}/epoch={epoch}"
+        old = f"{self.extracted_path}/.old_epoch={epoch}"
+        fs, Path = self._fs(src)
+        if fs.exists(Path(old)):
+            if not fs.exists(Path(src)):
+                fs.rename(Path(old), Path(src))
+            else:
+                fs.delete(Path(old), True)
+
     def compact_epoch(self, epoch: int = 0) -> int:
         """Iceberg-style small-file compaction for one epoch.
 
@@ -397,22 +493,17 @@ class ExtractionPipeline:
         src = f"{self.extracted_path}/epoch={epoch}"
         tmp = f"{self.extracted_path}/.compact_epoch={epoch}"
         old = f"{self.extracted_path}/.old_epoch={epoch}"
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        Path = jvm.org.apache.hadoop.fs.Path
-        fs = Path(src).getFileSystem(conf)
-        # recover from a crash inside a PREVIOUS compaction's swap window:
-        # src missing + .old present → the stash was never swapped back;
-        # restore it (and retry compaction below). src present + .old
-        # present → crash after the swap, before cleanup → drop the stash.
-        if fs.exists(Path(old)):
-            if not fs.exists(Path(src)):
-                fs.rename(Path(old), Path(src))
-            else:
-                fs.delete(Path(old), True)
+        fs, Path = self._fs(src)
+        self._recover_compaction_stash(epoch)
         if not fs.exists(Path(src)):
             return 0
 
+        # a stale tmp from a crashed earlier attempt must not survive into
+        # the swap: with dynamic partition overwrite, mode("overwrite")
+        # only replaces the bucket partitions present in THIS df, so a
+        # bucket dir left over from the old attempt would otherwise be
+        # resurrected into the live epoch
+        fs.delete(Path(tmp), True)
         df = spark.read.parquet(src)  # bucket comes back as partition col
         (
             df.repartition("bucket")

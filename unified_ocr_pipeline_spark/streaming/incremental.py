@@ -63,11 +63,20 @@ def run_available_now(
         if batch_df.isEmpty():
             return
         n_batches["n"] += 1
-        # micro-batch rows → temp parquet → the batch pipeline (manifests
-        # make replayed batches idempotent at the bucket level)
+        # micro-batch rows → temp parquet → the batch pipeline. A replayed
+        # batch (crash after run, before the stream checkpoint committed)
+        # is idempotent because resume=False makes the run own its epoch:
+        # the epoch's bucket dirs are cleared and rewritten, and the
+        # lineage (metrics/manifest) writes dynamically overwrite that
+        # epoch's partition instead of appending a duplicate row set.
         staging = f"{checkpoint_dir}/staging/epoch={epoch_id}"
         batch_df.write.mode("overwrite").parquet(staging)
         pipeline.run(staging, resume=False, epoch=int(epoch_id))
+        # the staged copy of the raw input (html payloads included) has
+        # served its purpose — without this, long-running ingest
+        # accumulates a second full copy of the crawl under staging/
+        fs, Path = pipeline._fs(staging)
+        fs.delete(Path(staging), True)
 
     q = (
         stream.writeStream.foreachBatch(_process)
@@ -87,17 +96,24 @@ def streaming_url_dedup(
     watermark: str = "2 hours",
     max_files_per_trigger: int = 64,
 ):
-    """Streaming exact-dedup by url within an event-time watermark:
+    """Streaming ARRIVAL dedup by url within an event-time watermark:
     ``dropDuplicatesWithinWatermark`` keeps the FIRST record seen per url
     and evicts each url's dedup state once the watermark passes its event
     time — bounded state, unlike a plain ``dropDuplicates`` whose state
     grows with every url ever seen (a non-starter on an endless crawl).
 
+    First-arrival-wins makes this a guard against at-least-once transport
+    redeliveries (the same crawl record delivered twice), NOT a crawl
+    version selector: a genuine recrawl of a url arriving within the
+    watermark is dropped too. Recrawl selection (latest warc_ts wins)
+    belongs downstream — the batch pipeline's window dedup and
+    ``read_extracted_latest`` — where both versions are visible. Use a
+    watermark no longer than the transport's redelivery horizon so real
+    recrawls fall outside it.
+
     Reference analog: the existing-output duplicate check
     (unified_ocr_pipeline.py:249-271) — same effect, but as a stateful
-    streaming operator instead of a filesystem probe. Complements the
-    batch pipeline's latest-crawl-wins window dedup: the streaming form
-    dedups *within* the ingest stream before the batch semantics apply.
+    streaming operator instead of a filesystem probe.
 
     Appends deduped rows to ``out_dir`` (parquet) exactly-once via the
     checkpoint. Returns the started StreamingQuery.

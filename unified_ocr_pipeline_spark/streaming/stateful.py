@@ -114,7 +114,11 @@ def host_session_stats(
         F.octet_length(F.coalesce("html", F.lit(b""))).cast("long").alias(
             "raw_bytes"
         ),
-    )
+        # a null warc_ts would reach the fold as NaN (nullable long →
+        # float64 across Arrow) and int(NaN) raises — a poison-pill row
+        # the checkpoint would replay forever. No event time → no place
+        # in a session; drop at the source.
+    ).where(F.col("ms").isNotNull())
 
     def fold(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
         return _session_fold(key, pdfs, state, gap_ms)
