@@ -1013,8 +1013,8 @@ def _grade_case_sql(text: str = "text", conf: str = "conf") -> str:
     ind = "(" + " OR ".join(
         f"position('{k}' IN lower({text})) > 0" for k in _PO_INDICATOR_KEYWORDS
     ) + ")"
-    tlen = f"length(trim({text}))"
-    has_num = f"regexp_matches({text}, '[0-9]')"
+    tlen = rf"length(regexp_replace({text}, '^\s+|\s+$', '', 'g'))"
+    has_num = rf"regexp_matches({text}, '\p{{Nd}}')"
     return f"""CASE
         WHEN {tlen} = 0 THEN 'FAILED'
         WHEN {conf} > 80 AND {ind} AND {tlen} > 50 THEN 'EXCELLENT'
@@ -1115,8 +1115,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": rf"""
             SELECT doc_id,
-                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS ws_tokens,
+                   CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS INT) AS ws_tokens,
                    CAST(len(regexp_extract_all(text, '{_BPE}')) AS INT) AS bpe_tokens
             FROM documents
         """,
@@ -1135,8 +1135,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": rf"""
             WITH s AS (
               SELECT doc_id,
-                     CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tok,
                      len(regexp_extract_all(text, '[^\w\s]')) * 1.0
                         / greatest(length(text), 1) AS noise,
                      len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS stop_hits
@@ -1149,7 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": r"""
             SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                   md5(regexp_replace(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+', ' ', 'g')) AS fp
             FROM documents
         """,
         "exact_dedup": """
@@ -1430,8 +1430,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": r"""
             WITH w AS (
               SELECT doc_id,
-                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws,
                      len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS syms
               FROM documents),
             s AS (

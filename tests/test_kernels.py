@@ -192,3 +192,51 @@ def test_process_document_oversize_guard():
     res = D.process_document("u", b"%PDF" + b"x" * 100, None, max_bytes=50)
     assert res.status == D.STATUS_OVERSIZE
     assert res.extracted_text == ""
+
+
+# --------------------------------------------------------------------------
+# round-2 self-review regressions
+# --------------------------------------------------------------------------
+
+def test_unclosed_anchor_does_not_poison_later_blocks():
+    from unified_ocr_pipeline_spark.kernels.html_extract import extract_main_text
+
+    broken = ("<html><body><p><a href=x>home</p>"
+              "<p>" + "long article text " * 20 + "</p></body></html>")
+    text, _ = extract_main_text(broken)
+    assert "long article text" in text
+
+
+def test_truncated_payload_falls_back_to_lenient():
+    from unified_ocr_pipeline_spark.kernels import pdf_layout as P
+
+    truncated = b"%PDF-SYN1\nP 1\nB 10 0\nPURCHASE ORDER 4512345678"
+    pages, _counts, backend = P.parse_with_backend(truncated)
+    assert backend == "syn-lenient"
+    assert "PURCHASE ORDER 4512345678" in pages[0]
+
+
+def test_lenient_counts_image_inside_unterminated_block():
+    from unified_ocr_pipeline_spark.kernels import pdf_layout as P
+
+    payload = b"%PDF-SYN1\nP 1\nB 10 0\ntext line\nI 5 3 1000\nE"
+    pages, counts = P.parse_pages_lenient_with_images(payload)
+    assert counts == [1]
+    assert "I 5 3 1000" not in pages[0]
+
+
+def test_render_pages_refuses_structural_collision():
+    import pytest
+    from unified_ocr_pipeline_spark.kernels import pdf_layout as P
+
+    with pytest.raises(ValueError):
+        P.render_pages([[(10, 0, "COL A\nE\nCOL B")]])
+
+
+def test_empty_main_html_reports_zero_pages():
+    from unified_ocr_pipeline_spark.kernels import document as D
+
+    nav_only = b"<html><body><nav><a href=x>a b c d e f g h</a></nav></body></html>"
+    r = D.process_document("http://x/", nav_only, None)
+    assert r.status == D.STATUS_EMPTY
+    assert r.total_pages == 0 and r.po_page_count == 0

@@ -211,3 +211,26 @@ def test_quality_grade_col_on_spark(spark):
     }
     for i, text, conf in rows:
         assert out[i] == Q.assess_ocr_quality(text, conf), (i, out[i])
+
+
+def test_grade_col_matches_kernel_on_whitespace_padding(spark):
+    """F.trim strips only spaces — the Column grade must use a \\s trim so
+    newline-padded text lands in the same length bucket as the Python
+    kernel (str.strip)."""
+    from pyspark.sql import functions as F
+    from unified_ocr_pipeline_spark.kernels import quality as Q
+
+    rows = [
+        (1, "x" * 20 + "\n" * 10, 50.0),   # strip len 20 → POOR, not FAIR
+        (2, "\t" + "y" * 25 + "  \n", 50.0),
+        (3, "vendor 123 " * 6, 70.0),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string, conf double")
+    got = {
+        r["i"]: r["g"]
+        for r in df.select(
+            "i", Q.quality_grade_col(F.col("text"), F.col("conf")).alias("g")
+        ).collect()
+    }
+    for i, text, conf in rows:
+        assert got[i] == Q.assess_ocr_quality(text, conf), (i, got[i])

@@ -29,9 +29,16 @@ STOPWORDS = {
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def ws_trim(text: Column) -> Column:
+    """Strip leading/trailing WHITESPACE (\\s), not just spaces — F.trim
+    removes only ' ', so '\\tword' would split into a phantom empty first
+    token and every downstream count/ratio would be off by one."""
+    return F.regexp_replace(text, r"^\s+|\s+$", "")
+
+
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count (empty string → 0)."""
-    t = F.trim(text)
+    """Whitespace token count (empty/whitespace-only string → 0)."""
+    t = ws_trim(text)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
@@ -102,7 +109,7 @@ def quality_score(text: Column) -> Column:
 
 
 def words_of(text: Column) -> Column:
-    t = F.trim(text)
+    t = ws_trim(text)
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -169,5 +176,5 @@ def gopher_keep(text: Column, max_dup_frac: float = 0.3,
 def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint over whitespace-normalized,
     lower-cased text (md5 — same function exists in DuckDB)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(ws_trim(text)), r"\s+", " ")
     return F.md5(norm)

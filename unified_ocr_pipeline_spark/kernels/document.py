@@ -136,6 +136,12 @@ def _paged_result(
 def _html_result(url: str, html_bytes: bytes) -> DocumentResult:
     html_text = html_bytes.decode("utf-8", errors="replace")
     main_text, offsets = html_extract.extract_main_text(html_text)
+    if not main_text:
+        # boilerplate-only page: report it like every other empty document
+        # (0 pages, empty fields) — a phantom total_pages=1/po_page_count=1
+        # row would inflate corpus page aggregates relative to empty
+        # PDF/text docs
+        return _empty_result(url, sniff.HTML, STATUS_EMPTY)
     pages = [main_text]  # HTML doc = one logical page of main content
     is_po = classify_pages(pages)
     po_number = F.find_po_number(pages)
@@ -150,7 +156,7 @@ def _html_result(url: str, html_bytes: bytes) -> DocumentResult:
     return DocumentResult(
         url=url,
         content_type=sniff.HTML,
-        status=STATUS_OK if main_text else STATUS_EMPTY,
+        status=STATUS_OK,
         total_pages=1,
         po_page_count=sum(is_po),
         router_page_count=1 - sum(is_po),
@@ -200,8 +206,9 @@ def process_document(
     is absent/unsniffable — the reference's text-layer fast path, :146).
     """
     if payload is not None and len(payload) > max_bytes:
-        # X9 size guard: oversized rows are quarantined, never parsed.
-        return _empty_result(url, sniff.sniff_content_type(payload[:16]), STATUS_OVERSIZE)
+        # X9 size guard: oversized rows are quarantined, never parsed —
+        # same record the JVM-side gate produces (plans/extraction.py)
+        return oversize_result(url, payload[:16])
 
     ctype = sniff.sniff_content_type(payload)
 

@@ -103,6 +103,11 @@ class _BlockParser(HTMLParser):
             return
         if tag in _BLOCK_TAGS:
             self._flush()
+            # anchor scope is clamped to the block: crawl HTML routinely
+            # omits </a>, and HTMLParser never synthesizes end tags — an
+            # unclosed anchor would otherwise mark EVERY later block as
+            # pure link text and the whole page would extract empty
+            self._anchor_depth = 0
         if tag in _BOILER_TAGS:
             self._boiler_depth += 1
         if tag == "a":

@@ -79,6 +79,8 @@ def parse_pages_with_images(payload: bytes) -> Tuple[List[str], List[int]]:
             pages.setdefault(cur_page, [])
             images.setdefault(cur_page, 0)
         elif head == "B ":
+            if cur_page is None:
+                raise ValueError("block record outside any page")
             parts = line[2:].split()
             cur_yx = (int(parts[0]), int(parts[1]))
             cur_block = []
@@ -89,6 +91,13 @@ def parse_pages_with_images(payload: bytes) -> Tuple[List[str], List[int]]:
             int(parts[0]), int(parts[1]), int(parts[2])  # validate shape
             images[cur_page] += 1
         # stray non-structural lines outside any block are ignored
+
+    if cur_block is not None:
+        # a truncated payload (crash mid-write, corruption) must FAIL the
+        # strict parse so parse_with_backend engages the lenient fallback —
+        # silently dropping the unterminated block would emit STATUS_OK
+        # with the tail text lost
+        raise ValueError("unterminated block at end of payload")
 
     out: List[str] = []
     counts: List[int] = []
@@ -104,6 +113,17 @@ def parse_pages_with_images(payload: bytes) -> Tuple[List[str], List[int]]:
 def parse_pages(payload: bytes) -> List[str]:
     """Text-only strict parse (see :func:`parse_pages_with_images`)."""
     return parse_pages_with_images(payload)[0]
+
+
+def _is_image_record(line: str) -> bool:
+    parts = line[2:].split()
+    if len(parts) != 3:
+        return False
+    try:
+        [int(p) for p in parts]
+        return True
+    except ValueError:
+        return False
 
 
 def parse_pages_lenient_with_images(payload: bytes) -> Tuple[List[str], List[int]]:
@@ -135,7 +155,11 @@ def parse_pages_lenient_with_images(payload: bytes) -> Tuple[List[str], List[int
             in_block = False
         elif line.startswith("B ") or line == "B":
             in_block = True
-        elif line.startswith("I ") and not in_block:
+        elif line.startswith("I ") and _is_image_record(line):
+            # a structural record closes an unterminated block (documented
+            # degraded-mode rule) — an I line inside a block missing its E
+            # is counted, not swallowed into the block's text
+            in_block = False
             if counts:
                 counts[-1] += 1
         elif line == "E":
@@ -180,13 +204,24 @@ def render_pages(
 
     Used only by the fixture generator (blocks are emitted in the order
     given — callers shuffle them to exercise the reading-order sort).
+
+    The line format has no escaping: a text line spelled exactly ``E`` (or
+    shaped like a ``B``/``P``/``I`` record) would parse as structure and
+    silently corrupt the round-trip — refuse to render it rather than
+    emit a payload whose parse differs from the input.
     """
     lines: List[str] = [MAGIC.decode()]
     for i, blocks in enumerate(pages, start=1):
         lines.append(f"P {i}")
         for y, x, block_text in blocks:
             lines.append(f"B {y} {x}")
-            lines.extend(block_text.split("\n"))
+            for text_line in block_text.split("\n"):
+                if text_line == "E" or text_line[:2] in ("B ", "P ", "I "):
+                    raise ValueError(
+                        f"text line collides with a structural record: "
+                        f"{text_line!r}"
+                    )
+                lines.append(text_line)
             lines.append("E")
         if images and i - 1 < len(images):
             for y, x, n_bytes in images[i - 1]:

@@ -186,16 +186,22 @@ def quality_gated_extract(
 def quality_grade_col(text, confidence):
     """F21 as a Catalyst expression (whole-stage-codegen friendly): same
     thresholds/keywords as :func:`assess_ocr_quality`. ``text`` and
-    ``confidence`` are Columns."""
+    ``confidence`` are Columns.
+
+    Parity notes vs the Python kernel: ``str.strip()`` → a ``\\s`` regexp
+    trim (F.trim strips only spaces, so a trailing newline would move a
+    text across a length threshold); ``str.isdigit()`` → ``\\p{Nd}``
+    (Unicode decimal digits — isdigit additionally accepts a handful of
+    No-category characters like superscripts, accepted divergence)."""
     from pyspark.sql import functions as F
 
-    trimmed_len = F.length(F.trim(text))
+    trimmed_len = F.length(F.regexp_replace(text, r"^\s+|\s+$", ""))
     lower = F.lower(text)
     has_ind = None
     for k in _PO_INDICATOR_KEYWORDS:
         term = F.instr(lower, F.lit(k)) > 0
         has_ind = term if has_ind is None else (has_ind | term)
-    has_num = text.rlike("[0-9]")
+    has_num = text.rlike(r"\p{Nd}")
     return (
         F.when(trimmed_len == 0, GRADE_FAILED)
         .when(
