@@ -25,7 +25,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+from unified_ocr_pipeline_spark.functions import pii as PII  # noqa: E402
 from unified_ocr_pipeline_spark.functions import text as TX  # noqa: E402
+from unified_ocr_pipeline_spark.functions import url as URL  # noqa: E402
+from unified_ocr_pipeline_spark.operators import diff as DIFF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import asof as ASOF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import dedup as DD  # noqa: E402
 from unified_ocr_pipeline_spark.operators import ivf as IVF  # noqa: E402
@@ -764,6 +767,114 @@ def _q_multimodal_meta(spark, sf):
     return MM.extract_media_metadata(media)
 
 
+# --- curation operators: URL canonicalization / PII / repetition / CDC ----
+# The documents/events tables carry no urls or PII, so these queries
+# synthesize their inputs deterministically from doc_id — the DuckDB oracle
+# rebuilds the identical strings, so the check still pins every output byte.
+
+
+def _q_url_canon(spark, sf):
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example.COM:80/Docs/"), sid,
+                F.lit("?utm_source=feed&id="), sid, F.lit("&utm_campaign=x#sec"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://User:Pw@Sub.Example.org:8443/p/"), sid,
+                F.lit("?gclid=abc&q=spark"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("http://news.site"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".net/a/"), sid, F.lit("?ref=rss"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("not a url "), sid))
+    )
+    d = d.select("doc_id", raw.alias("raw_url"))
+    host = URL.host_of(F.col("raw_url"))
+    return d.select(
+        "doc_id",
+        "raw_url",
+        URL.canonicalize_url(F.col("raw_url")).alias("canon_url"),
+        host.alias("host"),
+        URL.registered_domain(host).alias("domain"),
+    )
+
+
+def _q_pii_redact(spark, sf):
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    sid = k.cast("string")
+    email = F.when(
+        k % 2 == 0,
+        F.concat(F.lit(" reach User"), sid, F.lit("@Mail.Example.COM now")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit(" call "),
+            F.format_string(
+                "%02d-%03d-%03d-%04d",
+                k % 90 + 10, k % 900 + 100, (k * 7) % 900 + 100, k % 9000 + 1000,
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        k % 5 == 0,
+        F.concat(
+            F.lit(" from 10."), (k % 256).cast("string"), F.lit("."),
+            (F.floor(k / 3).cast("long") % 256).cast("string"), F.lit(".7"),
+        ),
+    ).otherwise(F.lit(""))
+    raw = F.concat(F.lit("doc "), sid, F.lit(" v1.2 ok"), email, phone, ip)
+    d = d.select("doc_id", raw.alias("t"))
+    n_email, n_phone, n_ip = PII.pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        PII.redact_pii(F.col("t")).alias("redacted"),
+        n_email.cast("int").alias("n_email"),
+        n_phone.cast("int").alias("n_phone"),
+        n_ip.cast("int").alias("n_ip"),
+    )
+
+
+def _q_repetition_collapse(spark, sf):
+    d = _t(spark, sf, "documents")
+    runs = TX.collapse_token_runs(F.col("text"))
+    dist = TX.distinct_token_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.ws_token_count(F.col("text")).alias("n_tokens"),
+        TX.ws_token_count(runs).alias("n_run_tokens"),
+        F.substring(runs, 1, 60).alias("runs_prefix"),
+        F.size(F.array_distinct(TX.words_of(F.col("text")))).alias("n_distinct"),
+        F.substring(dist, 1, 60).alias("distinct_prefix"),
+    )
+
+
+def _q_snapshot_diff(spark, sf):
+    """CDC diff between two crawl 'snapshots' (first vs second half of the
+    events stream): per-user behavioral fingerprint compared across a
+    full-outer join (operators/diff.py)."""
+    ev = _t(spark, sf, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    fp = F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+    old = ev.where(F.col("ts") < cut).groupBy("user_id").agg(fp.alias("fp"))
+    new = ev.where(F.col("ts") >= cut).groupBy("user_id").agg(fp.alias("fp"))
+    return DIFF.snapshot_diff(old, new, ["user_id"], "fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -817,6 +928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_quality_grades": _q_ocr_quality_grades,
         "strategy_routing": _q_strategy_routing,
         "ai_normalizer": _q_ai_normalizer,
+        "url_canon": _q_url_canon,
+        "pii_redact": _q_pii_redact,
+        "repetition_collapse": _q_repetition_collapse,
+        "snapshot_diff": _q_snapshot_diff,
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
     }
@@ -1099,6 +1214,145 @@ _STOP_EN = r"\b(the|a|an|of|to|in|and|is)\b"
 _STOP_DE = r"\b(der|die|das|und|ist|ein|zu|mit)\b"
 _STOP_FR = r"\b(le|la|les|et|est|un|une|dans)\b"
 _BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _url_canon_oracle() -> str:
+    """Replays functions/url.py regex-for-regex (Java∩RE2 dialect)."""
+    from unified_ocr_pipeline_spark.functions.url import TRACKING_PARAM_REGEX
+
+    return rf"""
+        WITH raw AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Docs/' || doc_id
+                          || '?utm_source=feed&id=' || doc_id || '&utm_campaign=x#sec'
+              WHEN 1 THEN 'https://User:Pw@Sub.Example.org:8443/p/' || doc_id
+                          || '?gclid=abc&q=spark'
+              WHEN 2 THEN 'http://news.site' || (doc_id % 7) || '.net/a/' || doc_id
+                          || '?ref=rss'
+              ELSE 'not a url ' || doc_id END AS raw_url
+          FROM documents),
+        comp AS (
+          SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*', '') AS nofrag
+          FROM raw),
+        comp2 AS (
+          SELECT doc_id, raw_url,
+            lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(lower(regexp_extract(nofrag,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', '') AS hostport,
+            regexp_extract(nofrag,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+            regexp_extract(nofrag, '\?(.*)$', 1) AS q
+          FROM comp),
+        comp3 AS (
+          SELECT doc_id, raw_url, scheme, path,
+                 regexp_replace(hostport, ':\d+$', '') AS host,
+                 regexp_extract(hostport, ':(\d+)$', 1) AS port,
+                 list_filter(str_split(q, '&'),
+                     p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_REGEX}'))
+                   AS params
+          FROM comp2)
+        SELECT doc_id, raw_url,
+          CASE WHEN scheme = '' OR host = '' THEN '' ELSE
+            scheme || '://' || regexp_replace(host, '^www\.', '')
+            || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                             OR (scheme = 'https' AND port = '443'))
+                    THEN ':' || port ELSE '' END
+            || path
+            || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                    ELSE '' END
+          END AS canon_url,
+          host,
+          regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        FROM comp3
+    """
+
+
+def _pii_oracle() -> str:
+    """Replays functions/pii.py with the SAME frozen patterns; counts come
+    from the raw text, redaction order EMAIL -> PHONE -> IPV4."""
+    from unified_ocr_pipeline_spark.functions.pii import (
+        EMAIL_REGEX,
+        IPV4_REGEX,
+        PHONE_REGEX,
+    )
+
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+            'doc ' || doc_id || ' v1.2 ok'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN ' reach User' || doc_id || '@Mail.Example.COM now'
+                    ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' call ' || printf('%02d-%03d-%03d-%04d',
+                         doc_id % 90 + 10, doc_id % 900 + 100,
+                         (doc_id * 7) % 900 + 100, doc_id % 9000 + 1000)
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' from 10.' || (doc_id % 256) || '.'
+                         || ((doc_id // 3) % 256) || '.7'
+                    ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(t,
+              '{EMAIL_REGEX}', '[EMAIL]', 'g'),
+              '{PHONE_REGEX}', '[PHONE]', 'g'),
+              '{IPV4_REGEX}', '[IP]', 'g') AS redacted,
+          CAST(len(regexp_extract_all(t, '{EMAIL_REGEX}')) AS INT) AS n_email,
+          CAST(len(regexp_extract_all(t, '{PHONE_REGEX}')) AS INT) AS n_phone,
+          CAST(len(regexp_extract_all(t, '{IPV4_REGEX}')) AS INT) AS n_ip
+        FROM raw
+    """
+
+
+# repetition_collapse: Spark array_distinct keeps first-occurrence order;
+# DuckDB list_distinct does NOT guarantee order, so the oracle rebuilds both
+# variants from ordinals (run-collapse: token != predecessor; distinct:
+# list_position == own ordinal).
+_REPETITION_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws
+      FROM documents),
+    r AS (
+      SELECT doc_id, ws,
+        list_transform(list_filter(
+            list_transform(range(1, len(ws) + 1), i -> {'w': ws[i], 'i': i}),
+            s -> s.i = 1 OR ws[s.i - 1] <> s.w), s -> s.w) AS runs,
+        list_transform(list_filter(
+            list_transform(range(1, len(ws) + 1), i -> {'w': ws[i], 'i': i}),
+            s -> list_position(ws, s.w) = s.i), s -> s.w) AS dist
+      FROM w)
+    SELECT doc_id,
+      CAST(len(ws) AS INT) AS n_tokens,
+      CAST(len(runs) AS INT) AS n_run_tokens,
+      substr(array_to_string(runs, ' '), 1, 60) AS runs_prefix,
+      CAST(len(dist) AS INT) AS n_distinct,
+      substr(array_to_string(dist, ' '), 1, 60) AS distinct_prefix
+    FROM r
+"""
+
+_SNAPSHOT_DIFF_ORACLE = """
+    WITH o AS (
+      SELECT user_id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS fp
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id),
+    n AS (
+      SELECT user_id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS fp
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id)
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           o.fp AS fp_old, n.fp AS fp_new
+    FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1545,6 +1799,10 @@ def oracle_sql() -> dict[str, str]:
                             THEN length(text) ELSE 0 END) AS BIGINT) AS chars
             FROM documents GROUP BY 1, 2
         """,
+        "url_canon": _url_canon_oracle(),
+        "pii_redact": _pii_oracle(),
+        "repetition_collapse": _REPETITION_ORACLE,
+        "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         # multimodal_meta: the deterministic stub decoder's math replayed in
         # SQL — utf-8 byte length, magic-byte format sniff (PNG/JPEG magic
         # bytes cannot lead a utf-8 string; RIFF can), sha256-derived pseudo

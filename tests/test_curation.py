@@ -1,0 +1,181 @@
+"""Unit tests for the crawl-curation kernels added in round 2: URL
+canonicalization, PII redaction, repetition collapse, and the CDC-style
+snapshot diff. Each also has a driver-facing query + DuckDB oracle in
+``__spark_entry__`` — these tests pin the kernel semantics on hand-written
+edge cases the synthetic tables don't cover."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unified_ocr_pipeline_spark.functions import pii as PII
+from unified_ocr_pipeline_spark.functions import text as TX
+from unified_ocr_pipeline_spark.functions import url as URL
+from unified_ocr_pipeline_spark.operators.diff import snapshot_diff
+
+
+def _one_col(spark, values, name="v"):
+    return spark.createDataFrame([(v,) for v in values], [name])
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+URL_CASES = [
+    # (raw, canon, host, domain)
+    (
+        "HTTP://WWW.Example.COM:80/Docs/A?utm_source=x&id=7&utm_campaign=y#frag",
+        "http://example.com/Docs/A?id=7",
+        "www.example.com",
+        "example.com",
+    ),
+    (
+        "https://User:Pw@Sub.Example.org:8443/p?gclid=1&q=spark",
+        "https://sub.example.org:8443/p?q=spark",
+        "sub.example.org",
+        "example.org",
+    ),
+    # https default port dropped; tracking-only query drops the '?'
+    ("https://A.B.net:443/x?ref=rss", "https://a.b.net/x", "a.b.net", "b.net"),
+    # no path, no query, fragment only
+    ("http://example.com#top", "http://example.com", "example.com", "example.com"),
+    # param order preserved; unknown params kept verbatim (incl. case)
+    (
+        "http://h.io/p?b=2&utm_x=1&A=1",
+        "http://h.io/p?b=2&A=1",
+        "h.io",
+        "h.io",
+    ),
+    # malformed → '' canon, '' host
+    ("not a url at all", "", "", ""),
+    ("/relative/path?id=1", "", "", ""),
+]
+
+
+def test_canonicalize_url_golden(spark):
+    df = _one_col(spark, [c[0] for c in URL_CASES], "u")
+    host = URL.host_of(F.col("u"))
+    got = df.select(
+        URL.canonicalize_url(F.col("u")).alias("c"),
+        host.alias("h"),
+        URL.registered_domain(host).alias("d"),
+    ).collect()
+    for (raw, canon, h, d), row in zip(URL_CASES, got):
+        assert row["c"] == canon, raw
+        assert row["h"] == h, raw
+        assert row["d"] == d, raw
+
+
+def test_canonicalize_is_idempotent(spark):
+    df = _one_col(spark, [c[0] for c in URL_CASES if c[1]], "u")
+    once = df.select(URL.canonicalize_url(F.col("u")).alias("u"))
+    twice = once.select(URL.canonicalize_url(F.col("u")).alias("u"))
+    assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_all_kinds(spark):
+    text = (
+        "mail a.b+c@ex-1.co.uk or x@y.io, call 25-989-741-2988, "
+        "host 192.168.0.1 ok; version 1.2 and 1.2.3 stay"
+    )
+    df = _one_col(spark, [text], "t")
+    n_e, n_p, n_i = PII.pii_counts(F.col("t"))
+    row = df.select(
+        PII.redact_pii(F.col("t")).alias("r"), n_e.alias("e"),
+        n_p.alias("p"), n_i.alias("i"),
+    ).collect()[0]
+    assert row["e"] == 2 and row["p"] == 1 and row["i"] == 1
+    assert row["r"] == (
+        "mail [EMAIL] or [EMAIL], call [PHONE], "
+        "host [IP] ok; version 1.2 and 1.2.3 stay"
+    )
+
+
+def test_redact_pii_no_false_positives(spark):
+    clean = "totals 10-20 and 1.5% at row 3.4.5 weight 12-345-678"
+    row = _one_col(spark, [clean], "t").select(
+        PII.redact_pii(F.col("t")).alias("r")
+    ).collect()[0]
+    assert row["r"] == clean
+
+
+# ---------------------------------------------------------------------------
+# repetition collapse
+# ---------------------------------------------------------------------------
+
+
+def _py_collapse_runs(s: str) -> str:
+    out = []
+    for w in s.split():
+        if not out or out[-1] != w:
+            out.append(w)
+    return " ".join(out)
+
+
+def _py_distinct(s: str) -> str:
+    seen, out = set(), []
+    for w in s.split():
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return " ".join(out)
+
+
+def test_collapse_matches_python_reference(spark):
+    cases = [
+        "batch batch batch stream spark spark window",
+        "a b a b a b",
+        "x",
+        "",
+        "  padded   run run  ",
+        "one two two two one",
+    ]
+    df = _one_col(spark, cases, "t")
+    got = df.select(
+        TX.collapse_token_runs(F.col("t")).alias("runs"),
+        TX.distinct_token_text(F.col("t")).alias("dist"),
+    ).collect()
+    for s, row in zip(cases, got):
+        assert row["runs"] == _py_collapse_runs(s), repr(s)
+        assert row["dist"] == _py_distinct(s), repr(s)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], ["url", "fingerprint"]
+    )
+    new = spark.createDataFrame(
+        [("u2", "h2"), ("u3", "hX"), ("u4", "h4")], ["url", "fingerprint"]
+    )
+    got = {
+        r["url"]: r["change"]
+        for r in snapshot_diff(old, new, ["url"]).collect()
+    }
+    assert got == {
+        "u1": "removed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+    }
+
+
+def test_snapshot_diff_is_jvm_only(spark):
+    old = spark.range(10).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    new = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    plan = snapshot_diff(old, new, ["k"], "fp")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -173,6 +173,30 @@ def gopher_keep(text: Column, max_dup_frac: float = 0.3,
     )
 
 
+def collapse_token_runs(text: Column) -> Column:
+    """Remove CONSECUTIVE repeated tokens ("batch batch batch" → "batch") —
+    the classic crawl-text repetition scrub. Pure higher-order array lambda
+    (index-aware transform + filter), no explode, no shuffle, no Python: a
+    token survives iff it is position 0 or differs from its predecessor.
+    """
+    w = words_of(text)
+    kept = F.filter(
+        F.transform(w, lambda x, i: F.struct(x.alias("w"), i.alias("i"))),
+        # element_at is 1-based, i is 0-based → element_at(w, s.i) is the
+        # PREVIOUS token when s.i >= 1.
+        lambda s: (s["i"] == 0) | (F.element_at(w, s["i"]) != s["w"]),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+
+
+def distinct_token_text(text: Column) -> Column:
+    """First-occurrence-order distinct tokens, rejoined. Spark's
+    ``array_distinct`` documents first-occurrence order; the DuckDB oracle
+    reproduces it with a list_position == ordinal filter (list_distinct
+    does NOT guarantee order there)."""
+    return F.array_join(F.array_distinct(words_of(text)), " ")
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint over whitespace-normalized,
     lower-cased text (md5 — same function exists in DuckDB)."""

@@ -1,0 +1,103 @@
+"""URL canonicalization Column builders for crawl curation.
+
+Common-Crawl-style corpora key everything on url (the pipeline's dedup,
+resume manifests, and latest-view all group by it — plans/pipeline.py), so
+a deterministic canonical form is the difference between "one page" and
+"four near-identical rows that differ only in tracking params". All pure
+`pyspark.sql.functions` compositions (regexp + higher-order array lambdas),
+whole-stage-codegen friendly, each with an exact DuckDB mirror in
+``__spark_entry__.oracle_sql`` (the regex subset used here — no lookaround,
+no backrefs — behaves identically under Java regex and RE2).
+
+Canonical form produced by :func:`canonicalize_url`:
+
+- fragment dropped;
+- scheme lower-cased;
+- host lower-cased, userinfo (``user:pw@``) removed, default port
+  (``:80`` for http, ``:443`` for https) removed, leading ``www.``
+  stripped; non-default ports are kept;
+- path kept byte-for-byte (paths are case-sensitive);
+- tracking query params removed (``utm_*``, ``gclid``, ``fbclid``,
+  ``msclkid``, ``ref``), remaining params kept in original order, ``?``
+  dropped when nothing survives.
+
+``registered_domain`` is the last-two-labels heuristic; a production
+deployment would swap in the public-suffix list (multi-label TLDs like
+``.co.uk`` collapse to ``co.uk`` under this heuristic) — the function seam
+is what matters at 100 TB, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Query params that never identify content. Kept as a frozen module constant
+# so the DuckDB oracle can embed the identical alternation.
+TRACKING_PARAM_REGEX = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)="
+
+_SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_AUTHORITY = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def strip_fragment(url: Column) -> Column:
+    return F.regexp_replace(url, r"#.*", "")
+
+
+def scheme_of(url: Column) -> Column:
+    return F.lower(F.regexp_extract(strip_fragment(url), _SCHEME, 1))
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased hostname: authority minus userinfo and port."""
+    auth = F.lower(F.regexp_extract(strip_fragment(url), _AUTHORITY, 1))
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.regexp_replace(no_user, r":\d+$", "")
+
+
+def port_of(url: Column) -> Column:
+    """Explicit port as a string, '' when absent."""
+    auth = F.regexp_extract(strip_fragment(url), _AUTHORITY, 1)
+    return F.regexp_extract(F.regexp_replace(auth, r"^[^@]*@", ""), r":(\d+)$", 1)
+
+
+def registered_domain(host: Column) -> Column:
+    """Last-two-labels registered domain ('' for bare/empty hosts)."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def clean_query_params(url: Column) -> Column:
+    """array<string> of surviving query params, original order."""
+    q = F.regexp_extract(strip_fragment(url), r"\?(.*)$", 1)
+    return F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form per the module docstring. Malformed urls (no
+    scheme://host) canonicalize to '' so they can be quarantined upstream."""
+    scheme = scheme_of(url)
+    host = F.regexp_replace(host_of(url), r"^www\.", "")
+    port = port_of(url)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(strip_fragment(url), _PATH, 1)
+    params = clean_query_params(url)
+    return F.when((scheme == "") | (host == ""), F.lit("")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path,
+            F.when(
+                F.size(params) > 0,
+                F.concat(F.lit("?"), F.array_join(params, "&")),
+            ).otherwise(F.lit("")),
+        )
+    )
