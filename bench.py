@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "embedding_lsh_topk",
     "ivf_topk",
     "cosine_near_dups",
+    "url_canon",
+    "pii_redact",
+    "repetition_collapse",
+    "snapshot_diff",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",
