@@ -30,6 +30,7 @@ from unified_ocr_pipeline_spark.functions import text as TX  # noqa: E402
 from unified_ocr_pipeline_spark.functions import url as URL  # noqa: E402
 from unified_ocr_pipeline_spark.operators import diff as DIFF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import asof as ASOF  # noqa: E402
+from unified_ocr_pipeline_spark.operators import cc as CC  # noqa: E402
 from unified_ocr_pipeline_spark.operators import dedup as DD  # noqa: E402
 from unified_ocr_pipeline_spark.operators import ivf as IVF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import sampling as SAMP  # noqa: E402
@@ -171,6 +172,26 @@ def _q_minhash_dups(spark, sf):
     d = _t(spark, sf, "documents")
     sigs = DD.minhash_signatures(d, "doc_id", "text", num_hashes=32)
     return DD.minhash_lsh_pairs(sigs, num_hashes=32, num_bands=8, threshold=0.5)
+
+
+def _q_dedup_clusters(spark, sf):
+    # Planted-copy corpus (same device as cosine_near_dups): doc_id<5
+    # duplicated at +1e6 and +2e6 → each original forms a 3-node MinHash
+    # component; doc_id 5..49 stay singletons. Components + canonical pick
+    # close the pairs→clusters→keep-one loop of a real dedup pipeline.
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    d = base.where(F.col("doc_id") < 50)
+    copies = base.where(F.col("doc_id") < 5)
+    corpus = d.unionByName(
+        copies.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        copies.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    sigs = DD.minhash_signatures(corpus, "doc_id", "text", num_hashes=32)
+    pairs = DD.minhash_lsh_pairs(sigs, num_hashes=32, num_bands=8, threshold=0.5)
+    return CC.dedup_clusters(corpus, pairs, "doc_id").select(
+        "doc_id", "component", "is_canonical"
+    )
 
 
 def _q_simhash_dups(spark, sf):
@@ -888,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_count": _q_regex_count,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dups": _q_minhash_dups,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_dups": _q_simhash_dups,
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
@@ -950,7 +972,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # all-pairs hamming ≡ the pigeonhole superset filtered to the same bound).
 
 
-def _minhash_oracle(num_hashes: int = 32, num_bands: int = 8, seed: int = 42) -> str:
+def _minhash_pair_ctes(
+    table: str = "documents",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """The MinHash-LSH pair computation as a chain of CTEs ending in
+    ``pairs(id_a, id_b, est_jaccard)`` — shared by the standalone
+    minhash_dups oracle and the dedup_clusters oracle (which feeds a
+    planted-copy ``corpus`` CTE in as ``table``)."""
     from unified_ocr_pipeline_spark.operators.dedup import _P, _seeded_coeffs
 
     a, b = _seeded_coeffs(num_hashes, seed)
@@ -959,11 +990,10 @@ def _minhash_oracle(num_hashes: int = 32, num_bands: int = 8, seed: int = 42) ->
         f"({i}, CAST({a[i]} AS BIGINT), CAST({b[i]} AS BIGINT))"
         for i in range(num_hashes)
     )
-    return rf"""
-        WITH coeffs(i, a, b) AS (VALUES {coeff_values}),
+    return rf"""coeffs(i, a, b) AS (VALUES {coeff_values}),
         toks AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-          FROM documents),
+          FROM {table}),
         sh AS (
           SELECT DISTINCT doc_id,
                  unnest(list_transform(range(1, len(t) - 1),
@@ -993,8 +1023,47 @@ def _minhash_oracle(num_hashes: int = 32, num_bands: int = 8, seed: int = 42) ->
                    / {num_hashes}.0 AS e
           FROM cand
           JOIN sigs sa ON sa.doc_id = id_a
-          JOIN sigs sb ON sb.doc_id = id_b)
-        SELECT id_a, id_b, round(e, 4) AS est_jaccard FROM est WHERE e >= 0.5
+          JOIN sigs sb ON sb.doc_id = id_b),
+        pairs AS (
+          SELECT id_a, id_b, round(e, 4) AS est_jaccard FROM est
+          WHERE e >= 0.5)"""
+
+
+def _minhash_oracle(num_hashes: int = 32, num_bands: int = 8, seed: int = 42) -> str:
+    return f"""
+        WITH {_minhash_pair_ctes('documents', num_hashes, num_bands, seed)}
+        SELECT id_a, id_b, est_jaccard FROM pairs
+    """
+
+
+def _dedup_clusters_oracle() -> str:
+    """Components of the MinHash pair graph over a planted-copy corpus,
+    via DuckDB's recursive CTE: ``reach`` enumerates every (node,
+    reachable-node) pair — quadratic per component, fine at oracle scale
+    — and min over the reachable set is exactly the engine's min-label
+    fixpoint (operators/cc.py)."""
+    return f"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 50
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5),
+        {_minhash_pair_ctes('corpus')},
+        eb AS (
+          SELECT id_a AS s, id_b AS t FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT DISTINCT doc_id, doc_id FROM corpus
+          UNION
+          SELECT eb.t, reach.lbl FROM eb JOIN reach ON eb.s = reach.id),
+        comp AS (
+          SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY 1)
+        SELECT doc_id, component,
+               doc_id = min(doc_id) OVER (PARTITION BY component)
+                 AS is_canonical
+        FROM comp
     """
 
 
@@ -1738,6 +1807,7 @@ def oracle_sql() -> dict[str, str]:
         "strategy_routing": _strategy_routing_oracle(),
         "ai_normalizer": _ai_normalizer_oracle(),
         "minhash_dups": _minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),

@@ -1,0 +1,59 @@
+"""Connected-components / dedup-cluster tests: path graphs (pointer-jump
+convergence), multiple components, isolated nodes, canonical pick."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unified_ocr_pipeline_spark.operators import cc as CC
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_cc_two_components_and_dup_edges(spark):
+    # component {1,2,3,4} (with a duplicate + reversed edge) and {10,11}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (2, 1), (1, 2), (10, 11)])
+    got = {r["id"]: r["component"] for r in CC.connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_path_converges(spark):
+    # 64-node path: plain neighbor propagation needs 63 rounds; pointer
+    # jumping must finish well inside max_iter=10.
+    e = _edges(spark, [(i, i + 1) for i in range(63)])
+    got = CC.connected_components(e, max_iter=10)
+    rows = got.collect()
+    assert len(rows) == 64
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_cc_self_loops_ignored(spark):
+    e = _edges(spark, [(5, 5), (6, 7)])
+    got = {r["id"]: r["component"] for r in CC.connected_components(e).collect()}
+    # 5 only had a self-loop: it never enters the node set (no real edge),
+    # which is fine — dedup_clusters backfills singletons from the corpus.
+    assert got == {6: 6, 7: 6}
+
+
+def test_dedup_clusters_canonical_by_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = _edges(spark, [(1, 2), (2, 3)])
+    out = CC.dedup_clusters(docs, pairs, "doc_id", prefer_col="quality")
+    rows = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in out.collect()}
+    # {1,2,3} one component labelled 1; doc 2 wins on quality; 9 is a
+    # singleton component of itself and canonical by default.
+    assert rows == {1: (1, False), 2: (1, True), 3: (1, False), 9: (9, True)}
+
+
+def test_dedup_clusters_default_min_id(spark):
+    docs = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    pairs = _edges(spark, [(7, 8)])
+    out = CC.dedup_clusters(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: r["is_canonical"] for r in out.collect()}
+    assert rows == {7: True, 8: False}
