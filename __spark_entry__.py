@@ -194,6 +194,25 @@ def _q_dedup_clusters(spark, sf):
     )
 
 
+def _q_incremental_dedup(spark, sf):
+    # Continuous-crawl shape: corpus = doc_id<200 (signatures conceptually
+    # precomputed/stored), new batch = 50 fresh docs + planted copies of 5
+    # corpus docs at +1e6. The asymmetric band join flags each planted copy
+    # against its original without any corpus self-join.
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    corpus = base.where(F.col("doc_id") < 200)
+    new = base.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 250)).unionByName(
+        base.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    csigs = DD.minhash_signatures(corpus, "doc_id", "text", num_hashes=32)
+    nsigs = DD.minhash_signatures(new, "doc_id", "text", num_hashes=32)
+    return DD.minhash_lsh_pairs_between(
+        nsigs, csigs, num_hashes=32, num_bands=8, threshold=0.5
+    )
+
+
 def _q_simhash_dups(spark, sf):
     d = _t(spark, sf, "documents")
     return DD.simhash_near_dups(DD.simhash(d, "doc_id", "text"), max_hamming=3)
@@ -910,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dups": _q_minhash_dups,
         "dedup_clusters": _q_dedup_clusters,
+        "incremental_dedup": _q_incremental_dedup,
         "simhash_dups": _q_simhash_dups,
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
@@ -977,6 +997,9 @@ def _minhash_pair_ctes(
     num_hashes: int = 32,
     num_bands: int = 8,
     seed: int = 42,
+    cand_cond: str = "l.doc_id < r.doc_id",
+    a_name: str = "id_a",
+    b_name: str = "id_b",
 ) -> str:
     """The MinHash-LSH pair computation as a chain of CTEs ending in
     ``pairs(id_a, id_b, est_jaccard)`` — shared by the standalone
@@ -1013,19 +1036,19 @@ def _minhash_pair_ctes(
                  array_to_string(sig[j*{rows_per_band}+1:j*{rows_per_band}+{rows_per_band}], ',') AS bh
           FROM sigs CROSS JOIN (SELECT unnest(range(0, {num_bands})) AS j)),
         cand AS (
-          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          SELECT DISTINCT l.doc_id AS {a_name}, r.doc_id AS {b_name}
           FROM bands l JOIN bands r ON l.j = r.j AND l.bh = r.bh
-          WHERE l.doc_id < r.doc_id),
+          WHERE {cand_cond}),
         est AS (
-          SELECT id_a, id_b,
+          SELECT {a_name}, {b_name},
                  list_sum(list_transform(range(1, {num_hashes + 1}),
                           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
                    / {num_hashes}.0 AS e
           FROM cand
-          JOIN sigs sa ON sa.doc_id = id_a
-          JOIN sigs sb ON sb.doc_id = id_b),
+          JOIN sigs sa ON sa.doc_id = {a_name}
+          JOIN sigs sb ON sb.doc_id = {b_name}),
         pairs AS (
-          SELECT id_a, id_b, round(e, 4) AS est_jaccard FROM est
+          SELECT {a_name}, {b_name}, round(e, 4) AS est_jaccard FROM est
           WHERE e >= 0.5)"""
 
 
@@ -1033,6 +1056,27 @@ def _minhash_oracle(num_hashes: int = 32, num_bands: int = 8, seed: int = 42) ->
     return f"""
         WITH {_minhash_pair_ctes('documents', num_hashes, num_bands, seed)}
         SELECT id_a, id_b, est_jaccard FROM pairs
+    """
+
+
+def _incremental_dedup_oracle() -> str:
+    """New-batch vs corpus banding join: signatures computed over the
+    union (per-doc math, identical either way), candidate predicate
+    restricted to (new, corpus) pairs — mirrors
+    minhash_lsh_pairs_between's asymmetric join."""
+    ctes = _minhash_pair_ctes(
+        "allt",
+        cand_cond="l.doc_id >= 200 AND r.doc_id < 200",
+        a_name="new_id",
+        b_name="corpus_id",
+    )
+    return f"""
+        WITH allt AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+        {ctes}
+        SELECT new_id, corpus_id, est_jaccard FROM pairs
     """
 
 
@@ -1808,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "ai_normalizer": _ai_normalizer_oracle(),
         "minhash_dups": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "incremental_dedup": _incremental_dedup_oracle(),
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),

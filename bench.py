@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "fingerprint",
     "exact_dedup",
     "minhash_dups",
+    "dedup_clusters",
+    "incremental_dedup",
     "simhash_dups",
     "ngram_jaccard",
     "embedding_topk",

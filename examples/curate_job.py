@@ -9,8 +9,8 @@ Run:
 The input needs (doc_id, text, lang, source) columns — the driver
 testdata documents table shape. Stages:
   1. exact dedup (hash groups, keep one per group)
-  2. MinHash-LSH near-dup pairs (flood-capped banding join) → drop the
-     higher doc_id of each pair
+  2. MinHash-LSH near-dup pairs (flood-capped banding join) → connected
+     components → keep the highest-quality doc per cluster
   3. per-lang quality gate (keep the top half by Gopher-style score)
   4. per-source stratified sample (balance the corpus)
   5. concat-and-chunk packing into 4096-char context windows
@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from unified_ocr_pipeline_spark.plans.session import get_spark
 from unified_ocr_pipeline_spark.functions import text as TX
+from unified_ocr_pipeline_spark.operators import cc as CC
 from unified_ocr_pipeline_spark.operators import dedup as DD
 from unified_ocr_pipeline_spark.operators import sampling as SAMP
 
@@ -41,19 +42,26 @@ def main() -> None:
     d = d.join(keep, "doc_id", "left_semi")
     n1 = d.count()
 
-    # 2. near-dup removal (LSH banding, flood-capped)
+    # 2. near-dup removal: pairs → clusters → keep one per cluster.
+    # Clustering (not pairwise drop-the-higher-id) is what makes chains
+    # safe: for pairs (A,B) and (B,C) a pairwise drop removes B AND C,
+    # while the component {A,B,C} keeps exactly its best-quality member.
     sigs = DD.minhash_signatures(d, "doc_id", "text", num_hashes=32)
     pairs = DD.minhash_lsh_pairs(
         sigs, num_hashes=32, num_bands=8, threshold=0.7, max_band_bucket=10_000
     )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    d = d.join(losers, "doc_id", "left_anti")
+    d = d.withColumn("q", TX.quality_score(F.col("text")))
+    d = (
+        CC.dedup_clusters(d, pairs, "doc_id", prefer_col="q")
+        .where("is_canonical")
+        .drop("component", "is_canonical")
+    )
     n2 = d.count()
 
-    # 3. quality gate: Gopher-style score, keep top half per lang.
+    # 3. quality gate: Gopher-style score (computed above for the
+    # canonical pick), keep top half per lang.
     # Persist here: everything above (exact-dedup join + MinHash UDF +
-    # LSH self-join) is the dominant cost and feeds three more actions.
-    d = d.withColumn("q", TX.quality_score(F.col("text")))
+    # LSH self-join + CC) is the dominant cost and feeds three more actions.
     d = SAMP.quantile_gate_per_group(
         d, ["lang"], "q", 0.5, tie_cols=["doc_id"]
     ).persist()

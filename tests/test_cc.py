@@ -57,3 +57,27 @@ def test_dedup_clusters_default_min_id(spark):
     out = CC.dedup_clusters(docs, pairs, "doc_id")
     rows = {r["doc_id"]: r["is_canonical"] for r in out.collect()}
     assert rows == {7: True, 8: False}
+
+
+def test_incremental_pairs_between(spark):
+    import random
+    from unified_ocr_pipeline_spark.operators import dedup as DD
+
+    rng = random.Random(11)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    mk = lambda: " ".join(rng.choice(words) for _ in range(60))
+    base = mk()
+    corpus_rows = [(i, mk()) for i in range(20)] + [(100, base)]
+    toks = base.split()
+    toks[7] = "OMEGA"
+    new_rows = [(101, base), (102, " ".join(toks)), (103, mk())]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    csigs = DD.minhash_signatures(corpus, "doc_id", "text", num_hashes=32)
+    nsigs = DD.minhash_signatures(new, "doc_id", "text", num_hashes=32)
+    pairs = DD.minhash_lsh_pairs_between(
+        nsigs, csigs, num_hashes=32, num_bands=8, threshold=0.5
+    )
+    got = {(r["new_id"], r["corpus_id"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(101, 100)] == 1.0          # exact copy of a corpus doc
+    assert all(c == 100 for _, c in got)   # fresh docs match nothing

@@ -147,10 +147,14 @@ def dedup_clusters(
     window partitions on ``component``; near-dup components are small by
     construction (LSH caps flood buckets upstream), so no skew hazard.
     """
-    comp = connected_components(pairs, src=src, dst=dst)
+    # Renamed join key: with id_col == "id" a bare drop("id") after the
+    # join would remove BOTH columns (Spark drops every match by name).
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "id", "_cc_id"
+    )
     out = (
-        df.join(comp, df[id_col] == comp.id, "left")
-        .drop("id")
+        df.join(comp, df[id_col] == comp._cc_id, "left")
+        .drop("_cc_id")
         .withColumn(
             "component",
             F.coalesce(F.col("component"), F.col(id_col).cast("long")),

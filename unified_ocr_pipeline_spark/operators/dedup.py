@@ -262,6 +262,84 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_between(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    max_band_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Incremental dedup: band-join a NEW batch's signatures against a
+    stored CORPUS signature table instead of self-joining everything.
+
+    The continuous-crawl pattern at 100 TB: the historical corpus's
+    signatures (and their band hashes) are computed once and stored; each
+    nightly batch computes only its own signatures and probes the stored
+    bands. Cost is O(|new| + matching band buckets), not O(|corpus|²) —
+    re-running the full self-join nightly would redo petabytes of work
+    for a terabyte of novelty.
+
+    Returns (new_id, corpus_id, est_jaccard ≥ threshold). A new doc that
+    matches ANY corpus doc is a duplicate; the caller typically anti-joins
+    ``select(new_id)`` against the batch. ``max_band_bucket`` caps
+    corpus-side band buckets (boilerplate floods collide every batch
+    forever — they belong to an exact-dup/blocklist path upstream).
+    """
+    rows_per_band = num_hashes // num_bands
+
+    def band(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.xxhash64(
+                                F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                            ).alias("bh"),
+                        )
+                        for i in range(num_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("id", "sig", "b.band", "b.bh")
+
+    corpus_bands = band(corpus_sigs)
+    if max_band_bucket is not None:
+        bsz = F.count("*").over(Window.partitionBy("band", "bh"))
+        corpus_bands = corpus_bands.withColumn("_bsz", bsz).where(
+            F.col("_bsz") <= max_band_bucket
+        ).drop("_bsz")
+    # No persist: unlike the self-join, each signature table feeds exactly
+    # one side of one join, so nothing is evaluated twice.
+    new_bands = band(new_sigs)
+
+    left = new_bands.select(
+        F.col("id").alias("new_id"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    right = corpus_bands.select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .select("new_id", "corpus_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
