@@ -852,6 +852,47 @@ def _q_url_canon(spark, sf):
     )
 
 
+def _q_domain_stats(spark, sf):
+    # Domain-level curation: per-registered-domain doc counts / char mass /
+    # language spread, after a broadcast anti-join against a blocklist dim.
+    # At 100 TB this is the table crawl curation thresholds on (drop
+    # domains with < N docs or spam-heavy stats); the blocklist dim is
+    # tiny → broadcast, no shuffle on the fact side until the final agg.
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(F.lit("http://www.shop"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".example.com/p/"), sid),
+        )
+        .when(m == 1, F.concat(F.lit("https://blog.banned.org/post/"), sid))
+        .when(
+            m == 2,
+            F.concat(F.lit("http://news.site"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".net/a/"), sid),
+        )
+        .otherwise(F.concat(F.lit("https://archive.keep.io/"), sid))
+    )
+    host = URL.host_of(raw)
+    facts = d.select(
+        URL.registered_domain(host).alias("domain"), "lang", "n_chars"
+    )
+    block = spark.createDataFrame(
+        [("banned.org",), ("spam.example",)], "domain string"
+    )
+    return (
+        facts.join(F.broadcast(block), "domain", "left_anti")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 def _q_pii_redact(spark, sf):
     d = _t(spark, sf, "documents")
     k = F.col("doc_id")
@@ -971,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_routing": _q_strategy_routing,
         "ai_normalizer": _q_ai_normalizer,
         "url_canon": _q_url_canon,
+        "domain_stats": _q_domain_stats,
         "pii_redact": _q_pii_redact,
         "repetition_collapse": _q_repetition_collapse,
         "snapshot_diff": _q_snapshot_diff,
@@ -1915,6 +1957,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "url_canon": _url_canon_oracle(),
+        "domain_stats": r"""
+            WITH raw AS (
+              SELECT doc_id, lang, n_chars,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'http://www.shop' || (doc_id % 5) || '.example.com/p/' || doc_id
+                  WHEN 1 THEN 'https://blog.banned.org/post/' || doc_id
+                  WHEN 2 THEN 'http://news.site' || (doc_id % 7) || '.net/a/' || doc_id
+                  ELSE 'https://archive.keep.io/' || doc_id END AS raw_url
+              FROM documents),
+            hosts AS (
+              SELECT lang, n_chars,
+                regexp_extract(
+                  regexp_replace(
+                    regexp_replace(lower(regexp_extract(
+                      regexp_replace(raw_url, '#.*', ''),
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', ''),
+                    ':\d+$', ''),
+                  '([^.]+\.[^.]+)$', 1) AS domain
+              FROM raw)
+            SELECT domain, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   count(DISTINCT lang) AS n_langs
+            FROM hosts
+            WHERE domain NOT IN ('banned.org', 'spam.example')
+            GROUP BY domain
+        """,
         "pii_redact": _pii_oracle(),
         "repetition_collapse": _REPETITION_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
