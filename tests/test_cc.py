@@ -81,3 +81,20 @@ def test_incremental_pairs_between(spark):
     got = {(r["new_id"], r["corpus_id"]): r["est_jaccard"] for r in pairs.collect()}
     assert got[(101, 100)] == 1.0          # exact copy of a corpus doc
     assert all(c == 100 for _, c in got)   # fresh docs match nothing
+
+
+def test_cc_string_ids(spark):
+    # url-keyed corpora: ids are strings; component = lexicographic min
+    docs = spark.createDataFrame(
+        [("http://a/1",), ("http://b/2",), ("http://c/3",)], "url string"
+    )
+    pairs = spark.createDataFrame(
+        [("http://b/2", "http://a/1")], "id_a string, id_b string"
+    )
+    out = CC.dedup_clusters(docs, pairs, "url")
+    rows = {r["url"]: (r["component"], r["is_canonical"]) for r in out.collect()}
+    assert rows == {
+        "http://a/1": ("http://a/1", True),
+        "http://b/2": ("http://a/1", False),
+        "http://c/3": ("http://c/3", True),
+    }

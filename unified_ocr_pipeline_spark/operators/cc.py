@@ -54,23 +54,24 @@ def connected_components(
 
     Parameters
     ----------
-    edges : DataFrame with two long/int node-id columns ``src`` and
-        ``dst``. Direction and duplicates are irrelevant.
+    edges : DataFrame with two same-type, orderable node-id columns
+        ``src`` and ``dst`` — numeric doc ids and url strings both work
+        (min/least over the natural ordering). Direction and duplicates
+        are irrelevant.
     max_iter : safety bound on propagation rounds. With pointer jumping,
         25 rounds cover components of ~2^25 chained nodes; real dedup
         components converge in 2-4.
 
-    Returns (id: long, component: long) with one row per distinct node.
-    Deterministic: the component label is the min node id, independent of
-    partitioning or iteration order.
+    Returns (id, component) with one row per distinct node, id-typed like
+    the input. Deterministic: the component label is the min node id,
+    independent of partitioning or iteration order.
 
     Raises RuntimeError if ``max_iter`` rounds did not converge (never on
     sane inputs; the bound exists so a pathological graph fails loudly
     instead of looping forever).
     """
     e = (
-        edges.select(F.col(src).cast("long").alias("s"),
-                     F.col(dst).cast("long").alias("t"))
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .where(F.col("s").isNotNull() & F.col("t").isNotNull())
     )
     # Undirected: keep each edge once in canonical (min, max) order; the
@@ -117,9 +118,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        old = labels
+        # Per-round snapshots: Dataset.unpersist would be a no-op here
+        # (localCheckpoint persists the underlying RDD directly, not via
+        # the CacheManager). Dropping our reference lets Spark's
+        # ContextCleaner unpersist the checkpointed blocks once the JVM
+        # handle is GC'd; peak live state is therefore O(|V|) per round
+        # still referenced (current + in-flight), not O(rounds × |V|)
+        # pinned forever.
         labels = new_labels
-        old.unpersist()
         if changed == 0:
             return labels.select("id", F.col("lbl").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
@@ -141,7 +147,9 @@ def dedup_clusters(
     value (e.g. a quality score), ties and the default broken by lowest
     id — deterministic either way.
 
-    Returns df's ``id_col`` plus (component: long, is_canonical: boolean).
+    Returns df's ``id_col`` plus (component: same type as the id,
+    is_canonical: boolean). Works for numeric AND string (url) ids — the
+    component label is the min id under the type's natural ordering.
     One hash join against the (small) component map — broadcast when it
     fits — plus one window over component for the canonical pick. The
     window partitions on ``component``; near-dup components are small by
@@ -157,7 +165,7 @@ def dedup_clusters(
         .drop("_cc_id")
         .withColumn(
             "component",
-            F.coalesce(F.col("component"), F.col(id_col).cast("long")),
+            F.coalesce(F.col("component"), F.col(id_col)),
         )
     )
     from pyspark.sql import Window

@@ -63,8 +63,20 @@ def _spread_for_python_stage(df: DataFrame) -> DataFrame:
     per core. A sub-128MB bench file scans as ONE partition, serializing
     the signature kernel on a single Python worker; the shuffle this adds
     is trivial next to the kernel. At 100 TB the scan already yields
-    thousands of partitions and this is a no-op."""
+    thousands of partitions and this is a no-op.
+
+    The partition-count probe (``df.rdd``) is only taken when the plan is
+    shuffle-free: under AQE, materializing the RDD of a plan that contains
+    exchanges EXECUTES every upstream shuffle stage just to learn a count
+    (and that work is re-done by the real action — no stage reuse across
+    separate query executions). A plan that already shuffled runs at
+    ``spark.sql.shuffle.partitions`` width anyway, so the probe is both
+    expensive and pointless there."""
     p = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    shuffling = ("Join", "Aggregate", "Repartition", "Window", "Sort")
+    if any(k in plan for k in shuffling):
+        return df
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
@@ -181,6 +193,49 @@ def minhash_signatures(
     return in_df.mapInPandas(gen, schema=f"id {id_type}, sig array<bigint>")
 
 
+def _band_explode(sigs: DataFrame, num_hashes: int, num_bands: int) -> DataFrame:
+    """(id, sig, band, bh): one row per signature band, bh = 64-bit hash of
+    the band's signature slice. Shared by the self-join and the
+    incremental (new-vs-corpus) banding joins."""
+    rows_per_band = num_hashes // num_bands
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", "b.band", "b.bh")
+
+
+def _cap_flood_buckets(bands: DataFrame, max_band_bucket: int) -> DataFrame:
+    """Drop band buckets larger than the cap (quadratic-join guard). The
+    count window partitions on the join key — no extra exchange."""
+    bsz = F.count("*").over(Window.partitionBy("band", "bh"))
+    return bands.withColumn("_bsz", bsz).where(
+        F.col("_bsz") <= max_band_bucket
+    ).drop("_bsz")
+
+
+def _est_jaccard(num_hashes: int) -> Column:
+    """Fraction of equal positions between sig_a and sig_b columns — the
+    standard MinHash Jaccard estimator."""
+    return F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     num_hashes: int = 32,
@@ -212,31 +267,9 @@ def minhash_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    rows_per_band = num_hashes // num_bands
-
-    bands = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
-                    for i in range(num_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "sig", "b.band", "b.bh")
-
+    bands = _band_explode(sigs, num_hashes, num_bands)
     if max_band_bucket is not None:
-        bsz = F.count("*").over(Window.partitionBy("band", "bh"))
-        bands = bands.withColumn("_bsz", bsz).where(
-            F.col("_bsz") <= max_band_bucket
-        ).drop("_bsz")
+        bands = _cap_flood_buckets(bands, max_band_bucket)
 
     left = bands.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
@@ -250,13 +283,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.withColumn("est_jaccard", _est_jaccard(num_hashes))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
@@ -286,36 +314,12 @@ def minhash_lsh_pairs_between(
     corpus-side band buckets (boilerplate floods collide every batch
     forever — they belong to an exact-dup/blocklist path upstream).
     """
-    rows_per_band = num_hashes // num_bands
-
-    def band(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.xxhash64(
-                                F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                            ).alias("bh"),
-                        )
-                        for i in range(num_bands)
-                    ]
-                )
-            ).alias("b"),
-        ).select("id", "sig", "b.band", "b.bh")
-
-    corpus_bands = band(corpus_sigs)
+    corpus_bands = _band_explode(corpus_sigs, num_hashes, num_bands)
     if max_band_bucket is not None:
-        bsz = F.count("*").over(Window.partitionBy("band", "bh"))
-        corpus_bands = corpus_bands.withColumn("_bsz", bsz).where(
-            F.col("_bsz") <= max_band_bucket
-        ).drop("_bsz")
+        corpus_bands = _cap_flood_buckets(corpus_bands, max_band_bucket)
     # No persist: unlike the self-join, each signature table feeds exactly
     # one side of one join, so nothing is evaluated twice.
-    new_bands = band(new_sigs)
+    new_bands = _band_explode(new_sigs, num_hashes, num_bands)
 
     left = new_bands.select(
         F.col("id").alias("new_id"), F.col("sig").alias("sig_a"), "band", "bh"
@@ -328,13 +332,8 @@ def minhash_lsh_pairs_between(
         .select("new_id", "corpus_id", "sig_a", "sig_b")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.withColumn("est_jaccard", _est_jaccard(num_hashes))
         .where(F.col("est_jaccard") >= threshold)
         .select("new_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
