@@ -852,6 +852,28 @@ def _q_url_canon(spark, sf):
     )
 
 
+def _q_normalize_text(spark, sf):
+    # Mixed-encoding synth: combining sequences (e + U+0301), precomposed
+    # (U+00E9), ragged whitespace, mixed case — the NFC + fold + squeeze
+    # pipeline must converge both encodings to identical bytes (doc_id%2
+    # pairs produce equal norm values, asserted by the oracle hash).
+    from unified_ocr_pipeline_spark.functions.normalize import normalize_text
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("Café   Résumé\t"), sid, F.lit("  ")),
+    ).otherwise(
+        F.concat(F.lit("Café   Résumé\t"), sid, F.lit("  "))
+    )
+    return d.select(
+        "doc_id",
+        normalize_text(raw).alias("norm"),
+        F.length(normalize_text(raw)).alias("n"),
+    )
+
+
 def _q_domain_stats(spark, sf):
     # Domain-level curation: per-registered-domain doc counts / char mass /
     # language spread, after a broadcast anti-join against a blocklist dim.
@@ -1012,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_routing": _q_strategy_routing,
         "ai_normalizer": _q_ai_normalizer,
         "url_canon": _q_url_canon,
+        "normalize_text": _q_normalize_text,
         "domain_stats": _q_domain_stats,
         "pii_redact": _q_pii_redact,
         "repetition_collapse": _q_repetition_collapse,
@@ -1957,6 +1980,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "url_canon": _url_canon_oracle(),
+        "normalize_text": """
+            WITH raw AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'Caf' || chr(233) || '   R' || chr(233) || 'sum'
+                          || chr(233) || chr(9) || doc_id || '  '
+                     ELSE 'Cafe' || chr(769) || '   Re' || chr(769) || 'sume'
+                          || chr(769) || chr(9) || doc_id || '  '
+                END AS t
+              FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(t)), '\\s+', ' ', 'g')) AS norm,
+                   length(trim(regexp_replace(lower(nfc_normalize(t)), '\\s+', ' ', 'g'))) AS n
+            FROM raw
+        """,
         "domain_stats": r"""
             WITH raw AS (
               SELECT doc_id, lang, n_chars,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "cosine_near_dups",
     "url_canon",
     "pii_redact",
+    "normalize_text",
     "repetition_collapse",
     "snapshot_diff",
     "ocr_quality_grades",
