@@ -98,3 +98,44 @@ def test_cc_string_ids(spark):
         "http://b/2": ("http://a/1", False),
         "http://c/3": ("http://c/3", True),
     }
+
+
+def test_cc_random_graphs_vs_union_find(spark):
+    # Differential: 20 seeded random graphs vs a pure-Python union-find.
+    import random
+
+    def uf_components(n_nodes, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical: min node id per component
+        comp = {}
+        for v in list(parent):
+            comp[v] = find(v)
+        # path-compress to true roots (roots map to themselves = min id,
+        # because union always parents the larger root under the smaller)
+        return {v: find(v) for v in parent}
+
+    rng = random.Random(42)
+    for trial in range(20):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        expected = uf_components(n, edges)
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"]
+               for r in CC.connected_components(e, max_iter=12).collect()}
+        assert got == expected, (trial, edges)
