@@ -1176,7 +1176,7 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 48, max_hamming: int = 3) -> str:
     from unified_ocr_pipeline_spark.operators.dedup import _P  # noqa: F401
 
     bit_sums = ",\n                 ".join(
