@@ -31,6 +31,7 @@ from unified_ocr_pipeline_spark.functions import url as URL  # noqa: E402
 from unified_ocr_pipeline_spark.operators import diff as DIFF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import asof as ASOF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import cc as CC  # noqa: E402
+from unified_ocr_pipeline_spark.operators import curation as CUR  # noqa: E402
 from unified_ocr_pipeline_spark.operators import dedup as DD  # noqa: E402
 from unified_ocr_pipeline_spark.operators import ivf as IVF  # noqa: E402
 from unified_ocr_pipeline_spark.operators import sampling as SAMP  # noqa: E402
@@ -966,6 +967,40 @@ def _q_repetition_collapse(spark, sf):
     )
 
 
+def _q_line_dedup(spark, sf):
+    """C4-style line-level boilerplate removal over synthesized multi-line
+    pages (the corpus text is single-line, so the query builds a 5-line
+    page per doc — shared nav header, per-category promo line shared by
+    ~n/7 docs, two body lines from the doc's own text, shared footer —
+    deterministically on BOTH sides, same pattern as pii_redact)."""
+    d = _t(spark, sf, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.lit("HOME | PRODUCTS | ABOUT | CONTACT"),
+        F.concat(
+            F.lit("Category "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" bestsellers"),
+        ),
+        F.substring("text", 1, 80),
+        F.substring("text", 81, 80),
+        F.lit("(c) 2024 Example Corp - All rights reserved"),
+    )
+    docs = d.select("doc_id", page.alias("text"))
+    return CUR.line_dedup(docs, "doc_id", "text", max_df=20)
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination: docs with doc_id % 37 == 0 stand in for
+    a held-out eval set; the rest of the corpus is flagged by distinct
+    word-3-gram overlap (real deployments use 8-13-grams; 3 keeps the
+    word-salad fixture's overlap distribution informative)."""
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    corpus = d.where(F.col("doc_id") % 37 != 0)
+    return CUR.decontaminate(corpus, bench, "doc_id", "text", n=3, min_overlap=5)
+
+
 def _q_snapshot_diff(spark, sf):
     """CDC diff between two crawl 'snapshots' (first vs second half of the
     events stream): per-user behavioral fingerprint compared across a
@@ -1038,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "pii_redact": _q_pii_redact,
         "repetition_collapse": _q_repetition_collapse,
+        "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
         "snapshot_diff": _q_snapshot_diff,
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
@@ -2024,6 +2061,66 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_oracle(),
         "repetition_collapse": _REPETITION_ORACLE,
         "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        # line_dedup: the 5-line page construction, the blank-line filter,
+        # the df>20 bad-line set, and the ordered reassembly replayed in SQL
+        "line_dedup": r"""
+            WITH pages AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       'HOME | PRODUCTS | ABOUT | CONTACT',
+                       'Category ' || CAST(doc_id % 7 AS VARCHAR) || ' bestsellers',
+                       substr(text, 1, 80),
+                       substr(text, 81, 80),
+                       '(c) 2024 Example Corp - All rights reserved') AS text
+              FROM documents),
+            l0 AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+              FROM pages),
+            l AS (SELECT * FROM l0
+                  WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''),
+            bad AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY 1)
+              WHERE line_df > 20),
+            kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM bad)),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_lines_kept
+              FROM kept GROUP BY 1)
+            SELECT p.doc_id AS id,
+                   coalesce(reb.clean_text, '') AS clean_text,
+                   CAST(len(list_filter(string_split(p.text, chr(10)),
+                        x -> regexp_replace(x, '^\s+|\s+$', '', 'g') <> '')) AS INT)
+                     AS n_lines_in,
+                   CAST(coalesce(reb.n_lines_kept, 0) AS INT) AS n_lines_kept
+            FROM pages p LEFT JOIN reb USING (doc_id)
+        """,
+        # decontaminate: distinct word-3-gram overlap vs the doc_id%37==0
+        # benchmark split, same ASCII-\s tokenizer as token_stats
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+              FROM documents),
+            ng0 AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+              FROM toks, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+              WHERE len(t) >= 3),
+            bench AS (SELECT DISTINCT ng FROM ng0 WHERE doc_id % 37 = 0),
+            docng AS (SELECT DISTINCT doc_id, ng FROM ng0 WHERE doc_id % 37 <> 0),
+            hits AS (
+              SELECT doc_id, count(*) AS o FROM docng
+              WHERE ng IN (SELECT ng FROM bench) GROUP BY 1)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(o, 0) AS INT) AS overlap_ngrams,
+                   coalesce(o, 0) >= 5 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+            LEFT JOIN hits USING (doc_id)
+        """,
         # multimodal_meta: the deterministic stub decoder's math replayed in
         # SQL — utf-8 byte length, magic-byte format sniff (PNG/JPEG magic
         # bytes cannot lead a utf-8 string; RIFF can), sha256-derived pseudo

@@ -179,3 +179,68 @@ def test_snapshot_diff_is_jvm_only(spark):
     )
     plan = snapshot_diff(old, new, ["k"], "fp")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (C4/CCNet-style)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_drops_boilerplate_keeps_body(spark):
+    from unified_ocr_pipeline_spark.operators.curation import line_dedup
+
+    rows = [(i, f"NAV\nbody {i}\n\nFOOTER") for i in range(6)]
+    rows.append((9, "NAV\nFOOTER"))  # all-boilerplate page
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in line_dedup(df, "doc_id", "text", max_df=3).collect()}
+    assert len(got) == 7  # every input doc present
+    for i in range(6):
+        r = got[i]
+        assert r["clean_text"] == f"body {i}"
+        assert r["n_lines_in"] == 3  # blank line not counted
+        assert r["n_lines_kept"] == 1
+    assert got[9]["clean_text"] == "" and got[9]["n_lines_kept"] == 0
+
+
+def test_line_dedup_threshold_boundary_and_order(spark):
+    from unified_ocr_pipeline_spark.operators.curation import line_dedup
+
+    # "shared" appears in exactly max_df docs -> kept (strict > threshold)
+    rows = [
+        (0, "alpha\nshared\nomega"),
+        (1, "beta\nshared\ngamma"),
+        (2, "solo only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["clean_text"]
+           for r in line_dedup(df, "doc_id", "text", max_df=2).collect()}
+    assert got[0] == "alpha\nshared\nomega"  # original order preserved
+    assert got[1] == "beta\nshared\ngamma"
+    assert got[2] == "solo only"
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_overlap_once(spark):
+    from unified_ocr_pipeline_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "a quick brown fox here"),       # 1 overlapping 3-gram
+            (1, "completely different words"),   # 0
+            (2, "quick brown fox " * 5),         # repeated gram counts ONCE
+            (3, "too short"),                    # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["overlap_ngrams"], r["contaminated"])
+           for r in decontaminate(corpus, bench, "doc_id", "text",
+                                  n=3, min_overlap=1).collect()}
+    assert got[0] == (1, True)
+    assert got[1] == (0, False)
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)

@@ -1,0 +1,163 @@
+"""Corpus-curation operators: line-level boilerplate dedup and benchmark
+decontamination.
+
+Reference analog: the reference pipeline curates per-document (duplicate
+detection at unified_ocr_pipeline.py:249-271 is whole-file identity); these
+two operators are the cross-document curation steps a web-scale training
+corpus needs (C4/CCNet-style line dedup; eval-benchmark n-gram
+decontamination), built per the round brief's training-pipeline mandate.
+
+Scale notes (100 TB posture):
+- line_dedup: ONE shuffle keyed by line content for the doc-frequency
+  aggregate (partial/map-side agg applies), then a broadcast LEFT ANTI
+  against only the OVER-THRESHOLD lines: with threshold k the bad-line set
+  is at most total_lines/k distinct values (pigeonhole), i.e. orders of
+  magnitude smaller than the corpus, so it broadcasts where the full
+  line-frequency table never could. Reassembly is one agg keyed by doc id.
+- decontaminate: the benchmark side (an eval set — thousands of docs, not
+  billions) is aggregated to distinct n-grams and broadcast; the corpus
+  side streams through a map-side explode + broadcast semi-join + one
+  count agg by doc. No corpus-sized shuffle keyed on n-gram strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ASCII whitespace tokenizer shared with the DuckDB oracles: Java regex \s
+# and RE2 \s are both [ \t\n\x0B\f\r]-ish ASCII classes, so the split is
+# replayable bit-for-bit in SQL (same recipe as functions/text.py).
+_WS_TRIM = r"^\s+|\s+$"
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int,
+    broadcast_bad: bool = True,
+) -> DataFrame:
+    """C4/CCNet-style line-level boilerplate removal.
+
+    Splits each document into lines, computes each distinct line's
+    document frequency across the corpus, drops every occurrence of lines
+    appearing in more than ``max_df`` documents (nav bars, cookie banners,
+    copyright footers) plus blank lines, and reassembles the surviving
+    lines in their original order.
+
+    Returns (id, clean_text, n_lines_in, n_lines_kept) for EVERY input
+    document — a fully-boilerplate page yields ``clean_text = ''``.
+
+    ``broadcast_bad`` forces the over-threshold line set onto a broadcast
+    LEFT ANTI (the set is ≤ total_lines/max_df distinct lines, tiny next
+    to the corpus); disable it to let AQE choose if a pathological corpus
+    makes the set large.
+    """
+    sid = F.col(id_col)
+    lines_arr = F.split(F.col(text_col), "\n")
+    # non-blank input line count: JVM-side expression, no extra shuffle
+    n_in = F.size(
+        F.filter(lines_arr, lambda x: F.regexp_replace(x, _WS_TRIM, "") != "")
+    )
+    base = df.select(sid.alias("id"), lines_arr.alias("_lines"), n_in.alias("n_lines_in"))
+
+    lines = base.select(
+        "id", F.posexplode("_lines").alias("pos", "line")
+    ).where(F.regexp_replace("line", _WS_TRIM, "") != "")
+
+    bad = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("line_df"))
+        .where(F.col("line_df") > max_df)
+        .select("line")
+    )
+    if broadcast_bad:
+        bad = F.broadcast(bad)
+
+    kept = lines.join(bad, "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").cast("int").alias("n_lines_kept"),
+    )
+    return (
+        base.select("id", "n_lines_in")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines_in").cast("int").alias("n_lines_in"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
+        )
+    )
+
+
+def _word_ngrams(text, n: int):
+    """Array of word n-gram strings (space-joined) of ``text``; empty
+    array when the doc has fewer than ``n`` tokens. Pure Catalyst
+    expressions — ``sequence`` is guarded because Spark's
+    ``sequence(1, 0)`` counts DOWN instead of returning empty."""
+    toks = F.split(F.regexp_replace(text, _WS_TRIM, ""), r"\s+")
+    n_starts = F.size(toks) - (n - 1)
+    return F.when(
+        n_starts >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_starts),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Eval-benchmark decontamination: flag corpus documents sharing word
+    n-grams with a held-out benchmark set (the standard pre-training
+    hygiene step — e.g. GPT-3's 13-gram and Gopher's 8-gram filters).
+
+    Returns (id, overlap_ngrams, contaminated) for every corpus document:
+    ``overlap_ngrams`` counts DISTINCT corpus-doc n-grams that appear
+    anywhere in the benchmark; ``contaminated`` is true at
+    ``overlap_ngrams >= min_overlap``.
+
+    The benchmark's distinct n-gram set is broadcast (eval sets are
+    thousands of docs); the corpus side is a map-side explode + broadcast
+    semi-join + one count aggregate keyed by doc id — no corpus-sized
+    shuffle keyed on n-gram strings.
+    """
+    sid = F.col(id_col)
+    bench_ng = (
+        benchmark.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("ng"))
+        .distinct()
+    )
+    doc_ng = corpus.select(
+        sid.alias("id"),
+        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("ng"),
+    )
+    hits = (
+        doc_ng.join(F.broadcast(bench_ng), "ng", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").cast("int").alias("overlap_ngrams"))
+    )
+    return (
+        corpus.select(sid.alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("overlap_ngrams", F.lit(0)).cast("int").alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
