@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "pii_redact",
     "normalize_text",
     "repetition_collapse",
+    "line_dedup",
+    "decontaminate",
     "snapshot_diff",
     "ocr_quality_grades",
     "strategy_routing",
