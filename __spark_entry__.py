@@ -1001,6 +1001,68 @@ def _q_decontaminate(spark, sf):
     return CUR.decontaminate(corpus, bench, "doc_id", "text", n=3, min_overlap=5)
 
 
+_MIX_BUDGETS = {f"src{i}": 2000 + 500 * i for i in range(19)}  # src19 unbudgeted
+
+
+def _mixture_oracle(exact: bool) -> str:
+    """Replays operators/sampling.mixture_sample{,_rate}: the budget map as
+    a VALUES list, the md5-60 doc_id hash, and either the hash-ordered
+    prefix sum (exact) or the least(1, budget/total) hash threshold
+    (rate). 2^60 is a power of two, so the double-precision threshold
+    compare rounds identically in both engines."""
+    values = ", ".join(f"('{s}', {b})" for s, b in _MIX_BUDGETS.items())
+    base = f"""
+        WITH h AS (
+          SELECT doc_id, source, n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS hk
+          FROM documents),
+        b(source, budget) AS (VALUES {values})"""
+    if exact:
+        return base + """,
+        c AS (
+          SELECT h.doc_id, h.source, h.n_chars, b.budget,
+                 sum(n_chars) OVER (
+                   PARTITION BY h.source ORDER BY hk, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM h JOIN b USING (source))
+        SELECT doc_id, source, n_chars, cum_tokens
+        FROM c WHERE cum_tokens - n_chars < budget
+        """
+    return base + """,
+        t AS (SELECT source, sum(n_chars) AS total FROM h GROUP BY 1),
+        r AS (
+          SELECT t.source,
+                 least(1.0, CAST(b.budget AS DOUBLE) / CAST(t.total AS DOUBLE))
+                   AS rate
+          FROM t JOIN b USING (source))
+        SELECT h.doc_id, h.source, h.n_chars
+        FROM h JOIN r USING (source)
+        WHERE CAST(hk AS DOUBLE) < rate * 1152921504606846976.0
+        """
+
+
+def _q_mixture_sample(spark, sf):
+    """Exact token-budgeted mixture sampling: per-source char budgets in
+    deterministic md5-60 hash order (prefix-sum window); src19 has no
+    budget and must vanish from the mixture."""
+    d = _t(spark, sf, "documents")
+    return SAMP.mixture_sample(
+        d.select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", _MIX_BUDGETS,
+    ).select("doc_id", "source", "n_chars", "cum_tokens")
+
+
+def _q_mixture_rate(spark, sf):
+    """Sort-free scale-path variant: per-source keep-rate from one tiny
+    aggregate, then a hash-threshold scan filter (no per-source sort)."""
+    d = _t(spark, sf, "documents")
+    return SAMP.mixture_sample_rate(
+        d.select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", _MIX_BUDGETS,
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_snapshot_diff(spark, sf):
     """CDC diff between two crawl 'snapshots' (first vs second half of the
     events stream): per-user behavioral fingerprint compared across a
@@ -1075,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_collapse": _q_repetition_collapse,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
+        "mixture_sample": _q_mixture_sample,
+        "mixture_rate": _q_mixture_rate,
         "snapshot_diff": _q_snapshot_diff,
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
@@ -2098,6 +2162,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(reb.n_lines_kept, 0) AS INT) AS n_lines_kept
             FROM pages p LEFT JOIN reb USING (doc_id)
         """,
+        # mixture_sample: budgets VALUES-list + md5-60 hash-order prefix sum
+        "mixture_sample": _mixture_oracle(exact=True),
+        "mixture_rate": _mixture_oracle(exact=False),
         # decontaminate: distinct word-3-gram overlap vs the doc_id%37==0
         # benchmark split, same ASCII-\s tokenizer as token_stats
         "decontaminate": r"""

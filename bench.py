@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "repetition_collapse",
     "line_dedup",
     "decontaminate",
+    "mixture_sample",
+    "mixture_rate",
     "snapshot_diff",
     "ocr_quality_grades",
     "strategy_routing",

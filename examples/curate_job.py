@@ -1,18 +1,24 @@
 #!/usr/bin/env python3
-"""Training-data curation over an extracted/documents table: dedup →
-quality gate → stratified balance → pack into context windows.
+"""Training-data curation over an extracted/documents table: boilerplate
+strip → dedup → decontaminate → quality gate → stratified balance → pack
+into context windows.
 
 Run:
     spark-submit --py-files engine.zip examples/curate_job.py \
-        <documents_parquet> [cores]
+        <documents_parquet> [cores] [benchmark_parquet]
 
 The input needs (doc_id, text, lang, source) columns — the driver
 testdata documents table shape. Stages:
+  0. line-level boilerplate strip (C4-style: drop lines shared by many
+     docs — nav bars, cookie banners, footers)
   1. exact dedup (hash groups, keep one per group)
   2. MinHash-LSH near-dup pairs (flood-capped banding join) → connected
      components → keep the highest-quality doc per cluster
+  2b. (optional, when a benchmark parquet is given) eval-benchmark
+     decontamination: drop docs sharing 8-grams with the held-out set
   3. per-lang quality gate (keep the top half by Gopher-style score)
-  4. per-source stratified sample (balance the corpus)
+  4. per-source stratified sample (balance the corpus); for token-budget
+     mixtures use SAMP.mixture_sample / mixture_sample_rate instead
   5. concat-and-chunk packing into 4096-char context windows
 """
 import sys
@@ -22,6 +28,7 @@ from pyspark.sql import functions as F
 from unified_ocr_pipeline_spark.plans.session import get_spark
 from unified_ocr_pipeline_spark.functions import text as TX
 from unified_ocr_pipeline_spark.operators import cc as CC
+from unified_ocr_pipeline_spark.operators import curation as CUR
 from unified_ocr_pipeline_spark.operators import dedup as DD
 from unified_ocr_pipeline_spark.operators import sampling as SAMP
 
@@ -29,11 +36,23 @@ from unified_ocr_pipeline_spark.operators import sampling as SAMP
 def main() -> None:
     docs_path = sys.argv[1]
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    bench_path = sys.argv[3] if len(sys.argv) > 3 else None
 
     spark = get_spark(app_name="curate_job", cores=cores,
                       shuffle_partitions=max(cores, 16))
     d = spark.read.parquet(docs_path)
     n0 = d.count()
+
+    # 0. line-level boilerplate strip: replaces text with the de-templated
+    # version, drops docs that were ALL boilerplate
+    clean = CUR.line_dedup(d, "doc_id", "text", max_df=max(10, n0 // 100))
+    d = (
+        d.drop("text")
+        .join(clean.where(F.col("n_lines_kept") > 0)
+              .select(F.col("id").alias("doc_id"),
+                      F.col("clean_text").alias("text")),
+              "doc_id")
+    )
 
     # 1. exact dedup
     keep = DD.exact_dedup_groups(d, "doc_id", "text").select(
@@ -57,6 +76,17 @@ def main() -> None:
         .drop("component", "is_canonical")
     )
     n2 = d.count()
+
+    # 2b. optional eval-benchmark decontamination (GPT-3/Gopher hygiene)
+    if bench_path:
+        bench = spark.read.parquet(bench_path)
+        flags = CUR.decontaminate(d, bench, "doc_id", "text",
+                                  n=8, min_overlap=1)
+        d = d.join(
+            flags.where(~F.col("contaminated"))
+            .select(F.col("id").alias("doc_id")),
+            "doc_id", "left_semi",
+        )
 
     # 3. quality gate: Gopher-style score (computed above for the
     # canonical pick), keep top half per lang.

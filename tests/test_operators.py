@@ -509,3 +509,37 @@ def test_band_bucket_cap_prunes_flood(spark):
     capped_sh = DD.simhash_near_dups(sh, max_hamming=3, max_chunk_bucket=10)
     cps = capped_sh.collect()
     assert not [r for r in cps if r["id_a"] >= 1000 and r["id_b"] < 2000]
+
+
+def test_mixture_sample_exact_budget_semantics(spark):
+    import hashlib
+
+    rows = [(i, "a" if i < 10 else "b", 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = SAMP.mixture_sample(
+        df, "doc_id", "source", "n_chars", {"a": 350}
+    ).collect()
+    # source b unbudgeted -> dropped entirely
+    assert all(r["source"] == "a" for r in got)
+    # 100-char docs vs 350 budget: docs starting at 0/100/200/300 kept -> 4
+    assert len(got) == 4
+    # the kept set is the 4 smallest md5-60 hashes, replay in Python
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    expected = sorted(range(10), key=lambda i: (h(i), i))[:4]
+    assert sorted(r["doc_id"] for r in got) == sorted(expected)
+    # prefix sums include the row itself
+    assert sorted(r["cum_tokens"] for r in got) == [100, 200, 300, 400]
+
+
+def test_mixture_rate_full_budget_keeps_all(spark):
+    rows = [(i, "a", 50) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = SAMP.mixture_sample_rate(
+        df, "doc_id", "source", "n_chars", {"a": 10_000}
+    )
+    assert kept.count() == 30  # budget >= total -> rate clamps to 1.0
+    none = SAMP.mixture_sample_rate(
+        df, "doc_id", "source", "n_chars", {"other": 10_000}
+    )
+    assert none.count() == 0  # unbudgeted source -> rate 0

@@ -150,3 +150,87 @@ def vocab_topk(
         .where(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "token", "n", "rank")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    budgets: dict,
+) -> DataFrame:
+    """Token-budgeted mixture sampling (exact): build a training mixture by
+    taking documents per source, in deterministic md5-60 hash order, until
+    each source's token budget is exhausted (the Pile/Dolma-style mixing
+    step). A document is kept iff it STARTS before its source's budget is
+    spent (prefix tokens excluding the doc < budget), so budgets may
+    overshoot by at most one document — deterministic and re-run-stable.
+
+    Sources absent from ``budgets`` are dropped. Returns the input columns
+    plus ``cum_tokens`` (prefix sum INCLUDING the row, handy for audits).
+
+    Cost: ONE window shuffle keyed by source (sort within source by hash).
+    For 100 TB corpora where a per-source global sort is the bottleneck,
+    use :func:`mixture_sample_rate` — a sort-free two-pass approximation
+    whose only wide ops are a tiny per-source aggregate and a broadcast
+    join; this exact variant is for when budget precision matters (small
+    high-value sources, eval mixtures).
+    """
+    b = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(md5_60(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("cum_tokens", cum)
+        .where(
+            (cum - F.col(token_col))
+            < F.coalesce(b[F.col(source_col)], F.lit(0))
+        )
+    )
+
+
+def mixture_sample_rate(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    budgets: dict,
+) -> DataFrame:
+    """Token-budgeted mixture sampling, sort-free scale path: pass 1
+    aggregates total tokens per source (tiny result), derives each
+    source's keep-rate ``min(1, budget/total)``, and pass 2 keeps rows
+    where ``md5_60(id) < rate * 2^60`` — a broadcast join plus a scan-side
+    filter, no per-source sort anywhere. Expected tokens kept per source
+    == budget (exact when budget >= total); the deviation is
+    O(sqrt(n_docs)) by Chernoff since the hash is uniform on ids.
+
+    The same hash order makes the two variants nest: the rate-kept set is
+    a superset of the exact-kept set for the same budgets (modulo the
+    boundary document), so a precise trim can run on the (much smaller)
+    rate-sampled output if needed.
+    """
+    totals = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col)).alias("_total"))
+    )
+    b = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    rates = totals.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.coalesce(b[F.col(source_col)], F.lit(0)).cast("double")
+            / F.col("_total").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(md5_60(F.col(id_col)).cast("double") < F.col("_rate") * float(2**60))
+        .drop("_rate")
+    )
