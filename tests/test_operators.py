@@ -514,6 +514,8 @@ def test_band_bucket_cap_prunes_flood(spark):
 def test_mixture_sample_exact_budget_semantics(spark):
     import hashlib
 
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
     rows = [(i, "a" if i < 10 else "b", 100) for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     got = SAMP.mixture_sample(
@@ -533,6 +535,8 @@ def test_mixture_sample_exact_budget_semantics(spark):
 
 
 def test_mixture_rate_full_budget_keeps_all(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
     rows = [(i, "a", 50) for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     kept = SAMP.mixture_sample_rate(

@@ -185,12 +185,9 @@ def mixture_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(token_col)).over(w)
-    return (
-        df.withColumn("cum_tokens", cum)
-        .where(
-            (cum - F.col(token_col))
-            < F.coalesce(b[F.col(source_col)], F.lit(0))
-        )
+    return df.withColumn("cum_tokens", cum).where(
+        (F.col("cum_tokens") - F.col(token_col))
+        < F.coalesce(b[F.col(source_col)], F.lit(0))
     )
 
 
