@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..kernels import document as D
+from ..sources.tables import read_input
 from .extraction import extract_stage, gate_oversize
 
 DEFAULT_NUM_BUCKETS = 64  # floor — the auto-sizer only goes up from here
@@ -241,7 +242,9 @@ class ExtractionPipeline:
         if resume:
             self._adopt_epoch_bucketing(epoch)
 
-        pages = spark.read.parquet(pages_path)
+        # table:<name> specs resolve through the DSv2 catalog (Iceberg in
+        # production sessions); plain paths read parquet — sources/tables.py
+        pages = read_input(spark, pages_path)
         pages = with_host(pages)
         pages = salted_bucket(pages, self.num_buckets, self.salt_factor)
 

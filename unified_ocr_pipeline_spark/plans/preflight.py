@@ -89,8 +89,11 @@ def health_check(
         else:
             inp: Dict[str, Any] = {"path": input_path, "columns": {}}
             try:
-                # schema-only read: parquet footer, no data scan
-                schema = spark.read.parquet(input_path).schema
+                # schema-only read: parquet footer / catalog metadata,
+                # no data scan (table: specs resolve via sources/tables)
+                from ..sources.tables import read_input
+
+                schema = read_input(spark, input_path).schema
                 have = {f.name: f.dataType.simpleString() for f in schema.fields}
                 for col, want in REQUIRED_INPUT_COLUMNS.items():
                     got = have.get(col)
