@@ -1063,6 +1063,14 @@ def _q_mixture_rate(spark, sf):
     ).select("doc_id", "source", "n_chars")
 
 
+def _q_chunk_documents(spark, sf):
+    """RAG-style sliding-window chunking: 64-token windows, stride 48
+    (overlap 16). Narrow plan — the chunk explosion runs on scan
+    partitions, no shuffle."""
+    d = _t(spark, sf, "documents")
+    return SAMP.chunk_documents(d, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
 def _q_snapshot_diff(spark, sf):
     """CDC diff between two crawl 'snapshots' (first vs second half of the
     events stream): per-user behavioral fingerprint compared across a
@@ -1139,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "mixture_sample": _q_mixture_sample,
         "mixture_rate": _q_mixture_rate,
+        "chunk_documents": _q_chunk_documents,
         "snapshot_diff": _q_snapshot_diff,
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
@@ -2161,6 +2170,27 @@ def oracle_sql() -> dict[str, str]:
                      AS n_lines_in,
                    CAST(coalesce(reb.n_lines_kept, 0) AS INT) AS n_lines_kept
             FROM pages p LEFT JOIN reb USING (doc_id)
+        """,
+        # chunk_documents: same 64/48 window arithmetic, list-slice clamping
+        # identical to Spark's slice()
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(
+                                 regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                                 '\s+') END AS t
+              FROM documents),
+            k AS (
+              SELECT doc_id, t,
+                     CAST(1 + floor((greatest(len(t) - 64, 0) + 47) / 48.0)
+                          AS INT) AS nk
+              FROM toks)
+            SELECT doc_id AS id, CAST(i AS INT) AS chunk_id,
+                   CAST(len(t[i*48+1 : i*48+64]) AS INT) AS n_chunk_tokens,
+                   array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text
+            FROM k, unnest(range(0, nk)) AS u(i)
         """,
         # mixture_sample: budgets VALUES-list + md5-60 hash-order prefix sum
         "mixture_sample": _mixture_oracle(exact=True),

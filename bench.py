@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "mixture_sample",
     "mixture_rate",
+    "chunk_documents",
     "snapshot_diff",
     "ocr_quality_grades",
     "strategy_routing",

@@ -547,3 +547,30 @@ def test_mixture_rate_full_budget_keeps_all(spark):
         df, "doc_id", "source", "n_chars", {"other": 10_000}
     )
     assert none.count() == 0  # unbudgeted source -> rate 0
+
+
+def test_chunk_documents_sliding_windows(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    toks10 = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame(
+        [(1, toks10), (2, "a b"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = SAMP.chunk_documents(df, "doc_id", "text",
+                               chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["id"], []).append(
+            (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        )
+    # 10 tokens, window 4, stride 3 -> starts 1,4,7; full coverage, overlap 1
+    assert sorted(by_doc[1]) == [
+        (0, 4, "t1 t2 t3 t4"),
+        (1, 4, "t4 t5 t6 t7"),
+        (2, 4, "t7 t8 t9 t10"),
+    ]
+    # short doc -> one (shorter) chunk; empty/whitespace -> one empty chunk
+    assert by_doc[2] == [(0, 2, "a b")]
+    assert by_doc[3] == [(0, 0, "")]
+    assert by_doc[4] == [(0, 0, "")]

@@ -231,3 +231,50 @@ def mixture_sample_rate(
         .where(md5_60(F.col(id_col)).cast("double") < F.col("_rate") * float(2**60))
         .drop("_rate")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG/embedding prep): split each
+    document into windows of ``chunk_tokens`` whitespace tokens advancing
+    by ``stride`` (overlap = chunk_tokens - stride). The final window is
+    the last full slice starting at ceil((n-chunk)/stride)*stride, so
+    every token is covered and no empty trailing chunk is emitted; a doc
+    with <= chunk_tokens tokens yields exactly one chunk (possibly
+    shorter), and an empty doc yields one empty chunk.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text). Pure Catalyst
+    (split + sequence + slice + posexplode): narrow, no shuffle, no
+    Python — the chunk explosion happens on scan partitions, which is
+    what lets it run ahead of any embedding stage at 100 TB.
+    """
+    t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n = F.size(toks)
+    k = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + (stride - 1)) / stride
+        )
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("ctoks")
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "id",
+        "chunk_id",
+        F.size("c.ctoks").alias("n_chunk_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )
