@@ -188,3 +188,34 @@ def test_pack_and_sample_single_exchange(spark):
         n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
         assert n == 1, plan
         assert "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_plan_is_narrow(spark):
+    # chunking must run on scan partitions: no shuffle, no Python stage
+    plan = plan_of(E.queries()["chunk_documents"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_dedup_bad_set_broadcasts(spark):
+    # the over-threshold line set rides a broadcast LEFT ANTI; the only
+    # sort-merge joins allowed are none (reassembly is an aggregate)
+    plan = plan_of(E.queries()["line_dedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    # benchmark n-grams broadcast into a semi-join; the corpus side must
+    # not shuffle keyed on n-gram strings (no SortMergeJoin anywhere)
+    plan = plan_of(E.queries()["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_rate_is_sort_free(spark):
+    # the scale-path mixture variant: per-source totals broadcast back;
+    # no per-source Sort anywhere in the plan (that's the exact variant's
+    # cost this one exists to avoid)
+    plan = plan_of(E.queries()["mixture_rate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Sort " not in plan and "SortMergeJoin" not in plan, plan
