@@ -175,16 +175,27 @@ def gopher_keep(text: Column, max_dup_frac: float = 0.3,
 
 def collapse_token_runs(text: Column) -> Column:
     """Remove CONSECUTIVE repeated tokens ("batch batch batch" → "batch") —
-    the classic crawl-text repetition scrub. Pure higher-order array lambda
-    (index-aware transform + filter), no explode, no shuffle, no Python: a
-    token survives iff it is position 0 or differs from its predecessor.
+    the classic crawl-text repetition scrub. Pure array expressions, no
+    explode, no shuffle, no Python: a token survives iff its predecessor
+    (the same array shifted right by one) differs.
+
+    Formulation note: zip_with against the shifted copy, NOT a lambda
+    doing ``element_at(w, i)`` — a lambda that captures the outer split
+    expression re-evaluates it PER ELEMENT (Catalyst inlines the subtree;
+    no CSE inside higher-order functions), which made this O(tokens ×
+    split-cost) per row — measured 7.4 s → sub-second at sf0.1. zip_with
+    receives both arrays as evaluated-once arguments.
     """
     w = words_of(text)
+    shifted = F.concat(F.array(F.lit(None).cast("string")), w)
+    # zip_with pads the shorter side (w) with null at the end; that pair
+    # has x null and is dropped by the isNotNull guard
+    pairs = F.zip_with(
+        w, shifted, lambda x, p: F.struct(x.alias("w"), p.alias("p"))
+    )
     kept = F.filter(
-        F.transform(w, lambda x, i: F.struct(x.alias("w"), i.alias("i"))),
-        # element_at is 1-based, i is 0-based → element_at(w, s.i) is the
-        # PREVIOUS token when s.i >= 1.
-        lambda s: (s["i"] == 0) | (F.element_at(w, s["i"]) != s["w"]),
+        pairs,
+        lambda s: s["w"].isNotNull() & (s["p"].isNull() | (s["p"] != s["w"])),
     )
     return F.array_join(F.transform(kept, lambda s: s["w"]), " ")
 

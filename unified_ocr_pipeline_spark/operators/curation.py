@@ -8,12 +8,14 @@ corpus needs (C4/CCNet-style line dedup; eval-benchmark n-gram
 decontamination), built per the round brief's training-pipeline mandate.
 
 Scale notes (100 TB posture):
-- line_dedup: ONE shuffle keyed by line content for the doc-frequency
-  aggregate (partial/map-side agg applies), then a broadcast LEFT ANTI
-  against only the OVER-THRESHOLD lines: with threshold k the bad-line set
-  is at most total_lines/k distinct values (pigeonhole), i.e. orders of
-  magnitude smaller than the corpus, so it broadcasts where the full
-  line-frequency table never could. Reassembly is one agg keyed by doc id.
+- line_dedup: the doc-frequency aggregate shuffles keyed by (line, salt) —
+  salted two-level exact distinct-count, because the definitional hot key
+  (a boilerplate line in nearly every doc) would otherwise merge on one
+  reducer — then a broadcast LEFT ANTI against only the OVER-THRESHOLD
+  lines: with threshold k the bad-line set is at most total_lines/k
+  distinct values (pigeonhole), i.e. orders of magnitude smaller than the
+  corpus, so it broadcasts where the full line-frequency table never
+  could. Reassembly is one agg keyed by doc id.
 - decontaminate: the benchmark side (an eval set — thousands of docs, not
   billions) is aggregated to distinct n-grams and broadcast; the corpus
   side streams through a map-side explode + broadcast semi-join + one
@@ -37,6 +39,7 @@ def line_dedup(
     text_col: str,
     max_df: int,
     broadcast_bad: bool = True,
+    df_salt: int = 16,
 ) -> DataFrame:
     """C4/CCNet-style line-level boilerplate removal.
 
@@ -53,6 +56,14 @@ def line_dedup(
     LEFT ANTI (the set is ≤ total_lines/max_df distinct lines, tiny next
     to the corpus); disable it to let AQE choose if a pathological corpus
     makes the set large.
+
+    ``df_salt`` spreads each line's doc-frequency count over that many
+    reducers: a naive ``count_distinct(id)`` merges every occurrence of a
+    line on ONE reducer, and the definitional worst case — a boilerplate
+    line present in nearly every document — is exactly the key that
+    floods it. Ids are disjointly partitioned by ``pmod(xxhash64(id),
+    df_salt)``, so per-salt distinct counts SUM to the exact global
+    doc-frequency (no id is double-counted across salts).
     """
     sid = F.col(id_col)
     lines_arr = F.split(F.col(text_col), "\n")
@@ -67,8 +78,10 @@ def line_dedup(
     ).where(F.regexp_replace("line", _WS_TRIM, "") != "")
 
     bad = (
-        lines.groupBy("line")
-        .agg(F.count_distinct("id").alias("line_df"))
+        lines.groupBy("line", F.pmod(F.xxhash64("id"), F.lit(df_salt)).alias("_s"))
+        .agg(F.count_distinct("id").alias("_d"))
+        .groupBy("line")
+        .agg(F.sum("_d").alias("line_df"))
         .where(F.col("line_df") > max_df)
         .select("line")
     )
@@ -98,20 +111,28 @@ def line_dedup(
     )
 
 
-def _word_ngrams(text, n: int):
-    """Array of word n-gram strings (space-joined) of ``text``; empty
-    array when the doc has fewer than ``n`` tokens. Pure Catalyst
-    expressions — ``sequence`` is guarded because Spark's
-    ``sequence(1, 0)`` counts DOWN instead of returning empty."""
-    toks = F.split(F.regexp_replace(text, _WS_TRIM, ""), r"\s+")
-    n_starts = F.size(toks) - (n - 1)
-    return F.when(
+def _ngrams_of(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    """Adds column ``out``: array of word n-gram strings (space-joined);
+    empty array when the doc has fewer than ``n`` tokens.
+
+    The token array is MATERIALIZED as a column first, so the per-element
+    ``slice`` lambda captures a bound attribute — a lambda capturing the
+    raw split expression re-evaluates the split per element (Catalyst
+    inlines the subtree; no CSE inside higher-order functions), turning
+    this O(tokens × text-length) per row. ``sequence`` is guarded because
+    Spark's ``sequence(1, 0)`` counts DOWN instead of returning empty."""
+    toks = F.split(F.regexp_replace(F.col(text_col), _WS_TRIM, ""), r"\s+")
+    d = df.withColumn("_toks", toks)
+    t = F.col("_toks")
+    n_starts = F.size(t) - (n - 1)
+    ngs = F.when(
         n_starts >= 1,
         F.transform(
             F.sequence(F.lit(1), n_starts),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return d.withColumn(out, ngs).drop("_toks")
 
 
 def decontaminate(
@@ -138,12 +159,13 @@ def decontaminate(
     """
     sid = F.col(id_col)
     bench_ng = (
-        benchmark.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("ng"))
+        _ngrams_of(benchmark, text_col, n, "_ngs")
+        .select(F.explode("_ngs").alias("ng"))
         .distinct()
     )
-    doc_ng = corpus.select(
+    doc_ng = _ngrams_of(corpus, text_col, n, "_ngs").select(
         sid.alias("id"),
-        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("ng"),
+        F.explode(F.array_distinct("_ngs")).alias("ng"),
     )
     hits = (
         doc_ng.join(F.broadcast(bench_ng), "ng", "left_semi")

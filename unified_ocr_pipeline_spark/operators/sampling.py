@@ -254,9 +254,14 @@ def chunk_documents(
     what lets it run ahead of any embedding stage at 100 TB.
     """
     t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
-    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    toks_expr = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    # materialize the token array before the lambda: a lambda capturing
+    # the raw split expression re-evaluates the split once PER CHUNK
+    # (no CSE inside higher-order functions)
+    base = df.select(F.col(id_col).alias("id"), toks_expr.alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     k = (
         F.lit(1)
@@ -270,8 +275,8 @@ def chunk_documents(
             F.slice(toks, i * stride + 1, chunk_tokens).alias("ctoks")
         ),
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_id", "c")
+    return base.select(
+        "id", F.posexplode(chunks).alias("chunk_id", "c")
     ).select(
         "id",
         "chunk_id",
