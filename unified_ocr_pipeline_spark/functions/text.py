@@ -127,15 +127,39 @@ def dup_word_fraction(text: Column) -> Column:
 
 def top_word_coverage(text: Column) -> Column:
     """Fraction of the document consumed by its single most frequent word
-    (Gopher gates docs where one token dominates)."""
+    (Gopher gates docs where one token dominates).
+
+    Computed as the longest equal-run of the SORTED token array via one
+    ``aggregate`` fold — O(n log n) and capture-free. The previous
+    ``transform(distinct, d -> size(filter(w, x == d)))`` was O(distinct ×
+    n) AND re-evaluated the captured split per element (no CSE inside
+    higher-order functions)."""
     w = words_of(text)
     n = F.size(w)
-    counts = F.transform(
-        F.array_distinct(w),
-        lambda d: F.size(F.filter(w, lambda x: x == d)),
+    s = F.array_sort(w)
+    shifted = F.concat(F.array(F.lit(None).cast("string")), s)
+    pairs = F.zip_with(
+        s, shifted, lambda x, p: F.struct(x.alias("x"), p.alias("p"))
+    )
+
+    def merge(acc, e):
+        cur = (
+            F.when(e["x"].isNull(), acc["cur"])  # zip-padding tail entry
+            .when(e["p"].isNotNull() & (e["p"] == e["x"]), acc["cur"] + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            cur.alias("cur"), F.greatest(acc["best"], cur).alias("best")
+        )
+
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        merge,
+        lambda acc: acc["best"],
     )
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.round(F.array_max(counts) / n.cast("double"), 4)
+        F.round(best / n.cast("double"), 4)
     )
 
 

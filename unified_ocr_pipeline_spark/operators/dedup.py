@@ -92,15 +92,25 @@ def _tokens(text) -> List[str]:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text`` as an array column.
 
+    Built by zip_with-folding the token array against its k-shifted tails
+    (all zip_with ARGUMENTS, evaluated once per row) instead of a
+    ``transform(idx, i -> slice(toks, i, n))`` lambda: a lambda capturing
+    the raw split expression re-evaluates the split once per shingle
+    (Catalyst inlines the subtree; no CSE inside higher-order functions).
+    zip_with pads the shorter tail with null and concat_ws skips nulls, so
+    trailing entries hold partial shingles — the final slice drops them.
+
     Guarded for short docs: Spark's ``sequence(1, 0)`` generates a
     DESCENDING [1, 0] rather than an empty array, so size < n must be
     special-cased to an empty result."""
     toks = F.split(F.trim(text), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    acc = toks
+    for k in range(1, n):
+        tail = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+        acc = F.zip_with(acc, tail, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(acc, 1, F.size(toks) - (n - 1))
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-        )
+        F.array_distinct(full)
     )
 
 
