@@ -10,6 +10,10 @@ Reads a pages table (url, warc_ts, html, text, lang), runs preflight +
 extraction + salted-bucket dedup/write + manifests + lineage metrics,
 prints the run summary and the per-language yield. Re-running against the
 same output dir resumes from manifests (completed buckets are skipped).
+
+The pages input may also be a catalog table: pass ``table:<name>`` (an
+Iceberg table when the session configures an Iceberg catalog — see
+sources/tables.py).
 """
 import sys
 
