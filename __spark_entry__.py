@@ -1071,6 +1071,65 @@ def _q_chunk_documents(spark, sf):
     return SAMP.chunk_documents(d, "doc_id", "text", chunk_tokens=64, stride=48)
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup pairs: IVF-cell partition + within-cell cosine >= 0.99.
+    Five planted exact copies (vec_id+1e6, same trick as cosine_near_dups)
+    guarantee same-cell sim-1.0 pairs; the seeded quantizer is replayed
+    literally by the oracle."""
+    e = _t(spark, sf, "embeddings")
+    extra = e.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    u = e.select("vec_id", "embedding").unionByName(extra)
+    cents = IVF.seeded_centroids(16, 64, 42)
+    return IVF.semantic_dedup_pairs(
+        u, "vec_id", "embedding", cents, threshold=0.99
+    )
+
+
+def _semantic_dedup_oracle(
+    threshold: float = 0.99, n_cells: int = 16, dim: int = 64, seed: int = 42
+) -> str:
+    """Replays semantic_dedup_pairs: the seeded centroid literals, the
+    -2·v·c + ||c||² assignment with stable cell tie-break (same as
+    _ivf_topk_oracle), the within-cell self-join, and the unrounded
+    threshold filter before the 4-decimal rounding."""
+    from unified_ocr_pipeline_spark.operators.ivf import seeded_centroids
+
+    cents = seeded_centroids(n_cells, dim, seed)
+    values = ",\n            ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in enumerate(cents)
+    )
+    return f"""
+        WITH cents AS (
+          SELECT cid, cv, list_dot_product(cv, cv) AS c2
+          FROM (VALUES
+            {values}) AS t(cid, cv)),
+        u AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id < 5),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM u),
+        scored AS (
+          SELECT e.vec_id, e.v, cents.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY -2 * list_dot_product(e.v, cents.cv) + cents.c2,
+                            cents.cid) AS crn
+          FROM e CROSS JOIN cents),
+        assign AS (SELECT vec_id, v, cid AS cell FROM scored WHERE crn = 1),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+                 list_cosine_similarity(a.v, b.v) AS s
+          FROM assign a JOIN assign b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(s, 4) AS sim, CAST(cell AS INT) AS cell
+        FROM p WHERE s >= {threshold}
+    """
+
+
 def _q_snapshot_diff(spark, sf):
     """CDC diff between two crawl 'snapshots' (first vs second half of the
     events stream): per-user behavioral fingerprint compared across a
@@ -1148,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "mixture_rate": _q_mixture_rate,
         "chunk_documents": _q_chunk_documents,
+        "semantic_dedup": _q_semantic_dedup,
         "snapshot_diff": _q_snapshot_diff,
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
@@ -2193,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
             FROM k, unnest(range(0, nk)) AS u(i)
         """,
         # mixture_sample: budgets VALUES-list + md5-60 hash-order prefix sum
+        "semantic_dedup": _semantic_dedup_oracle(),
         "mixture_sample": _mixture_oracle(exact=True),
         "mixture_rate": _mixture_oracle(exact=False),
         # decontaminate: distinct word-3-gram overlap vs the doc_id%37==0

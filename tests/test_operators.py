@@ -574,3 +574,50 @@ def test_chunk_documents_sliding_windows(spark):
     assert by_doc[2] == [(0, 2, "a b")]
     assert by_doc[3] == [(0, 0, "")]
     assert by_doc[4] == [(0, 0, "")]
+
+
+def test_semantic_dedup_planted_copies(spark):
+    from unified_ocr_pipeline_spark.operators import ivf as IVF
+
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # planted: 100 is an exact copy of 0; 101 a near-copy (tiny nudge)
+    rows.append((100, list(rows[0][1])))
+    rows.append((101, [x + 0.001 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = IVF.seeded_centroids(8, 16, 42)
+
+    pairs = IVF.semantic_dedup_pairs(
+        df, "vec_id", "embedding", cents, threshold=0.99
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs}
+    assert got[(0, 100)] == 1.0
+    assert (0, 101) in got and got[(0, 101)] >= 0.99
+    assert (100, 101) in got
+    # unrelated gaussians never hit 0.99
+    assert all(a in (0, 100, 101) and b in (0, 100, 101) for a, b in got)
+
+    keep = IVF.semantic_dedup(
+        df, "vec_id", "embedding", cents, threshold=0.99
+    ).collect()
+    by_id = {r["id"]: (r["component"], r["is_canonical"]) for r in keep}
+    # the {0,100,101} group: one component, min id canonical
+    assert set(by_id) == {0, 100, 101}
+    assert by_id[0] == (0, True)
+    assert by_id[100] == (0, False) and by_id[101] == (0, False)
+
+
+def test_semantic_dedup_max_cell_prunes_floods(spark):
+    from unified_ocr_pipeline_spark.operators import ivf as IVF
+
+    # 50 identical vectors -> one flood cell; cap skips it entirely
+    rows = [(i, [1.0] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = IVF.seeded_centroids(4, 8, 42)
+    capped = IVF.semantic_dedup_pairs(
+        df, "vec_id", "embedding", cents, threshold=0.5, max_cell=10
+    )
+    assert capped.count() == 0

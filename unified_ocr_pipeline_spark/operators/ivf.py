@@ -247,3 +247,96 @@ def ivf_topk(
         .where(F.col("rn") <= k)
         .select("qid", "nid", F.round("sim", 4).alias("sim"))
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: List[List[float]],
+    threshold: float = 0.95,
+    max_cell: Optional[int] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest quantizer
+    cell, then compare pairs only WITHIN a cell and keep those with
+    cosine >= threshold. (id_a, id_b, sim, cell), id_a < id_b.
+
+    The cell partition is what makes all-pairs tractable: k cells cut
+    candidate pairs by ~k versus a corpus self-join, and the quantizer is
+    the same one IVF search uses (one NumPy matmul per Arrow batch, no
+    join). ``max_cell`` prunes flood cells (a cell holding more than
+    max_cell vectors is skipped entirely) — same guard as the LSH band
+    and simhash chunk caps; at real scale use enough k-means cells that
+    cells stay small (the paper uses ~10^4-10^5 clusters).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.storagelevel import StorageLevel
+
+    a = assign_cells(df, id_col, vec_col, centroids).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if max_cell is not None:
+        csz = Window.partitionBy("cell")
+        a = (
+            a.withColumn("_n", F.count("*").over(csz))
+            .where(F.col("_n") <= max_cell)
+            .drop("_n")
+        )
+    l = a.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell")
+    r = a.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cell")
+    cand = (
+        l.join(r, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "cell")
+    )
+
+    from .similarity import np_cosine
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            sim = np_cosine(A, B)
+            keep = sim >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "sim": np.round(sim[keep], 4),
+                    "cell": pdf["cell"].to_numpy()[keep],
+                }
+            )
+
+    id_type = a.schema["id"].dataType.simpleString()
+    return cand.mapInPandas(
+        verify, schema=f"id_a {id_type}, id_b {id_type}, sim double, cell int"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: List[List[float]],
+    threshold: float = 0.95,
+    max_cell: Optional[int] = None,
+) -> DataFrame:
+    """Full SemDeDup keep-set: pairs → connected components → keep the
+    min-id representative per semantic-duplicate group. Returns
+    (id, component, is_canonical) for every id that appears in at least
+    one pair; ids with no semantic near-dup are implicitly kept (absent
+    from the output, same contract as dedup_clusters)."""
+    from .cc import connected_components
+
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, centroids, threshold, max_cell
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("component")
+    return comp.withColumn(
+        "is_canonical", F.col("id") == F.min("id").over(w)
+    )
