@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "mixture_rate",
     "chunk_documents",
+    "semantic_dedup",
     "snapshot_diff",
     "ocr_quality_grades",
     "strategy_routing",
