@@ -272,48 +272,56 @@ def semantic_dedup_pairs(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.storagelevel import StorageLevel
 
-    a = assign_cells(df, id_col, vec_col, centroids).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    if max_cell is not None:
-        csz = Window.partitionBy("cell")
-        a = (
-            a.withColumn("_n", F.count("*").over(csz))
-            .where(F.col("_n") <= max_cell)
-            .drop("_n")
-        )
-    l = a.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell")
-    r = a.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cell")
-    cand = (
-        l.join(r, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb", "cell")
-    )
-
+    # single consumer (the per-cell groupBy) — no persist needed; the
+    # max_cell flood guard runs INSIDE the grouped kernel (the group is
+    # already materialized there), avoiding a separate count window
+    a = assign_cells(df, id_col, vec_col, centroids)
     from .similarity import np_cosine
 
-    def verify(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.array(pdf["va"].tolist(), dtype=np.float64)
-            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
-            sim = np_cosine(A, B)
-            keep = sim >= threshold
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "sim": np.round(sim[keep], 4),
-                    "cell": pdf["cell"].to_numpy()[keep],
-                }
-            )
+    # Within-cell pairing as ONE NumPy matmul per cell (applyInPandas),
+    # not a self-join: the join form ships BOTH 64-dim vectors on every
+    # candidate pair row through an exchange (O(pairs × dim) shuffle
+    # bytes); this form shuffles each vector exactly once (O(vectors ×
+    # dim)) and does the m² work inside BLAS. Measured 4.0 s → ~1 s at
+    # sf0.1. The matmul screens with a 1e-9 slack, then the survivors'
+    # sims are recomputed with the shared np_cosine kernel so emitted
+    # values are bit-identical to the per-pair path (and the oracle).
+    def cell_pairs(key, pdf):
+        m = len(pdf)
+        if m < 2 or (max_cell is not None and m > max_cell):
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "sim": [], "cell": []}
+            ).astype({"sim": "float64", "cell": "int32"})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.array(pdf["vec"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(V, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = np.where(norms[:, None] > 0, V / norms[:, None], 0.0)
+        S = Vn @ Vn.T
+        iu, ju = np.triu_indices(m, k=1)
+        cand = S[iu, ju] >= threshold - 1e-9
+        ii, jj = iu[cand], ju[cand]
+        if not len(ii):
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "sim": [], "cell": []}
+            ).astype({"sim": "float64", "cell": "int32"})
+        sim = np_cosine(V[ii], V[jj])
+        keep = sim >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii][keep],
+                "id_b": ids[jj][keep],
+                "sim": np.round(sim[keep], 4),
+                "cell": np.full(int(keep.sum()), key[0], dtype="int32"),
+            }
+        )
 
     id_type = a.schema["id"].dataType.simpleString()
-    return cand.mapInPandas(
-        verify, schema=f"id_a {id_type}, id_b {id_type}, sim double, cell int"
+    return a.groupBy("cell").applyInPandas(
+        cell_pairs, schema=f"id_a {id_type}, id_b {id_type}, sim double, cell int"
     )
 
 
