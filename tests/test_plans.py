@@ -204,6 +204,24 @@ def test_line_dedup_bad_set_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_ngram_jaccard_floods_broadcast_anti(spark):
+    # the OVER-threshold shingle set (pigeonhole-bounded tiny) rides a
+    # broadcast LEFT ANTI; the complement (≈ every distinct shingle in the
+    # corpus) must never be broadcast. Auto-broadcast is disabled so the
+    # only BroadcastHashJoins left are the explicit hints — all of which
+    # must be the anti (the inverted-index self-join stays a shuffle join).
+    import re as _re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(E.queries()["ngram_jaccard"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bhj = _re.findall(r"BroadcastHashJoin \w+", plan)
+    assert bhj and all("LeftAnti" in b for b in bhj), plan
+
+
 def test_decontaminate_benchmark_broadcasts(spark):
     # benchmark n-grams broadcast into a semi-join; the corpus side must
     # not shuffle keyed on n-gram strings (no SortMergeJoin anywhere)

@@ -514,13 +514,18 @@ def ngram_jaccard_pairs(
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes, DF-prune, and both join sides
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    rare = (
+    # Broadcast the OVER-threshold flood set, never its complement: pigeonhole
+    # bounds it at total_shingles / max_shingle_df distinct strings, while the
+    # rare set is ~every distinct shingle in the corpus (billions at 100 TB).
+    # Same direction as line_dedup's over-threshold anti (curation.py). The
+    # plain count(*) partial-aggregates map-side, so no DF-count salt needed.
+    flood = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= max_shingle_df)
+        .where(F.col("df") > max_shingle_df)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(rare), "shingle")
+    sh = sh.join(F.broadcast(flood), "shingle", "left_anti")
     inter = (
         sh.alias("l")
         .join(sh.alias("r"), "shingle")
