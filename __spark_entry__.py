@@ -808,6 +808,37 @@ def _q_multimodal_meta(spark, sf):
     return MM.extract_media_metadata(media)
 
 
+def _q_media_decode_real(spark, sf):
+    """REAL image decode end-to-end: per-doc grayscale PNGs are generated
+    deterministically from doc_id (pixel i = (doc_id + i) % 256, one PNG
+    filter type per row so decode exercises every unfilter path), then
+    parsed back with the pure-stdlib codec (kernels/imagecodec.py). The
+    DuckDB oracle replays the generative formula — so a wrong
+    width/height/unfilter shows up as a value mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from unified_ocr_pipeline_spark.kernels import imagecodec as IC
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "media": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 16, 8 + (did * 7) % 16
+                px = ((np.arange(w * h, dtype=np.int64) + did) % 256).astype(
+                    np.uint8
+                ).reshape(h, w)
+                out["media_id"].append(did)
+                out["media"].append(IC.encode_png(px, filter_mode="cycle"))
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(gen, schema="media_id long, media binary")
+    return MM.extract_media_metadata(media, real=True)
+
+
 # --- curation operators: URL canonicalization / PII / repetition / CDC ----
 # The documents/events tables carry no urls or PII, so these queries
 # synthesize their inputs deterministically from doc_id — the DuckDB oracle
@@ -1211,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
+        "media_decode_real": _q_media_decode_real,
     }
 
 
@@ -2297,5 +2329,26 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS height,
                    sha AS content_sha256
             FROM m
+        """,
+        # media_decode_real: the engine ENCODES a real PNG per doc (pixel i
+        # = (doc_id + i) % 256, w/h from doc_id) and DECODES it with the
+        # pure-stdlib codec; the oracle replays the generative formula, so
+        # any decode error (dims, scanline unfiltering, zlib handling)
+        # breaks the value hash.
+        "media_decode_real": """
+            WITH g AS (
+              SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 7) % 16 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, SUM((doc_id + i.i) % 256) AS px_sum
+              FROM g, LATERAL unnest(generate_series(0, w*h - 1)) AS i(i)
+              GROUP BY doc_id
+            )
+            SELECT g.doc_id AS media_id, 'png' AS format,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(w*h AS BIGINT) AS n_pixels,
+                   CAST(px_sum AS BIGINT) AS px_sum
+            FROM g JOIN px USING (doc_id)
         """,
     }

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "semantic_dedup",
     "snapshot_diff",
+    "media_decode_real",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",

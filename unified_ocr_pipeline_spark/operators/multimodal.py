@@ -1,14 +1,17 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Image/audio/video are carried as opaque ``binary`` columns with a typed
-metadata struct. The Spark-side plumbing — schema, batching, partitioning,
-UDF signature — is real and tested; the actual codec step is STUBBED
-(image/audio libraries are not in this container): ``decode_media`` computes
-deterministic pseudo-metadata from the bytes, and ``decode_media_real`` is
-the clearly-marked seam where a real decoder (PIL/ffmpeg) would plug in.
+metadata struct. The IMAGE path is fully real: ``decode_media_real`` parses
+PNG/BMP/PPM bytes with the pure-stdlib codecs in ``kernels/imagecodec.py``
+(zlib inflate, scanline unfiltering, BMP stride/BGR handling) and reports
+true dimensions plus pixel statistics, and ``enhance_for_ocr`` reproduces
+the reference's preprocess chain (ref scripts/unified_ocr_pipeline.py:
+643-699). Audio/video codecs are not in this container, so ``decode_media``
+remains the deterministic pseudo-metadata stand-in for those (its math is
+replayable in the DuckDB oracle).
 
 Pattern: ``mapInPandas`` with an iterator of batches — same Arrow-batched
-shape as the text-extraction stage, so a real decoder inherits the engine's
+shape as the text-extraction stage, so the decoders inherit the engine's
 scale characteristics (one JVM↔Python crossing per batch, column-pruned
 input, spill-safe partitioning).
 """
@@ -34,13 +37,36 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+REAL_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
 def decode_media_real(payload: bytes) -> dict:
-    """The real-decoder seam. Plug PIL/opencv/ffmpeg here on a cluster image
-    that ships them."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use the deterministic stub (decode_media) for plumbing tests"
-    )
+    """REAL image decode (PNG/BMP/PPM via kernels/imagecodec.py — stdlib
+    zlib/struct + NumPy only): true width/height from the pixel grid, pixel
+    sum over the grayscale plane. Raises ValueError on non-image bytes;
+    audio/video stay on the deterministic stub (decode_media)."""
+    from unified_ocr_pipeline_spark.kernels import imagecodec as IC
+
+    arr, fmt = IC.decode_image(bytes(payload))
+    gray = IC.to_grayscale(arr)
+    return {
+        "n_bytes": len(payload),
+        "format": fmt,
+        "width": int(gray.shape[1]),
+        "height": int(gray.shape[0]),
+        "n_pixels": int(gray.size),
+        "px_sum": int(gray.astype("uint64").sum()),
+        "content_sha256": hashlib.sha256(payload).hexdigest(),
+    }
 
 
 def decode_media(payload: bytes) -> dict:
@@ -83,15 +109,33 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_media_metadata(df: DataFrame) -> DataFrame:
-    """df(media_id long, media binary) → MEDIA_META_SCHEMA rows.
+def _decode_batches_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = [decode_media_real(bytes(p)) for p in pdf["media"]]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].tolist(),
+                "format": [m["format"] for m in metas],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "n_pixels": [m["n_pixels"] for m in metas],
+                "px_sum": [m["px_sum"] for m in metas],
+            }
+        )
 
-    Column-pruned before the Python stage: only (media_id, media) cross the
-    Arrow boundary.
+
+def extract_media_metadata(df: DataFrame, real: bool = False) -> DataFrame:
+    """df(media_id long, media binary) → metadata rows.
+
+    ``real=True`` runs the actual image decoders (REAL_META_SCHEMA with true
+    dimensions + pixel stats); default keeps the audio/video-safe stub
+    (MEDIA_META_SCHEMA). Column-pruned before the Python stage either way:
+    only (media_id, media) cross the Arrow boundary.
     """
-    return df.select("media_id", "media").mapInPandas(
-        _decode_batches, schema=MEDIA_META_SCHEMA
-    )
+    pruned = df.select("media_id", "media")
+    if real:
+        return pruned.mapInPandas(_decode_batches_real, schema=REAL_META_SCHEMA)
+    return pruned.mapInPandas(_decode_batches, schema=MEDIA_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
