@@ -8,8 +8,10 @@ per-language extraction yield (SURVEY.md §7.5).
 from SURVEY.md §2 plus the training-data ops (dedup / similarity / text
 analysis). Every aggregate/computed column is aliased identically on both
 sides; DuckDB integer sums are cast to BIGINT to match Spark's long.
-Genuinely non-SQL-expressible ops (LSH pipelines, the pages extraction
-pipeline, multimodal plumbing) have no oracle entry → rows-only check.
+Every query has an oracle entry (tests/test_entry.py asserts the two key
+sets match): non-SQL-native ops (LSH pipelines, the pages extraction
+pipeline, real PNG decode) replay their seeded math or generative
+formula in SQL instead of dropping to a rows-only check.
 """
 
 from __future__ import annotations

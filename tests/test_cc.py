@@ -59,6 +59,15 @@ def test_dedup_clusters_default_min_id(spark):
     assert rows == {7: True, 8: False}
 
 
+def test_dedup_clusters_rejects_output_column_clash(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(7, 0)], "doc_id long, component int")
+    pairs = _edges(spark, [(7, 7)])
+    with pytest.raises(ValueError, match="component"):
+        CC.dedup_clusters(docs, pairs, "doc_id")
+
+
 def test_incremental_pairs_between(spark):
     import random
     from unified_ocr_pipeline_spark.operators import dedup as DD

@@ -98,11 +98,42 @@ def test_redact_pii_all_kinds(spark):
 
 
 def test_redact_pii_no_false_positives(spark):
-    clean = "totals 10-20 and 1.5% at row 3.4.5 weight 12-345-678"
+    clean = (
+        "totals 10-20 and 1.5% at row 3.4.5 weight 12-345-678, "
+        "ISO date 2024-05-12, order #123456789012, pages 100-200"
+    )
     row = _one_col(spark, [clean], "t").select(
         PII.redact_pii(F.col("t")).alias("r")
     ).collect()[0]
     assert row["r"] == clean
+
+
+def test_redact_pii_phone_format_family(spark):
+    # the NANP/international family from the ADVICE finding — every common
+    # real-world shape redacts, and Spark agrees with DuckDB on the extents
+    import duckdb
+
+    cases = [
+        ("call +1 (555) 123-4567 now", "call [PHONE] now"),
+        ("call (555) 123-4567 now", "call [PHONE] now"),
+        ("call 555.123.4567 now", "call [PHONE] now"),
+        ("call 555-123-4567 now", "call [PHONE] now"),
+        ("call 555 123 4567 now", "call [PHONE] now"),
+        ("call 1-555-123-4567 now", "call [PHONE] now"),
+        ("call +44 20 7946 0958 now", "call [PHONE] now"),
+        ("call 25-989-741-2988 now", "call [PHONE] now"),
+    ]
+    rows = _one_col(spark, [c for c, _ in cases], "t").select(
+        "t", PII.redact_pii(F.col("t")).alias("r")
+    ).collect()
+    got = {r["t"]: r["r"] for r in rows}
+    for raw, want in cases:
+        assert got[raw] == want, raw
+        (ducked,) = duckdb.sql(
+            "SELECT regexp_replace(?, ?, '[PHONE]', 'g')",
+            params=[raw, PII.PHONE_REGEX],
+        ).fetchone()
+        assert ducked == want, f"duckdb disagrees on {raw!r}: {ducked!r}"
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +198,30 @@ def test_snapshot_diff_statuses(spark):
         "u2": "unchanged",
         "u3": "changed",
         "u4": "added",
+    }
+
+
+def test_snapshot_diff_null_fingerprints(spark):
+    # presence, not fingerprint nullness, decides added/removed: a key in
+    # BOTH snapshots with one null fp is changed (null-safe compare), a key
+    # with null fps on both sides is unchanged
+    schema = "url string, fingerprint string"
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", "h3"), ("u5", None)], schema
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1"), ("u2", None), ("u3", None), ("u4", None)], schema
+    )
+    got = {
+        r["url"]: r["change"]
+        for r in snapshot_diff(old, new, ["url"]).collect()
+    }
+    assert got == {
+        "u1": "changed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+        "u5": "removed",
     }
 
 

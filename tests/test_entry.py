@@ -74,12 +74,13 @@ def test_query_matches_oracle(spark, ddb, name):
     _compare(name, spark_pdf, oracle_pdf)
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = E.queries()[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+def test_every_query_has_an_oracle():
+    # oracle coverage must not silently regress: every queries() key needs
+    # a matching oracle_sql() entry (the driver's rows-only fallback is a
+    # weaker check we no longer rely on anywhere), and no orphan oracles.
+    assert _ROWS_ONLY == [], f"queries without an oracle: {_ROWS_ONLY}"
+    orphans = sorted(set(_ORACLED) - set(E.queries().keys()))
+    assert orphans == [], f"oracles without a query: {orphans}"
 
 
 def test_entry_smoke(spark):

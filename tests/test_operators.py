@@ -116,9 +116,25 @@ def test_multimodal_stub_plumbing(spark):
     assert all(again[i] == out[i]["content_sha256"] for i in out)
 
 
-def test_multimodal_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM.decode_media_real(b"\x89PNG")
+def test_multimodal_real_decoder_rejects_non_images():
+    # the real decoder is live for PNG/BMP/PPM (tests/test_imagecodec.py);
+    # non-image bytes still raise so callers route them to the stub
+    with pytest.raises(ValueError):
+        MM.decode_media_real(b"\x89PNG truncated garbage")
+    with pytest.raises(ValueError):
+        MM.decode_media_real(b"RIFFwav-audio-has-no-real-decoder")
+
+
+def test_spread_heuristic_walks_plan_nodes(spark):
+    # a string literal 'Join' in a filter must NOT read as a shuffle —
+    # detection is structural (node names), not plan-text substring match
+    d = spark.range(64).select(F.col("id"), F.lit("Join Sort Window").alias("s"))
+    scan = d.where(F.col("s") == "Join")
+    assert not DD._plan_has_shuffling_node(scan)
+    assert DD._plan_has_shuffling_node(d.groupBy("s").count())
+    assert DD._plan_has_shuffling_node(d.join(d.select("id"), "id"))
+    p = spark.sparkContext.defaultParallelism
+    assert DD._spread_for_python_stage(scan).rdd.getNumPartitions() >= min(p, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,23 @@ def test_write_output_table_append_and_overwrite(spark):
         spark.sql("DROP TABLE IF EXISTS out_seam_t")
 
 
+def test_write_output_genuine_errors_not_swallowed(spark):
+    # a typo'd partition column is a user mistake: it must surface as the
+    # ORIGINAL analysis error, never get retried through the V1 fallback
+    # (which would fail with a second, unrelated message)
+    from pyspark.errors import AnalysisException
+
+    df = spark.range(3).select(F.col("id"))
+    spark.sql("DROP TABLE IF EXISTS out_seam_bad")
+    try:
+        with pytest.raises(AnalysisException) as err:
+            write_output(df, "table:out_seam_bad", partition_cols=["no_such_col"],
+                         mode="overwrite")
+        assert "no_such_col" in str(err.value)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS out_seam_bad")
+
+
 def test_pipeline_runs_from_catalog_table(spark, tmp_path):
     from unified_ocr_pipeline_spark.plans.pipeline import ExtractionPipeline
     from unified_ocr_pipeline_spark.sources.fixtures import write_pages_parquet

@@ -21,9 +21,23 @@ from pyspark.sql import functions as F
 
 # Frozen so the DuckDB oracle embeds byte-identical patterns.
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# Grouped-digit international shape (TPC-H's c_phone format; the reference
-# corpus' buyer-phone extractor kernels/fields.py F9 targets the same family).
-PHONE_REGEX = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"
+# Phone family, ordered alternation (Java and RE2 both scan leftmost
+# position first, then first alternative — same extent on both sides):
+#   1. 22-333-444-5555      TPC-H c_phone / the reference's F9 buyer-phone
+#   2. +1 (555) 123-4567    NANP with parenthesized area code
+#   3. +1 555.123.4567      NANP dashed/dotted/spaced, optional +1/1
+#   4. +44 20 7946 0958     international: +CC then 2-4 digit groups
+# Word-boundary notes: \b never holds before '+' or '(' (non-word chars),
+# so boundaries sit inside the alternatives, after any prefix group. This
+# is a recall-oriented training-data scrub, not a validator — it will
+# redact phone-shaped digit runs (that's the point); it is NOT a
+# production-grade PII system (no E.164 validation, no context model).
+PHONE_REGEX = (
+    r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"
+    r"|(?:\+?1[ .-]?)?\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}\b"
+    r"|(?:\+?1[ .-])?\b\d{3}[ .-]\d{3}[ .-]\d{4}\b"
+    r"|\+\d{1,3}(?:[ .-]\d{2,4}){2,4}\b"
+)
 IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 REDACTIONS = (

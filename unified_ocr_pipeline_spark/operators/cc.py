@@ -147,14 +147,23 @@ def dedup_clusters(
     value (e.g. a quality score), ties and the default broken by lowest
     id — deterministic either way.
 
-    Returns df's ``id_col`` plus (component: same type as the id,
-    is_canonical: boolean). Works for numeric AND string (url) ids — the
-    component label is the min id under the type's natural ordering.
-    One hash join against the (small) component map — broadcast when it
-    fits — plus one window over component for the canonical pick. The
-    window partitions on ``component``; near-dup components are small by
-    construction (LSH caps flood buckets upstream), so no skew hazard.
+    Returns ALL of df's columns plus (component: same type as the id,
+    is_canonical: boolean). A pre-existing ``component``/``is_canonical``
+    column on df is rejected up front (the alternative — silently
+    overwriting or an ambiguous-reference error deep in the plan — both
+    lose). Works for numeric AND string (url) ids — the component label is
+    the min id under the type's natural ordering. One hash join against
+    the (small) component map — broadcast when it fits — plus one window
+    over component for the canonical pick. The window partitions on
+    ``component``; near-dup components are small by construction (LSH caps
+    flood buckets upstream), so no skew hazard.
     """
+    clash = {"component", "is_canonical"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dedup_clusters adds output columns {sorted(clash)} that "
+            "already exist on the input — rename or drop them first"
+        )
     # Renamed join key: with id_col == "id" a bare drop("id") after the
     # join would remove BOTH columns (Spark drops every match by name).
     comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(

@@ -71,15 +71,55 @@ def _spread_for_python_stage(df: DataFrame) -> DataFrame:
     (and that work is re-done by the real action — no stage reuse across
     separate query executions). A plan that already shuffled runs at
     ``spark.sql.shuffle.partitions`` width anyway, so the probe is both
-    expensive and pointless there."""
+    expensive and pointless there.
+
+    Shuffle detection walks the optimized logical plan's NODE NAMES (a
+    TreeNode method, stable across Spark 3/4), not the rendered plan text —
+    a string literal like ``col == 'Join'`` in a filter can no longer
+    disable the spread. If the JVM walk fails (e.g. Spark Connect, where
+    ``_jdf`` is absent), we skip the spread — the fail-safe direction:
+    worst case the kernel runs on fewer partitions, never a wrong result."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    shuffling = ("Join", "Aggregate", "Repartition", "Window", "Sort")
-    if any(k in plan for k in shuffling):
+    try:
+        if _plan_has_shuffling_node(df):
+            return df
+    except Exception:
         return df
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
+
+
+_SHUFFLING_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Distinct",
+        "Deduplicate",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+    }
+)
+
+
+def _plan_has_shuffling_node(df: DataFrame) -> bool:
+    """Walk the optimized logical plan tree and test node names against the
+    shuffle-introducing operator set."""
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _SHUFFLING_NODES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
 
 
 def _tokens(text) -> List[str]:

@@ -30,15 +30,27 @@ def snapshot_diff(
 ) -> DataFrame:
     """Rows keyed by ``key_cols`` classified added/removed/changed/unchanged
     between ``old`` and ``new`` by comparing ``fp_col``. Output columns:
-    ``*key_cols, change, fp_old, fp_new`` (fps null on the absent side)."""
+    ``*key_cols, change, fp_old, fp_new`` (fps null on the absent side).
+
+    Presence is tracked with an explicit marker per side, NOT by
+    fingerprint nullness: a key present in both snapshots with a null
+    fingerprint on one side is ``changed``/``unchanged`` (null-safe
+    compare), never a spurious add/remove. Null KEY columns still never
+    join (SQL semantics) — callers need a non-null key contract, which the
+    engine's url/doc_id keys satisfy by construction.
+    """
     keys = list(key_cols)
-    o = old.select(*keys, F.col(fp_col).alias("fp_old"))
-    n = new.select(*keys, F.col(fp_col).alias("fp_new"))
+    o = old.select(
+        *keys, F.col(fp_col).alias("fp_old"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        *keys, F.col(fp_col).alias("fp_new"), F.lit(True).alias("_in_new")
+    )
     j = o.join(n, keys, "full_outer")
     change: Column = (
-        F.when(F.col("fp_old").isNull(), F.lit(ADDED))
-        .when(F.col("fp_new").isNull(), F.lit(REMOVED))
-        .when(F.col("fp_old") != F.col("fp_new"), F.lit(CHANGED))
+        F.when(F.col("_in_old").isNull(), F.lit(ADDED))
+        .when(F.col("_in_new").isNull(), F.lit(REMOVED))
+        .when(~F.col("fp_old").eqNullSafe(F.col("fp_new")), F.lit(CHANGED))
         .otherwise(F.lit(UNCHANGED))
     )
     return j.select(*keys, change.alias("change"), "fp_old", "fp_new")

@@ -57,6 +57,30 @@ def read_input(spark: SparkSession, spec: str) -> DataFrame:
     return spark.read.parquet(spec)
 
 
+def _is_v1_write_unsupported(exc: Exception) -> bool:
+    """True iff the AnalysisException means "this catalog cannot execute
+    DSv2 writes" (the only case the classic-writer fallback is for).
+    Matched by error condition where available (Spark 4's getCondition /
+    3.x's getErrorClass): _LEGACY_ERROR_TEMP_1012 is 'Cannot write into v1
+    table', UNSUPPORTED_FEATURE.* covers RTAS/append-unsupported; the
+    message probe backstops older Sparks that predate error classes."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        getter = getattr(exc, attr, None)
+        if getter is not None:
+            try:
+                cond = getter()
+            except Exception:
+                cond = None
+            break
+    if cond and (
+        cond == "_LEGACY_ERROR_TEMP_1012" or cond.startswith("UNSUPPORTED_FEATURE")
+    ):
+        return True
+    msg = str(exc)
+    return "Cannot write into v1 table" in msg or "does not support" in msg
+
+
 def write_output(
     df: DataFrame,
     spec: str,
@@ -95,13 +119,20 @@ def write_output(
                 builder().createOrReplace() if exists else builder().create()
             else:
                 builder().append() if exists else builder().create()
-        except AnalysisException:
-            # The built-in V1 session catalog (this sandbox) supports
-            # neither RTAS nor DSv2 appends; classic writer fallback with
-            # the same table/partition semantics, minus atomicity
+        except AnalysisException as exc:
+            # Fall back ONLY for "catalog can't do DSv2 writes" errors —
+            # the built-in V1 session catalog (this sandbox) supports
+            # neither RTAS nor DSv2 appends. Anything else (typo'd
+            # partition column, bad identifier) is a genuine mistake and
+            # must surface as-is, not as a second unrelated failure from
+            # the classic writer.
+            if not _is_v1_write_unsupported(exc):
+                raise
             writer = df.write.mode(mode)
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)
+            # an exception here chains `from exc`, keeping the original
+            # DSv2 error visible in the traceback
             writer.saveAsTable(name)
         return
     writer = df.write.mode(mode)
