@@ -8,6 +8,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+import pytest
+
 from unified_ocr_pipeline_spark.operators.curation import line_dedup
 from unified_ocr_pipeline_spark.operators.sampling import (
     chunk_documents,
@@ -123,3 +125,51 @@ def test_mixture_sample_differential(spark):
             for r in mixture_sample(df, "doc_id", "source", "n", budgets).collect()
         }
         assert got == expected, (trial, budgets, docs)
+
+
+def test_mixture_sample_salted_prefix_sum_is_exact(spark):
+    # the salted two-phase cumsum must be bit-identical to the classic
+    # one-window plan at every salt, cum_tokens included
+    rng = random.Random(23)
+    docs = [
+        (i, rng.choice(["hot", "cold"]) if rng.random() < 0.9 else "cold",
+         rng.randint(1, 30))
+        for i in range(300)
+    ]
+    budgets = {"hot": 900, "cold": 250}
+    df = spark.createDataFrame(docs, "doc_id long, source string, n long")
+
+    def snap(salt):
+        return {
+            r["doc_id"]: r["cum_tokens"]
+            for r in mixture_sample(
+                df, "doc_id", "source", "n", budgets, salt=salt
+            ).collect()
+        }
+
+    base = snap(1)
+    assert base  # non-trivial
+    for salt in (2, 8, 32):
+        assert snap(salt) == base, salt
+
+
+def test_mixture_sample_salt_spreads_hot_source(spark):
+    # phase 2's window must partition on (source, bucket) — the plan's
+    # window hashpartitioning carries the bucket column, so a single hot
+    # source spreads over `salt` reducers instead of one
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(i, "only", 5) for i in range(64)], "doc_id long, source string, n long"
+    )
+    out = mixture_sample(df, "doc_id", "source", "n", {"only": 10_000}, salt=16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert re.search(r"hashpartitioning\([^)]*_mx_bucket", plan), plan
+    with pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "source", "n", {}, salt=3)

@@ -158,6 +158,7 @@ def mixture_sample(
     source_col: str,
     token_col: str,
     budgets: dict,
+    salt: int = 32,
 ) -> DataFrame:
     """Token-budgeted mixture sampling (exact): build a training mixture by
     taking documents per source, in deterministic md5-60 hash order, until
@@ -169,25 +170,71 @@ def mixture_sample(
     Sources absent from ``budgets`` are dropped. Returns the input columns
     plus ``cum_tokens`` (prefix sum INCLUDING the row, handy for audits).
 
-    Cost: ONE window shuffle keyed by source (sort within source by hash).
-    For 100 TB corpora where a per-source global sort is the bottleneck,
-    use :func:`mixture_sample_rate` — a sort-free two-pass approximation
-    whose only wide ops are a tiny per-source aggregate and a broadcast
-    join; this exact variant is for when budget precision matters (small
+    SALTED TWO-PHASE PREFIX SUM (``salt`` > 1, default 32): a naive
+    per-source window sorts each source on ONE reducer — the definitional
+    hot key when one source dominates the mixture. Because md5_60 is
+    uniform on [0, 2^60), the hash-ordered sequence splits into ``salt``
+    contiguous ranges by the hash's high bits; phase 1 aggregates token
+    totals per (source, range) — a tiny relation — and turns them into
+    per-range starting offsets with a window over that tiny relation;
+    phase 2 windows within (source, range) (the hot source now spreads
+    over ``salt`` reducers) and adds the broadcast offset back. The result
+    is bit-identical to the single-window plan for any ``salt`` (equal
+    hashes share a range, so the (hash, id) tiebreak order is preserved).
+    ``salt=1`` degenerates to the classic one-window plan.
+
+    For 100 TB corpora where even the salted exact pass is too much, use
+    :func:`mixture_sample_rate` — a sort-free two-pass approximation whose
+    only wide ops are a tiny per-source aggregate and a broadcast join;
+    this exact variant is for when budget precision matters (small
     high-value sources, eval mixtures).
     """
+    if salt < 1 or (salt & (salt - 1)) != 0:
+        raise ValueError(f"salt must be a power of two, got {salt}")
     b = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )
+    budget = F.coalesce(b[F.col(source_col)], F.lit(0))
+    h = md5_60(F.col(id_col))
+    if salt == 1:
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(h, F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(F.col(token_col)).over(w)
+        return df.withColumn("cum_tokens", cum).where(
+            (F.col("cum_tokens") - F.col(token_col)) < budget
+        )
+    k = salt.bit_length() - 1
+    bucketed = df.withColumn("_mx_bucket", F.shiftright(h, 60 - k))
+    offsets = (
+        bucketed.groupBy(source_col, "_mx_bucket")
+        .agg(F.sum(F.col(token_col)).alias("_range_tokens"))
+        .withColumn(
+            "_mx_offset",
+            F.coalesce(
+                F.sum("_range_tokens").over(
+                    Window.partitionBy(source_col)
+                    .orderBy("_mx_bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(source_col, "_mx_bucket", "_mx_offset")
+    )
     w = (
-        Window.partitionBy(source_col)
-        .orderBy(md5_60(F.col(id_col)), F.col(id_col))
+        Window.partitionBy(source_col, "_mx_bucket")
+        .orderBy(h, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(token_col)).over(w)
-    return df.withColumn("cum_tokens", cum).where(
-        (F.col("cum_tokens") - F.col(token_col))
-        < F.coalesce(b[F.col(source_col)], F.lit(0))
+    return (
+        bucketed.withColumn("_local_cum", F.sum(F.col(token_col)).over(w))
+        .join(F.broadcast(offsets), [source_col, "_mx_bucket"])
+        .withColumn("cum_tokens", F.col("_mx_offset") + F.col("_local_cum"))
+        .where((F.col("cum_tokens") - F.col(token_col)) < budget)
+        .drop("_mx_bucket", "_mx_offset", "_local_cum")
     )
 
 
