@@ -72,6 +72,26 @@ BENCH_QUERIES = [
 ]
 
 
+def regression_check(out: dict, baseline: dict) -> dict:
+    """Compare a bench result against the pinned calm-window engine
+    baseline (BASELINE-ENGINE.json). Applies only at the baseline's
+    sf/cpus; returns {} otherwise. ``regression_flag`` trips when
+    docs/sec falls more than ``regression_threshold`` below the pin —
+    a FLAG, not a hard fail: this host's delivered CPU swings up to 4×
+    between windows (BENCH/BASELINE.md), so a flag means "spin-probe and
+    re-run in a calm window before believing the code got slower"."""
+    if out.get("sf") != baseline.get("sf") or out.get("cpus") != baseline.get("cpus"):
+        return {}
+    pin = baseline["docs_per_sec_calm"]
+    thresh = baseline.get("regression_threshold", 0.25)
+    ratio = out["docs_per_sec"] / pin if pin else float("nan")
+    return {
+        "baseline_docs_per_sec": pin,
+        "vs_baseline": round(ratio, 3),
+        "regression_flag": bool(ratio < 1.0 - thresh),
+    }
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -154,6 +174,11 @@ def main() -> None:
         "docs_per_sec": round(res.rows_written / e2e_sec, 2),
         "input_mb_per_sec": round(input_bytes / 1e6 / e2e_sec, 2),
     }
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE-ENGINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            out.update(regression_check(out, json.load(fh)))
     spark.stop()
     print(json.dumps(out))
 

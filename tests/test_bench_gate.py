@@ -1,0 +1,48 @@
+"""The bench regression gate: pinned calm-window baseline + flag logic.
+
+bench.py appends baseline comparison fields to its JSON line whenever the
+run's sf/cpus match BASELINE-ENGINE.json's. The gate is exercised here on
+synthetic results (a full bench run is minutes, not test-suite material);
+the round's real bench output is the driver's BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _baseline() -> dict:
+    with open(os.path.join(REPO, "BASELINE-ENGINE.json")) as fh:
+        return json.load(fh)
+
+
+def test_baseline_pin_is_well_formed():
+    b = _baseline()
+    assert b["sf"] == 0.1 and b["cpus"] == 32
+    assert b["docs_per_sec_calm"] > 0
+    assert 0 < b["regression_threshold"] < 1
+
+
+def test_gate_flags_only_real_regressions():
+    b = _baseline()
+    pin = b["docs_per_sec_calm"]
+    ok = bench.regression_check({"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.9}, b)
+    assert ok["regression_flag"] is False and ok["vs_baseline"] == 0.9
+    bad = bench.regression_check({"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.5}, b)
+    assert bad["regression_flag"] is True
+    # boundary: exactly at the threshold is NOT a regression
+    edge = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin * (1 - b["regression_threshold"])}, b
+    )
+    assert edge["regression_flag"] is False
+
+
+def test_gate_skips_mismatched_scale():
+    b = _baseline()
+    assert bench.regression_check({"sf": 0.01, "cpus": 32, "docs_per_sec": 1.0}, b) == {}
+    assert bench.regression_check({"sf": 0.1, "cpus": 8, "docs_per_sec": 1.0}, b) == {}
