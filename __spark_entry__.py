@@ -810,6 +810,14 @@ def _q_multimodal_meta(spark, sf):
     return MM.extract_media_metadata(media)
 
 
+def _q_split_assign(spark, sf):
+    """Deterministic hash-based train/val/test assignment (80/10/10)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    return SAMP.split_assign(
+        d, "doc_id", [("train", 8), ("val", 1), ("test", 1)]
+    )
+
+
 def _q_media_decode_real(spark, sf):
     """REAL image decode end-to-end: per-doc grayscale PNGs are generated
     deterministically from doc_id (pixel i = (doc_id + i) % 256, one PNG
@@ -1245,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
         "media_decode_real": _q_media_decode_real,
+        "split_assign": _q_split_assign,
     }
 
 
@@ -2352,5 +2361,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w*h AS BIGINT) AS n_pixels,
                    CAST(px_sum AS BIGINT) AS px_sum
             FROM g JOIN px USING (doc_id)
+        """,
+        # split_assign: md5-60 uniform in [0,1) via the same 15-hex-char
+        # trick; both engines compute v/2^60 in IEEE double on identical
+        # v, so the boundary comparisons agree bit-for-bit.
+        "split_assign": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS p
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN p < 0.8 THEN 'train'
+                        WHEN p < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
         """,
     }

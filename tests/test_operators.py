@@ -626,6 +626,47 @@ def test_semantic_dedup_planted_copies(spark):
     assert by_id[100] == (0, False) and by_id[101] == (0, False)
 
 
+def test_split_assign_deterministic_and_stable(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    weights = [("train", 8), ("val", 1), ("test", 1)]
+    full = spark.range(2000).withColumnRenamed("id", "doc_id")
+    assign = {
+        r["doc_id"]: r["split"]
+        for r in SAMP.split_assign(full, "doc_id", weights).collect()
+    }
+    # proportions near 80/10/10 (hash-uniform; 3σ ≈ 2.7% at n=2000)
+    from collections import Counter
+
+    c = Counter(assign.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.04
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+    # growth-stable: the first 500 ids keep their split when the corpus
+    # is only those 500 (randomSplit cannot promise this)
+    sub = spark.range(500).withColumnRenamed("id", "doc_id")
+    sub_assign = {
+        r["doc_id"]: r["split"]
+        for r in SAMP.split_assign(sub, "doc_id", weights).collect()
+    }
+    assert all(assign[i] == sub_assign[i] for i in range(500))
+    # a different seed rotates assignments
+    rot = {
+        r["doc_id"]: r["split"]
+        for r in SAMP.split_assign(full, "doc_id", weights, seed="v2").collect()
+    }
+    assert rot != assign
+    # pure JVM projection: no exchange, no Python
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        SAMP.split_assign(full, "doc_id", weights).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
 def test_semantic_dedup_trained_quantizer_end_to_end(spark):
     """SemDeDup over kmeans_train centroids on the embeddings fixture
     (not just seeded ones): (a) trained cells are balanced where the

@@ -152,6 +152,42 @@ def vocab_topk(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple],
+    split_col: str = "split",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by id hash.
+
+    ``weights`` is an ordered list of (name, weight) pairs; each row gets
+    the split whose cumulative weight range contains
+    ``md5_60(seed || id) / 2^60``. Hash-based, so (a) re-runs and
+    incremental batches assign identically — a doc never migrates between
+    train and test as the corpus grows (randomSplit can't promise that:
+    it's partition-order-dependent), and (b) the same doc_id lands in the
+    same split across every table it appears in. ``seed`` rotates the
+    assignment without touching ids. Pure JVM expression — no shuffle, no
+    Python; replayable in ANSI SQL for the oracle.
+    """
+    total = float(sum(w for _, w in weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = md5_60(F.concat(F.lit(seed), F.col(id_col).cast("string"))) / F.lit(
+        float(2**60)
+    )
+    expr = None
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w / total
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    last = F.lit(weights[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,
