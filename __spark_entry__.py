@@ -810,6 +810,15 @@ def _q_multimodal_meta(spark, sf):
     return MM.extract_media_metadata(media)
 
 
+def _q_substring_dup(spark, sf):
+    """Exact substring-duplication coverage (k-gram form of Lee et al.
+    exact-substring dedup): per-doc duplicated-token stats at k=5."""
+    d = _t(spark, sf, "documents")
+    return DD.substring_dup_stats(d, "doc_id", "text", k=5).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def _q_split_assign(spark, sf):
     """Deterministic hash-based train/val/test assignment (80/10/10)."""
     d = _t(spark, sf, "documents").select("doc_id")
@@ -1254,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "media_decode_real": _q_media_decode_real,
         "split_assign": _q_split_assign,
+        "substring_dup": _q_substring_dup,
     }
 
 
@@ -2376,5 +2386,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN p < 0.9 THEN 'val'
                         ELSE 'test' END AS split
             FROM u
+        """,
+        # substring_dup: replay the k-gram coverage math — same regex
+        # ws-trim/split recipe as token_stats, gram hash = md5-60 of the
+        # space-joined k-gram, duplicated iff >= 2 distinct docs carry it,
+        # coverage = distinct token positions under any duplicated gram.
+        # dup_bp uses floor (not round) so no rounding-mode divergence.
+        "substring_dup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(
+                                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                     END AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, i.i - 1 AS start,
+                     CAST('0x' || substr(md5(array_to_string(t[i.i:i.i+4], ' ')), 1, 15)
+                          AS BIGINT) AS h
+              FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS i(i)
+              WHERE len(t) >= 5),
+            dups AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            ds AS (SELECT doc_id, start FROM g JOIN dups USING (h)),
+            cov AS (
+              SELECT ds.doc_id, count(DISTINCT p.p) AS covered
+              FROM ds, LATERAL unnest(generate_series(ds.start, ds.start + 4)) AS p(p)
+              GROUP BY ds.doc_id),
+            ng AS (SELECT doc_id, count(*) AS n_dup_grams FROM ds GROUP BY doc_id)
+            SELECT toks.doc_id,
+                   CAST(len(t) AS INT) AS n_tokens,
+                   CAST(coalesce(ng.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+                   CAST(CASE WHEN len(t) = 0 THEN 0
+                        ELSE floor(coalesce(cov.covered, 0) * 10000.0 / len(t))
+                        END AS BIGINT) AS dup_bp
+            FROM toks
+            LEFT JOIN cov USING (doc_id)
+            LEFT JOIN ng USING (doc_id)
         """,
     }

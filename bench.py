@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "snapshot_diff",
     "media_decode_real",
+    "split_assign",
+    "substring_dup",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",

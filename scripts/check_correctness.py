@@ -7,7 +7,8 @@ an order-insensitive value hash (columns sorted by name, rows sorted,
 floats rounded to 6 significant decimals). Queries with no oracle get a
 rows-only check (must return >= 0 rows without error).
 
-Run: python scripts/check_correctness.py [sf_dir]
+Run: python scripts/check_correctness.py [sf_dir] [query ...]
+(extra args restrict the run to those query names)
 """
 
 from __future__ import annotations
@@ -64,6 +65,12 @@ def main() -> None:
 
     spark = get_spark(app_name="check_correctness", cores=8, shuffle_partitions=8)
     qmap, omap = E.queries(), E.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qmap)
+        if unknown:
+            sys.exit(f"unknown query names: {sorted(unknown)}")
+        qmap = {k: v for k, v in qmap.items() if k in only}
 
     failures = []
     for name, fn in qmap.items():

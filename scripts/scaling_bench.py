@@ -257,7 +257,10 @@ def main() -> None:
         f"| {p['round']} | {p['lo']['docs_per_sec']} | {p['hi']['docs_per_sec']} "
         f"| {p['eff']} |" for p in p832
     )
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    # Write the per-run snapshot to a sidecar file: BENCH/BASELINE.md is
+    # the hand-maintained cross-session record and must never be clobbered
+    # by a single run (new rounds get merged into it by hand).
+    with open(f"{REPO}/BENCH/SCALING_LAST_RUN.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (N→4N criterion, sandbox-adapted)
 
 The north rule requires documents/sec scaling efficiency ≥ 0.8 between N

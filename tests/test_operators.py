@@ -626,6 +626,54 @@ def test_semantic_dedup_planted_copies(spark):
     assert by_id[100] == (0, False) and by_id[101] == (0, False)
 
 
+def test_substring_dup_stats_planted(spark):
+    docs = [
+        (1, "a b c d e f g h"),          # shares "a b c d e" with doc 2
+        (2, "x y a b c d e z"),
+        (3, "a b"),                       # shorter than k
+        (4, "p q r s t p q r s t"),       # within-doc repeat only → NOT dup
+        (5, "totally different words here nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: (r["n_tokens"], r["n_dup_grams"], r["covered_tokens"], r["dup_bp"])
+        for r in DD.substring_dup_stats(df, "doc_id", "text", k=5).collect()
+    }
+    assert len(out) == 5                          # every doc present
+    assert out[1] == (8, 1, 5, 6250)              # tokens 0-4 covered
+    assert out[2] == (8, 1, 5, 6250)              # tokens 2-6 covered
+    assert out[3] == (2, 0, 0, 0)
+    assert out[4] == (10, 0, 0, 0)                # cross-doc only
+    assert out[5] == (8, 0, 0, 0)
+
+
+def test_substring_dup_overlapping_grams_merge_coverage(spark):
+    # two docs share a 6-token run at k=5: 2 overlapping grams, coverage
+    # is the union (6 tokens), not 2×5
+    docs = [
+        (1, "s1 s2 s3 s4 s5 s6 tail1 tail2"),
+        (2, "pre s1 s2 s3 s4 s5 s6"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: (r["n_dup_grams"], r["covered_tokens"])
+        for r in DD.substring_dup_stats(df, "doc_id", "text", k=5).collect()
+    }
+    assert out[1] == (2, 6) and out[2] == (2, 6)
+
+
+def test_substring_dup_flood_guard(spark):
+    # a gram in >max_gram_df docs is boilerplate — skipped entirely
+    docs = [(i, "same old cookie banner line") for i in range(1, 5)]
+    docs.append((9, "uniq1 uniq2 uniq3 uniq4 uniq5"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = DD.substring_dup_stats(df, "doc_id", "text", k=5, max_gram_df=3)
+    assert all(r["n_dup_grams"] == 0 for r in capped.collect())
+    uncapped = DD.substring_dup_stats(df, "doc_id", "text", k=5)
+    got = {r["id"]: r["n_dup_grams"] for r in uncapped.collect()}
+    assert all(got[i] == 1 for i in range(1, 5)) and got[9] == 0
+
+
 def test_split_assign_deterministic_and_stable(spark):
     from unified_ocr_pipeline_spark.operators import sampling as SAMP
 

@@ -588,3 +588,115 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication (k-gram coverage)
+# ---------------------------------------------------------------------------
+
+def positioned_shingles(text: Column, k: int) -> Column:
+    """ALL word k-gram shingles of ``text`` in document order (duplicates
+    kept, unlike :func:`word_shingles` — position matters here). Same
+    zip_with fold; the i-th array element is the k-gram starting at token
+    i (0-based after explode via posexplode). Regex ws-trim (not F.trim,
+    which strips spaces only) so the token recipe matches functions/text
+    and the SQL oracles."""
+    toks = F.split(F.regexp_replace(text, r"^\s+|\s+$", ""), r"\s+")
+    acc = toks
+    for j in range(1, k):
+        tail = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        acc = F.zip_with(acc, tail, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(acc, 1, F.size(toks) - (k - 1))
+    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(full)
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_gram_df: Optional[int] = None,
+) -> DataFrame:
+    """Exact substring-duplication coverage per document — the scalable
+    k-gram form of exact-substring dedup (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"): a token position is *duplicated* iff it lies inside some
+    word k-gram that also occurs in ANOTHER document. The paper's
+    suffix-array construction is single-node-RAM-bound; the k-gram
+    relaxation (any shared run >= k tokens is caught, shorter ones are
+    not) is the standard distributed substitute and needs only
+    hash-agg + join machinery.
+
+    Returns one row per input document:
+    (id, n_tokens int, n_dup_grams long, covered_tokens long, dup_bp long)
+    where ``dup_bp`` = floor(covered/n_tokens * 10000) — integer basis
+    points, so the DuckDB oracle matches bit-for-bit with no
+    rounding-mode question.
+
+    Scale shape: the gram explode is map-side (k-gram build is a JVM
+    zip_with fold, no Python); cross-doc grams are found with ONE
+    hash-agg on the 60-bit gram hash (partial agg collapses within-doc
+    repeats map-side) and joined back as a shuffle join on the hash —
+    never broadcast (the duplicated-gram set is corpus-sized in the
+    worst case). Coverage is an explode of at most k positions per
+    duplicated gram + a distinct count. ``max_gram_df`` skips grams
+    appearing in more than that many documents (boilerplate floods —
+    same guard family as line_dedup / ngram_jaccard; those positions are
+    better handled by line_dedup upstream).
+    """
+    from .sampling import md5_60
+
+    trimmed = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.split(trimmed, r"\s+")
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    ).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        positioned_shingles(F.col(text_col), k).alias("_grams"),
+    )
+    g = base.select(
+        "id", F.posexplode("_grams").alias("start", "gram")
+    ).select("id", "start", md5_60(F.col("gram")).alias("h"))
+
+    dup_filter = F.count_distinct("id") >= 2
+    if max_gram_df is not None:
+        dup_filter = dup_filter & (F.count_distinct("id") <= max_gram_df)
+    dups = g.groupBy("h").agg(dup_filter.alias("_keep")).where("_keep").select("h")
+
+    dup_starts = g.join(dups, "h").select("id", "start")
+    per_doc = (
+        dup_starts.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .groupBy("id")
+        .agg(F.count_distinct("pos").alias("covered_tokens"))
+        .join(
+            dup_starts.groupBy("id").agg(F.count("*").alias("n_dup_grams")),
+            "id",
+        )
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.coalesce("covered_tokens", F.lit(0))
+                    * F.lit(10000.0)
+                    / F.col("n_tokens")
+                )
+            )
+            .cast("long")
+            .alias("dup_bp"),
+        )
+    )
