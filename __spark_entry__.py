@@ -819,6 +819,41 @@ def _q_substring_dup(spark, sf):
     )
 
 
+def _q_tfidf_topk(spark, sf):
+    """Top-5 TF-IDF keywords per document (corpus-level term weighting:
+    one vocabulary-scale df agg + shuffle join, window top-k with
+    WindowGroupLimit pushdown)."""
+    d = _t(spark, sf, "documents")
+    return CUR.tfidf_topk(d, "doc_id", "text", k=5, max_df_frac=0.9).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q_cms_freq(spark, sf):
+    """Count-min-sketch token frequencies (width 16 x depth 3 — small
+    enough that the 31-token fixture vocabulary actually collides, so the
+    min-over-rows recovery logic is what's being checked)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.regexp_replace("text", r"^\s+|\s+$", ""), r"\s+")
+        ).alias("token")
+    ).where(F.length("token") > 0)
+    sk = SAMP.count_min_sketch(toks, "token", width=16, depth=3)
+    return SAMP.cms_estimate(sk, toks, "token", width=16, depth=3)
+
+
+def _q_bloom_anti_join(spark, sf):
+    """Bloom-prefiltered EXACT anti-join (continuous-crawl shape): the
+    'new batch' (doc_id % 10 == 0) is tested map-side against a bitmap
+    folded from the stored corpus; only bloom-positives pay the exact
+    left-anti join, and the result equals the plain anti-join."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return DD.bloom_anti_join(new, corpus, "text", num_bits=1 << 16).select("doc_id")
+
+
 def _q_split_assign(spark, sf):
     """Deterministic hash-based train/val/test assignment (80/10/10)."""
     d = _t(spark, sf, "documents").select("doc_id")
@@ -1264,6 +1299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_real": _q_media_decode_real,
         "split_assign": _q_split_assign,
         "substring_dup": _q_substring_dup,
+        "tfidf_topk": _q_tfidf_topk,
+        "bloom_anti_join": _q_bloom_anti_join,
+        "cms_freq": _q_cms_freq,
     }
 
 
@@ -2424,5 +2462,79 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             LEFT JOIN cov USING (doc_id)
             LEFT JOIN ng USING (doc_id)
+        """,
+        # tfidf_topk: same ws-trim/split token recipe; idf =
+        # ln((N+1)/(df+1)) with N = docs having >= 1 token; drop tokens
+        # with df > floor(0.9*N) (the synthetic fixture's 31-token vocabulary is nearly all high-df); row_number ties break by token ASC on
+        # both engines. DuckDB ln == Spark F.log (natural log); the
+        # float hash canon rounds to 6 significant digits.
+        "tfidf_topk": r"""
+            WITH tok AS (
+              SELECT doc_id, t.token
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(
+                             regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                             '\s+') AS arr
+                    FROM documents) d,
+                   LATERAL unnest(d.arr) AS t(token)
+              WHERE length(t.token) > 0),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS INT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+                     tf.tf * ln((n.n_docs + 1.0) / (dft.df + 1.0)) AS tfidf
+              FROM tf JOIN dft USING (token), n
+              WHERE dft.df <= floor(0.9 * n.n_docs))
+            SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+            FROM (SELECT *,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, token ASC)
+                           AS rnk
+                  FROM scored)
+            WHERE rnk <= 5
+        """,
+        # bloom_anti_join: the bloom bitmap is a pure prefilter with no
+        # false negatives, so the result is definitionally the plain
+        # anti-join — which IS the oracle.
+        "bloom_anti_join": """
+            SELECT n.doc_id
+            FROM documents n
+            WHERE n.doc_id % 10 = 0
+              AND NOT EXISTS (SELECT 1 FROM documents c
+                              WHERE c.doc_id % 10 <> 0
+                                AND c.text = n.text)
+        """,
+        # cms_freq: replay the count-min math — hash_d = md5-60 of
+        # 'token:d' mod width, cell counts over all occurrences, estimate
+        # = min over depth rows (left join + 0 floor matches the Spark
+        # side).
+        "cms_freq": r"""
+            WITH tok AS (
+              SELECT t.token
+              FROM (SELECT regexp_split_to_array(
+                             regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                             '\s+') AS arr
+                    FROM documents) d,
+                   LATERAL unnest(d.arr) AS t(token)
+              WHERE length(t.token) > 0),
+            dd AS (SELECT unnest(generate_series(0, 2)) AS d),
+            occ AS (
+              SELECT dd.d,
+                     CAST('0x' || substr(md5(tok.token || ':' ||
+                                             CAST(dd.d AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 16 AS b
+              FROM tok, dd),
+            cell AS (SELECT d, b, count(*) AS cnt FROM occ GROUP BY d, b),
+            keys AS (
+              SELECT k.token, dd.d,
+                     CAST('0x' || substr(md5(k.token || ':' ||
+                                             CAST(dd.d AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 16 AS b
+              FROM (SELECT DISTINCT token FROM tok) k, dd)
+            SELECT keys.token AS key, min(coalesce(cell.cnt, 0)) AS est
+            FROM keys LEFT JOIN cell USING (d, b)
+            GROUP BY keys.token
         """,
     }

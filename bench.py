@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "media_decode_real",
     "split_assign",
     "substring_dup",
+    "tfidf_topk",
+    "bloom_anti_join",
+    "cms_freq",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",

@@ -803,3 +803,128 @@ def test_semantic_dedup_max_cell_prunes_floods(spark):
         df, "vec_id", "embedding", cents, threshold=0.5, max_cell=10
     )
     assert capped.count() == 0
+
+
+def test_tfidf_topk_planted(spark):
+    from unified_ocr_pipeline_spark.operators import curation as CUR
+    import math
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple date elderberry elderberry elderberry"),
+        (4, ""),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = CUR.tfidf_topk(df, "doc_id", "text", k=2, max_df_frac=0.9).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["rnk"], r["token"], r["tf"], r["df"]))
+    # empty/whitespace docs emit nothing
+    assert set(by_doc) == {1, 2, 3}
+    # doc 3: elderberry tf=3 df=1 dominates; apple/date tie at tf=1 df=2
+    # -> token asc picks apple
+    assert sorted(by_doc[3]) == [(1, "elderberry", 3, 1), (2, "apple", 1, 2)]
+    # doc 1: apple tf=2 df=2 beats banana/cherry tf=1 df=2 (banana by tiebreak)
+    assert sorted(by_doc[1]) == [(1, "apple", 2, 2), (2, "banana", 1, 2)]
+    # score check: N=3 docs with tokens
+    r = [x for x in out if x["id"] == 3 and x["token"] == "elderberry"][0]
+    assert abs(r["tfidf"] - 3 * math.log(4.0 / 2.0)) < 1e-12
+
+
+def test_tfidf_topk_max_df_prune(spark):
+    from unified_ocr_pipeline_spark.operators import curation as CUR
+
+    # 'common' appears in all 4 docs -> pruned at max_df_frac=0.5
+    docs = [(i, f"common unique{i}") for i in range(1, 5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = CUR.tfidf_topk(df, "doc_id", "text", k=5, max_df_frac=0.5).collect()
+    assert {r["token"] for r in out} == {f"unique{i}" for i in range(1, 5)}
+    assert all(r["rnk"] == 1 for r in out)
+
+
+def test_bloom_anti_join_equals_exact_anti_join(spark):
+    # overlapping key sets incl. a null key on both sides
+    corpus = spark.createDataFrame(
+        [(i, f"key{i}") for i in range(0, 60)] + [(99, None)],
+        "cid long, k string",
+    )
+    new = spark.createDataFrame(
+        [(i, f"key{i}") for i in range(50, 80)] + [(199, None)],
+        "nid long, k string",
+    )
+    got = {
+        r["nid"] for r in DD.bloom_anti_join(new, corpus, "k", num_bits=1 << 12).collect()
+    }
+    want = {r["nid"] for r in new.join(corpus.select("k"), "k", "left_anti").collect()}
+    assert got == want
+    assert got == set(range(60, 80)) | {199}  # null-key row survives
+
+
+def test_bloom_bitmap_no_false_negatives_and_prefilters(spark):
+    import numpy as np
+
+    corpus = spark.createDataFrame(
+        [(f"stored-{i}",) for i in range(500)], "k string"
+    )
+    bm = DD.build_bloom_bitmap(corpus, "k", num_bits=1 << 16, num_hashes=5)
+
+    def probe(keys):
+        import pandas as pd
+        h = spark.createDataFrame([(k,) for k in keys], "k string").select(
+            F.xxhash64("k").alias("h1"),
+            F.xxhash64("k", F.lit(DD._BLOOM_SEED)).alias("h2"),
+        ).toPandas()
+        m = np.uint64(1 << 16)
+        h1 = h["h1"].to_numpy(np.int64).view(np.uint64)
+        h2 = h["h2"].to_numpy(np.int64).view(np.uint64)
+        res = np.ones(len(h1), bool)
+        for i in range(5):
+            pos = (h1 + np.uint64(i) * h2) & (m - np.uint64(1))
+            res &= ((bm[(pos >> np.uint64(3)).astype(np.int64)]
+                     >> (pos & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+        return res
+
+    # no false negatives: every stored key must test positive
+    assert probe([f"stored-{i}" for i in range(500)]).all()
+    # prefiltering works: disjoint keys overwhelmingly test negative
+    # (500 keys * 5 hashes in 65536 bits -> fpp ~ (1-e^-0.038)^5 ~ 1e-7)
+    fp = probe([f"fresh-{i}" for i in range(1000)]).sum()
+    assert fp == 0
+
+
+def test_bloom_anti_join_empty_corpus(spark):
+    corpus = spark.createDataFrame([], "k string")
+    new = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {r["k"] for r in DD.bloom_anti_join(new, corpus, "k").collect()}
+    assert got == {"a", "b"}
+
+
+def test_cms_never_undercounts_and_width1_sums_all(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+    # width=1: every key shares the one cell -> est = total non-null occurrences
+    sk1 = SAMP.count_min_sketch(df, "k", width=1, depth=3)
+    est1 = {r["key"]: r["est"] for r in SAMP.cms_estimate(sk1, df, "k", 1, 3).collect()}
+    assert est1 == {"a": 111, "b": 111, "c": 111}
+    # wide sketch: exact; never undercounts regardless
+    sk = SAMP.count_min_sketch(df, "k", width=256, depth=5)
+    est = {r["key"]: r["est"] for r in SAMP.cms_estimate(sk, df, "k", 256, 5).collect()}
+    assert est == {"a": 100, "b": 10, "c": 1}
+    # sketch size is bounded by depth*width, not rows
+    assert sk.count() <= 256 * 5
+
+
+def test_cms_estimate_unknown_key_zero_floor(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    corpus = spark.createDataFrame([("x",)] * 7, "k string")
+    sk = SAMP.count_min_sketch(corpus, "k", width=64, depth=4)
+    probe = spark.createDataFrame([("x",), ("never-seen",)], "k string")
+    est = {r["key"]: r["est"] for r in SAMP.cms_estimate(sk, probe, "k", 64, 4).collect()}
+    assert est["x"] == 7
+    # an absent key hits empty cells -> 0 (cannot be negative/undercount)
+    assert est["never-seen"] == 0

@@ -24,7 +24,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ASCII whitespace tokenizer shared with the DuckDB oracles: Java regex \s
@@ -182,4 +182,76 @@ def decontaminate(
                 "contaminated"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k keywords per document
+# ---------------------------------------------------------------------------
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the standard corpus-level
+    term-weighting pass (keyword extraction / near-dup feature vectors /
+    topic routing for training-data curation).
+
+    tf = in-document occurrences of the token; df = number of documents
+    containing it; idf = ln((N + 1) / (df + 1)) with N = documents that
+    have at least one token. Tokens present in more than
+    ``max_df_frac * N`` documents are dropped before scoring (corpus
+    stopwords / boilerplate carry no signal and dominate the join
+    volume). Ties rank by token ascending so the result is fully
+    deterministic.
+
+    Returns (id, token, tf int, df long, tfidf double, rnk int) with
+    rnk in 1..k per document; documents with no surviving token emit no
+    rows.
+
+    Scale shape (100 TB posture): the tokenizer is a JVM split + explode
+    on scan partitions (no Python); tf is ONE hash-agg keyed by
+    (doc, token) with map-side partial agg; df is a second hash-agg over
+    the (doc, token) table keyed by token — each distinct pair counted
+    once, so the df shuffle carries vocabulary-scale rows, not
+    corpus-scale. N arrives via a broadcast one-row aggregate (scalar
+    subquery shape — no driver round-trip), and the max_df prune cuts
+    the hottest tokens BEFORE the tf<->df join, which is a plain shuffle
+    hash join on token: the df table is vocabulary-sized and must NOT be
+    broadcast. Top-k is a row_number window keyed by doc — per-doc row
+    counts are bounded by distinct in-doc tokens, so no skew hotspot.
+    """
+    toks = F.split(F.regexp_replace(F.col(text_col), _WS_TRIM, ""), r"\s+")
+    tok = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") > 0)
+        .select("id", F.explode("_t").alias("token"))
+        .where(F.length("token") > 0)
+    )
+    tf = tok.groupBy("id", "token").agg(F.count("*").cast("int").alias("tf"))
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = tf.select(F.count_distinct("id").alias("n_docs"))
+    dft = dft.join(F.broadcast(n_docs)).where(
+        F.col("df") <= F.floor(F.lit(max_df_frac) * F.col("n_docs"))
+    )
+    scored = tf.join(dft, "token").select(
+        "id",
+        "token",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("id", "token", "tf", "df", "tfidf", "rnk")
     )

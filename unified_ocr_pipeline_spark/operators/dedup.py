@@ -700,3 +700,124 @@ def substring_dup_stats(
             .alias("dup_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered exact anti-join
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEED = 0x9E3779B9  # second xxhash64 seed for double hashing
+
+
+def build_bloom_bitmap(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 20, num_hashes: int = 5
+):
+    """Build a Bloom-filter bitmap over ``df[key_col]`` as a NumPy uint8
+    array of ``num_bits / 8`` bytes (``num_bits`` must be a power of two).
+
+    Hashing is JVM-side (two independent ``xxhash64`` seeds per key,
+    whole-stage codegen); Python only sets bits per Arrow batch with
+    vectorized double hashing pos_i = (h1 + i*h2) mod m (Kirsch &
+    Mitzenmacher 2006 — two hashes simulate k). Each scan partition
+    yields ONE bitmap row; the driver ORs them. Driver traffic is
+    partitions x m/8 bytes, independent of row count — at cluster scale
+    feed the per-partition bitmaps through a two-level OR (bitmap rows
+    grouped mod R, applyInPandas OR, then driver) if partitions x m/8
+    exceeds driver memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of two"
+    m = num_bits
+
+    hashed = df.select(
+        F.xxhash64(F.col(key_col)).alias("h1"),
+        F.xxhash64(F.col(key_col), F.lit(_BLOOM_SEED)).alias("h2"),
+    )
+
+    def one_bitmap_per_partition(batches: Iterator["pd.DataFrame"]):
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        empty = True
+        for pdf in batches:
+            empty = False
+            h1 = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            for i in range(num_hashes):
+                pos = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+                np.bitwise_or.at(
+                    bm,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                )
+        if not empty:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = hashed.mapInPandas(one_bitmap_per_partition, "bm binary").collect()
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out
+
+
+def bloom_anti_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT anti-join of ``new_df`` against ``corpus_df`` on ``key_col``,
+    prefiltered by a Bloom filter — the standard continuous-crawl shape:
+    the incoming batch is small, the stored corpus is 100 TB, and a plain
+    anti-join would shuffle (or at least scan + hash) the corpus per
+    batch. Here the corpus is folded once into an m-bit bitmap (bounded
+    bytes, not rows, through the driver), broadcast, and each new row is
+    tested map-side: a clear bit proves the key is NOT in the corpus
+    (bloom filters have no false negatives), so those rows pass with NO
+    join at all. Only the bloom-POSITIVE residue — true duplicates plus
+    ~fpp false positives — goes through the exact left-anti join, which
+    guarantees the final result equals the plain anti-join bit-for-bit.
+
+    Null keys never match an anti-join on either engine, so they pass
+    through whichever path they take. Returns ``new_df``'s columns.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = num_bits
+    bitmap = build_bloom_bitmap(corpus_df, key_col, num_bits, num_hashes)
+    bc = new_df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    # NB: no type hints — `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint inference can't resolve locally-imported
+    # pd; hint-less defaults to the scalar eval type.
+    @pandas_udf("boolean")
+    def maybe_in_corpus(h1s, h2s):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        h1 = h1s.to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = h2s.to_numpy(dtype=np.int64).view(np.uint64)
+        res = np.ones(len(h1), dtype=bool)
+        for i in range(num_hashes):
+            pos = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+            bit = (
+                bm[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            res &= bit.astype(bool)
+        return pd.Series(res)
+
+    flagged = new_df.withColumn(
+        "_maybe",
+        maybe_in_corpus(
+            F.xxhash64(F.col(key_col)), F.xxhash64(F.col(key_col), F.lit(_BLOOM_SEED))
+        ),
+    )
+    definite_new = flagged.where(~F.col("_maybe")).drop("_maybe")
+    residual = (
+        flagged.where(F.col("_maybe"))
+        .drop("_maybe")
+        .join(corpus_df.select(F.col(key_col)).distinct(), key_col, "left_anti")
+    )
+    return definite_new.unionByName(residual)

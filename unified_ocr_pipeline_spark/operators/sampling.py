@@ -366,3 +366,81 @@ def chunk_documents(
         F.size("c.ctoks").alias("n_chunk_tokens"),
         F.array_join("c.ctoks", " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (bounded-memory frequency estimation)
+# ---------------------------------------------------------------------------
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, width: int = 256, depth: int = 5
+) -> DataFrame:
+    """Fold occurrences of ``df[key_col]`` into a count-min sketch
+    (Cormode & Muthukrishnan 2005): a ``depth x width`` counter grid
+    where row d counts occurrences by hash_d(key) mod width.
+
+    Returns the sketch as a DataFrame (d int, b int, cnt long) — at most
+    ``depth * width`` rows regardless of corpus size. The scale property
+    is in the aggregation shape: each occurrence fans out to ``depth``
+    (d, b) cells MAP-SIDE, and the hash-agg's partial combine collapses
+    every task's contribution to <= depth*width partial rows before the
+    exchange — so shuffle volume is O(tasks * depth * width), never
+    O(rows). Hash_d = md5-60 of "key:d" mod width, bit-replayable in the
+    DuckDB oracle. Null keys are not counted (SQL COUNT semantics).
+    """
+    return (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .where(F.col("key").isNotNull())
+        .select(
+            "key",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+        .select(
+            "d",
+            F.pmod(
+                md5_60(F.concat_ws(":", F.col("key"), F.col("d"))), F.lit(width)
+            ).cast("int").alias("b"),
+        )
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 5,
+) -> DataFrame:
+    """Point-query a count-min sketch: estimated occurrence count for
+    each distinct key in ``keys[key_col]`` = min over the sketch's depth
+    rows of the key's cell counters. Estimates never undercount
+    (est >= true count); overcount probability shrinks geometrically
+    with depth. The sketch (<= depth*width rows) is broadcast; the probe
+    side is a map-side explode + broadcast join + one min-agg keyed by
+    the key — no corpus-scale shuffle.
+
+    Returns (key string, est long).
+    """
+    probe = (
+        keys.select(F.col(key_col).cast("string").alias("key"))
+        .where(F.col("key").isNotNull())
+        .distinct()
+        .select(
+            "key",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+        .select(
+            "key",
+            "d",
+            F.pmod(
+                md5_60(F.concat_ws(":", F.col("key"), F.col("d"))), F.lit(width)
+            ).cast("int").alias("b"),
+        )
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["d", "b"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
