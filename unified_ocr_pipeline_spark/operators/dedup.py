@@ -634,15 +634,19 @@ def substring_dup_stats(
     rounding-mode question.
 
     Scale shape: the gram explode is map-side (k-gram build is a JVM
-    zip_with fold, no Python); cross-doc grams are found with ONE
-    hash-agg on the 60-bit gram hash (partial agg collapses within-doc
-    repeats map-side) and joined back as a shuffle join on the hash —
-    never broadcast (the duplicated-gram set is corpus-sized in the
-    worst case). Coverage is an explode of at most k positions per
-    duplicated gram + a distinct count. ``max_gram_df`` skips grams
-    appearing in more than that many documents (boilerplate floods —
-    same guard family as line_dedup / ngram_jaccard; those positions are
-    better handled by line_dedup upstream).
+    zip_with fold, no Python). Cross-doc grams are found with ONE
+    shuffle of the gram table keyed by the 60-bit gram hash: a gram is
+    cross-document iff min(id) != max(id) over its hash partition —
+    computed as an unbounded window, so the expensive gram-build fold
+    runs ONCE and there is no join-back against a corpus-sized dup set
+    (the original agg+join form recomputed the fold per branch and paid
+    two extra gram-scale exchanges; this form measured 1.5x faster at
+    sf0.1, 8.3 -> 5.6 s fully materialized). Coverage and gram counts then come from ONE aggregation
+    keyed by doc (count_distinct over the <= k exploded positions and
+    over the start offsets). ``max_gram_df`` (distinct-doc cap, skips
+    boilerplate floods — same guard family as line_dedup /
+    ngram_jaccard) needs a per-hash distinct count, which the window
+    form can't express, so that path keeps the agg+join plan.
     """
     from .sampling import md5_60
 
@@ -660,24 +664,35 @@ def substring_dup_stats(
         "id", F.posexplode("_grams").alias("start", "gram")
     ).select("id", "start", md5_60(F.col("gram")).alias("h"))
 
-    dup_filter = F.count_distinct("id") >= 2
-    if max_gram_df is not None:
-        dup_filter = dup_filter & (F.count_distinct("id") <= max_gram_df)
-    dups = g.groupBy("h").agg(dup_filter.alias("_keep")).where("_keep").select("h")
+    if max_gram_df is None:
+        wh = Window.partitionBy("h")
+        dup_starts = (
+            g.withColumn("_min_id", F.min("id").over(wh))
+            .withColumn("_max_id", F.max("id").over(wh))
+            .where(F.col("_min_id") != F.col("_max_id"))
+            .select("id", "start")
+        )
+    else:
+        dup_filter = (F.count_distinct("id") >= 2) & (
+            F.count_distinct("id") <= max_gram_df
+        )
+        dups = (
+            g.groupBy("h").agg(dup_filter.alias("_keep")).where("_keep").select("h")
+        )
+        dup_starts = g.join(dups, "h").select("id", "start")
 
-    dup_starts = g.join(dups, "h").select("id", "start")
     per_doc = (
         dup_starts.select(
             "id",
+            "start",
             F.explode(
                 F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
             ).alias("pos"),
         )
         .groupBy("id")
-        .agg(F.count_distinct("pos").alias("covered_tokens"))
-        .join(
-            dup_starts.groupBy("id").agg(F.count("*").alias("n_dup_grams")),
-            "id",
+        .agg(
+            F.count_distinct("pos").alias("covered_tokens"),
+            F.count_distinct("start").alias("n_dup_grams"),
         )
     )
     return (
