@@ -237,3 +237,52 @@ def test_mixture_rate_is_sort_free(spark):
     plan = plan_of(E.queries()["mixture_rate"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "Sort " not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_topk_plan_shapes(spark):
+    """tfidf_topk: the one-row N aggregate must broadcast (never the
+    vocabulary-scale df table), and the per-doc top-k must use Spark's
+    WindowGroupLimit pushdown so the window exchange carries <= k rows
+    per doc, not the full scored table."""
+    plan = plan_of(E.queries()["tfidf_topk"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    # the scalar N arrives via a broadcast join
+    assert "BroadcastExchange" in plan
+    # NB: the tf<->df join carries no broadcast hint in the operator —
+    # Catalyst picks a broadcast at fixture scale from size stats (right
+    # at 60 KB) and the same plan degrades to a shuffle join when the
+    # vocabulary outgrows the threshold at corpus scale; only the
+    # one-row N is explicitly hinted.
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_sketch_partial_agg_before_exchange(spark):
+    """count_min_sketch's shuffle must carry partially-aggregated
+    (d, b, cnt) cells — O(tasks x depth x width) — not raw fan-out rows."""
+    from unified_ocr_pipeline_spark.operators.sampling import count_min_sketch
+
+    toks = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    plan = plan_of(count_min_sketch(toks, "token", width=16, depth=3))
+    import re as _re
+
+    # a partial_count HashAggregate must appear BELOW the exchange
+    partial = plan.find("partial_count")
+    exchange = _re.search(r"^\(\d+\) Exchange", plan, _re.MULTILINE)
+    assert partial != -1 and exchange is not None
+    assert partial < exchange.start(), "partial agg must precede the exchange"
+
+
+def test_substring_dup_single_gram_shuffle(spark):
+    """Default substring_dup path: exactly ONE exchange of gram-scale
+    rows (the window on the gram hash); the per-doc aggregate and final
+    join shuffle doc-scale rows only. Guarded path adds the agg+join."""
+    import re as _re
+
+    plan = plan_of(E.queries()["substring_dup"](spark, SF))
+    assert "Window" in plan
+    # gram hash column 'h' appears in exactly one hashpartitioning
+    n_h = len(_re.findall(r"hashpartitioning\(h#", plan))
+    assert n_h == 1, plan
+    assert "BatchEvalPython" not in plan
