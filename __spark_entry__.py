@@ -829,6 +829,27 @@ def _q_tfidf_topk(spark, sf):
     )
 
 
+def _q_bm25_topk(spark, sf):
+    """BM25 relevance top-20 for a 3-term query over the documents
+    table ('dup' is the rare discriminating term in the fixture vocab;
+    'sort'/'stream' are common): map-side term filter, broadcast
+    df/N/avgdl, TakeOrderedAndProject global top-k."""
+    d = _t(spark, sf, "documents")
+    return CUR.bm25_topk(
+        d, "doc_id", "text", ["dup", "sort", "stream"], k=20
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _q_quantize_embeddings(spark, sf):
+    """Int8 embedding quantization fidelity: per-vector scale, integer
+    checksum of the quantized components (pins every q_i exactly), and
+    max dequantization error (bounded by scale/2)."""
+    e = _t(spark, sf, "embeddings")
+    return SIM.quantization_stats(e, "vec_id", "embedding").withColumnRenamed(
+        "id", "vec_id"
+    )
+
+
 def _q_cms_freq(spark, sf):
     """Count-min-sketch token frequencies (width 16 x depth 3 — small
     enough that the 31-token fixture vocabulary actually collides, so the
@@ -1302,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "bloom_anti_join": _q_bloom_anti_join,
         "cms_freq": _q_cms_freq,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -2536,5 +2559,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT keys.token AS key, min(coalesce(cell.cnt, 0)) AS est
             FROM keys LEFT JOIN cell USING (d, b)
             GROUP BY keys.token
+        """,
+        # bm25_topk: replay the Lucene-idf BM25 (k1=1.2, b=0.75) — same
+        # ws-trim/split recipe, dl=0 for empty docs, N counts ALL docs,
+        # ties at the k boundary break by doc_id ASC.
+        "bm25_topk": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                          THEN 0
+                          ELSE len(regexp_split_to_array(
+                                 regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                                 '\s+'))
+                     END AS dl,
+                     regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                       '\s+') AS t
+              FROM documents),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+            hits AS (
+              SELECT doc_id, dl, tok.token, count(*) AS tf
+              FROM base, LATERAL unnest(base.t) AS tok(token)
+              WHERE tok.token IN ('dup', 'sort', 'stream')
+              GROUP BY doc_id, dl, tok.token),
+            dft AS (SELECT token, count(*) AS df FROM hits GROUP BY token),
+            scored AS (
+              SELECT h.doc_id,
+                     ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (h.tf * 2.2)
+                       / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))
+                       AS term_score
+              FROM hits h JOIN dft d USING (token), stats s)
+            SELECT doc_id, sum(term_score) AS score,
+                   CAST(count(*) AS INT) AS n_terms_hit
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        # quantize_embeddings: replay the exact IEEE math — widen float
+        # to double, scale = max|x|/127, q = floor(x/scale + 0.5),
+        # qsum/max_err via 1-based indexed lambdas.
+        "quantize_embeddings": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+              FROM v),
+            q AS (
+              SELECT vec_id, v, mx / 127.0 AS scale,
+                     CASE WHEN mx = 0
+                          THEN list_transform(v, x -> 0)
+                          ELSE list_transform(
+                                 v, x -> CAST(floor(x / (mx / 127.0) + 0.5)
+                                              AS INT))
+                     END AS qvec
+              FROM m)
+            SELECT vec_id,
+                   CAST(len(v) AS INT) AS dim,
+                   scale,
+                   CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS qsum,
+                   list_aggregate(
+                     list_transform(
+                       qvec,
+                       (x, i) -> abs(CAST(x AS DOUBLE) * scale - v[i])),
+                     'max') AS max_err
+            FROM q
         """,
     }

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "bloom_anti_join",
     "cms_freq",
+    "quantize_embeddings",
+    "bm25_topk",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",

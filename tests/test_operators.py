@@ -928,3 +928,65 @@ def test_cms_estimate_unknown_key_zero_floor(spark):
     assert est["x"] == 7
     # an absent key hits empty cells -> 0 (cannot be negative/undercount)
     assert est["never-seen"] == 0
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark):
+    from unified_ocr_pipeline_spark.operators import similarity as SIM
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+        (3, [-0.003, 0.001, 0.002, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in SIM.quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert out[1]["qvec"][3] == 127 and out[1]["qvec"][1] == -2
+    assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0
+    assert all(-127 <= q <= 127 for r in out.values() for q in r["qvec"])
+    # dequantization error bounded by scale/2 (+ float widening slack)
+    stats = {
+        r["id"]: r
+        for r in SIM.quantization_stats(df, "vec_id", "embedding").collect()
+    }
+    for i in (1, 3):
+        assert stats[i]["max_err"] <= stats[i]["scale"] / 2 + 1e-12
+    assert stats[2]["max_err"] == 0.0
+    assert stats[1]["dim"] == 4
+
+
+def test_bm25_topk_ranking_and_limit(spark):
+    from unified_ocr_pipeline_spark.operators import curation as CUR
+
+    docs = [
+        (1, "rare common common filler filler filler"),
+        (2, "common filler"),                       # shorter doc, 1 hit
+        (3, "rare rare common"),                    # most rare-term mass
+        (4, "filler filler filler filler"),         # no hits -> absent
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = CUR.bm25_topk(df, "doc_id", "text", ["rare", "common"], k=3).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == 3 and 4 not in ids and 5 not in ids
+    # doc 3 must rank first: two 'rare' occurrences in the shortest
+    # hit-bearing doc, and 'rare' (df=2) out-idfs 'common' (df=3)
+    assert ids[0] == 3
+    by_id = {r["id"]: r for r in out}
+    assert by_id[3]["n_terms_hit"] == 2 and by_id[2]["n_terms_hit"] == 1
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_topk_take_ordered_plan(spark):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heaps), not a full Sort + CollectLimit."""
+    import io
+    from contextlib import redirect_stdout
+
+    from unified_ocr_pipeline_spark.operators import curation as CUR
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q = CUR.bm25_topk(d, "doc_id", "text", ["dup", "sort"], k=10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()

@@ -24,6 +24,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -254,4 +256,86 @@ def tfidf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Global top-``k`` documents by BM25 relevance for a bag of query
+    ``terms`` (Robertson/Sparck Jones; the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)) which is always positive). The
+    retrieval primitive of a corpus-curation stack: targeted sampling
+    ("find docs about X"), contamination triage, topic routing.
+
+    Returns (id, score double, n_terms_hit int) ordered by (score desc,
+    id asc), exactly ``k`` rows or fewer.
+
+    Scale shape: the query-term filter applies DIRECTLY under the token
+    explode — map-side, before any aggregation — so everything
+    downstream is sized by documents-containing-query-terms, not the
+    corpus. Per-doc length comes from a narrow F.size projection (no
+    tokenize-again aggregate); N and avgdl arrive as ONE broadcast
+    one-row aggregate; per-term df is a tiny agg joined broadcast. The
+    global top-k is ORDER BY + LIMIT, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows
+    — no full sort, no single-reducer order-by).
+    """
+    terms = [t for t in terms]
+    toks = F.split(F.regexp_replace(F.col(text_col), _WS_TRIM, ""), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.length(F.regexp_replace(F.col(text_col), _WS_TRIM, "")) == 0,
+            F.lit(0),
+        )
+        .otherwise(F.size(toks))
+        .cast("int")
+        .alias("dl"),
+        toks.alias("_t"),
+    )
+    stats = base.select(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = (
+        base.select("id", "dl", F.explode("_t").alias("token"))
+        .where(F.col("token").isin(terms))
+        .groupBy("id", "dl", "token")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dft = hits.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dft), "token")
+        .join(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").cast("int").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
     )

@@ -274,3 +274,63 @@ def cosine_near_dup_pairs(
     return cand.mapInPandas(
         verify, schema=f"id_a {id_type}, id_b {id_type}, sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x_i| / 127,
+    q_i = floor(x_i / scale + 0.5) in [-127, 127] — the standard 4x
+    storage/bandwidth cut for billion-vector ANN corpora (dequantized
+    value q_i * scale is within scale/2 of x_i, so cosine top-k on
+    dequantized vectors tracks the full-precision ranking).
+
+    Everything is elementwise JVM ``transform`` arithmetic — exact IEEE
+    double ops (one divide, one floor), bit-replayable in the SQL
+    oracle; no shuffle, no Python. Zero vectors quantize to all-zero
+    with scale 0. Returns (id, qvec array<int>, scale double,
+    dim int).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(mx == F.lit(0.0), F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        q.alias("qvec"),
+        scale.alias("scale"),
+        F.size(v).cast("int").alias("dim"),
+    )
+
+
+def quantization_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector quantization fidelity report over
+    :func:`quantize_embeddings`: (id, dim, scale, qsum, max_err) where
+    ``qsum`` is the integer sum of the quantized components (a checksum
+    that pins every q_i exactly) and ``max_err`` = max_i |q_i*scale -
+    x_i| (bounded by scale/2). Scalar outputs only, so the result is
+    hash-comparable across engines. Narrow plan — no exchange."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qd = quantize_embeddings(df, id_col, vec_col)
+    src = df.select(F.col(id_col).alias("id"), v.alias("_v"))
+    j = qd.join(src, "id")
+    err = F.array_max(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("_v"),
+            lambda q, x: F.abs(q.cast("double") * F.col("scale") - x),
+        )
+    )
+    return j.select(
+        "id",
+        "dim",
+        "scale",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("qsum"),
+        err.alias("max_err"),
+    )
