@@ -829,6 +829,42 @@ def _q_tfidf_topk(spark, sf):
     )
 
 
+def _q_outlink_domains(spark, sf):
+    """REAL HTML outlink extraction end-to-end: per-doc pages are built
+    JVM-side with a deterministic link formula (doc_id % 4 anchors, dst
+    host h{(doc_id*7+i) % 20}.example.com), parsed back by the stdlib
+    HTML kernel in the Arrow batch stage, and aggregated to per-domain
+    in-degree. The DuckDB oracle replays the formula — a dropped or
+    mangled href shows up as a count mismatch."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    n = F.pmod(F.col("doc_id"), F.lit(4))
+    link = lambda i: F.concat(  # noqa: E731
+        F.lit('<a href="http://h'),
+        F.pmod(F.col("doc_id") * 7 + i, F.lit(20)).cast("string"),
+        F.lit(".example.com/p"),
+        i.cast("string"),
+        F.lit('">x</a>'),
+    )
+    links = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), link)
+    )
+    pages = d.select(
+        F.concat(F.lit("http://src"), F.col("doc_id"), F.lit(".example.com/page")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p>"),
+            F.array_join(links, ""),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return LG.domain_link_stats(LG.outlink_edges(pages, "url", "html"))
+
+
 def _q_bm25_topk(spark, sf):
     """BM25 relevance top-20 for a 3-term query over the documents
     table ('dup' is the rare discriminating term in the fixture vocab;
@@ -1325,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": _q_cms_freq,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
+        "outlink_domains": _q_outlink_domains,
     }
 
 
@@ -2559,6 +2596,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT keys.token AS key, min(coalesce(cell.cnt, 0)) AS est
             FROM keys LEFT JOIN cell USING (d, b)
             GROUP BY keys.token
+        """,
+        # outlink_domains: replay the link-generation formula directly —
+        # if the HTML kernel drops, reorders into different pages, or
+        # mangles any href, the per-host counts diverge.
+        "outlink_domains": """
+            WITH docs AS (SELECT doc_id, doc_id % 4 AS n FROM documents),
+            e AS (
+              SELECT doc_id,
+                     'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                         || '.example.com' AS dst_host
+              FROM docs,
+                   LATERAL unnest(generate_series(0, CAST(n AS INT) - 1))
+                     AS i(i)
+              WHERE n > 0)
+            SELECT dst_host,
+                   count(*) AS n_links,
+                   count(DISTINCT doc_id) AS n_src_urls
+            FROM e GROUP BY dst_host
         """,
         # bm25_topk: replay the Lucene-idf BM25 (k1=1.2, b=0.75) — same
         # ws-trim/split recipe, dl=0 for empty docs, N counts ALL docs,

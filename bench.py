@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "cms_freq",
     "quantize_embeddings",
     "bm25_topk",
+    "outlink_domains",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",

@@ -111,8 +111,24 @@ class LevelRunner:
             stderr=subprocess.DEVNULL, text=True, bufsize=1,
         )
 
-    def _read_until(self, prefix: str) -> str:
+    def _read_until(self, prefix: str, timeout_sec: float = 900.0) -> str:
+        # A blocking readline once hung a whole batch for an hour: the
+        # runner's py4j call never returned (JVM alive but idle — the
+        # wedged worker observed 2026-08-17). select() + deadline makes a
+        # dead round cost 15 min instead of the session.
+        import select
+
+        deadline = time.monotonic() + timeout_sec
         while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError(
+                    f"runner local[{self.cores}] gave no '{prefix}' within "
+                    f"{timeout_sec:.0f}s — wedged; caller should respawn"
+                )
+            ready, _, _ = select.select([self.proc.stdout], [], [], min(remaining, 30))
+            if not ready:
+                continue
             line = self.proc.stdout.readline()
             if not line:
                 raise RuntimeError(f"runner local[{self.cores}] died")
@@ -128,6 +144,12 @@ class LevelRunner:
         r = json.loads(self._read_until("TRIAL "))
         print(f"  local[{self.cores}] TRIAL {json.dumps(r)}", file=sys.stderr)
         return r
+
+    def kill(self) -> None:
+        try:
+            self.proc.kill()
+        except Exception:
+            pass
 
     def quit(self) -> None:
         try:
@@ -179,11 +201,30 @@ def paired_rounds(lo: int, hi: int, pages: str, out: str, rounds: int):
     rl.wait_ready()
     rh.wait_ready()
     pairs = []
-    for k in range(rounds):
-        mops_lo = spin_probe(lo)
-        a = rl.trial(f"r{k}")
-        mops_hi = spin_probe(hi)
-        b = rh.trial(f"r{k}")
+    k = 0
+    respawns = 0
+    while k < rounds:
+        try:
+            mops_lo = spin_probe(lo)
+            a = rl.trial(f"r{k}")
+            mops_hi = spin_probe(hi)
+            b = rh.trial(f"r{k}")
+        except (TimeoutError, RuntimeError) as exc:
+            # wedged or dead runner: the round is lost, the batch is not.
+            # Kill BOTH runners (the pair must sample the same windows) and
+            # respawn; give up after 2 respawns so a sick host can't loop.
+            print(f"  ROUND {lo}->{hi} #{k} LOST: {exc}", file=sys.stderr)
+            rl.kill()
+            rh.kill()
+            respawns += 1
+            if respawns > 2:
+                print("  too many respawns; returning partial batch", file=sys.stderr)
+                break
+            rl = LevelRunner(lo, pages, out)
+            rh = LevelRunner(hi, pages, out)
+            rl.wait_ready()
+            rh.wait_ready()
+            continue
         eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
         norm = (b["docs_per_sec"] / mops_hi) / (a["docs_per_sec"] / mops_lo)
         pairs.append(
@@ -198,6 +239,7 @@ def paired_rounds(lo: int, hi: int, pages: str, out: str, rounds: int):
             f"(mops {mops_lo}->{mops_hi})",
             file=sys.stderr,
         )
+        k += 1
     rl.quit()
     rh.quit()
     return pairs
@@ -227,6 +269,8 @@ def main() -> None:
             m = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
             return round(m, 3)
 
+        if not pairs:  # every round lost to a wedged runner
+            return {"median_eff": None, "best_eff": None, "rounds": []}
         out = {"median_eff": med_of("eff"),
                "best_eff": max(p["eff"] for p in pairs), "rounds": pairs}
         if any("norm_eff" in p for p in pairs):

@@ -990,3 +990,46 @@ def test_bm25_topk_take_ordered_plan(spark):
     with redirect_stdout(buf):
         q.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_outlink_edges_and_domain_stats(spark):
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<p>x</p><a href="http://a.com/1">1</a>'
+                   '<a href="https://b.org/2">2</a>'
+                   '<a href="/rel">r</a><a href="#frag">f</a>'
+                   '<a href="mailto:x@y">m</a>'),
+            ("u2", '<a href="http://a.com/3">3</a><a href="http://a.com/4">4</a>'),
+            ("u3", None),
+            ("u4", "<p>no links at all</p>"),
+        ],
+        "url string, html string",
+    )
+    edges = LG.outlink_edges(pages, "url", "html").collect()
+    got = {(r["src_url"], r["href"], r["link_pos"]) for r in edges}
+    assert got == {
+        ("u1", "http://a.com/1", 0),
+        ("u1", "https://b.org/2", 1),
+        ("u2", "http://a.com/3", 0),
+        ("u2", "http://a.com/4", 1),
+    }
+    stats = {
+        r["dst_host"]: (r["n_links"], r["n_src_urls"])
+        for r in LG.domain_link_stats(
+            LG.outlink_edges(pages, "url", "html")
+        ).collect()
+    }
+    assert stats == {"a.com": (3, 2), "b.org": (1, 1)}
+
+
+def test_outlink_edges_binary_html_and_unclosed_anchor(spark):
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    pages = spark.createDataFrame(
+        [("u1", '<a href="http://c.net/p">unclosed<p>next block'.encode())],
+        "url string, html binary",
+    )
+    edges = LG.outlink_edges(pages, "url", "html").collect()
+    assert [(r["src_url"], r["href"]) for r in edges] == [("u1", "http://c.net/p")]

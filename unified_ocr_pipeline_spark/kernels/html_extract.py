@@ -174,3 +174,37 @@ def extract_main_text(html_text: str) -> Tuple[str, List[Tuple[int, int]]]:
         pos += len(b.text)
         offsets.append((start, pos))
     return "\n".join(parts), offsets
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction (crawl link graph)
+# ---------------------------------------------------------------------------
+
+class _LinkCollector(HTMLParser):
+    """Collect absolute http(s) hrefs from <a> tags, in document order.
+    Relative, fragment, javascript: and mailto: hrefs are skipped — the
+    link-graph consumer wants host-resolvable edges, and resolving
+    relative urls against a base is the caller's policy decision."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: List[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v and v.startswith(("http://", "https://")):
+                    self.links.append(v)
+                    break
+
+
+def extract_links(html_text: str) -> List[str]:
+    """All absolute outlinks of a page, in document order (duplicates
+    kept — edge multiplicity is signal for the link graph)."""
+    p = _LinkCollector()
+    try:
+        p.feed(html_text or "")
+        p.close()
+    except Exception:
+        pass  # malformed tail: keep whatever parsed before the error
+    return p.links
