@@ -829,16 +829,11 @@ def _q_tfidf_topk(spark, sf):
     )
 
 
-def _q_outlink_domains(spark, sf):
-    """REAL HTML outlink extraction end-to-end: per-doc pages are built
-    JVM-side with a deterministic link formula (doc_id % 4 anchors, dst
-    host h{(doc_id*7+i) % 20}.example.com), parsed back by the stdlib
-    HTML kernel in the Arrow batch stage, and aggregated to per-domain
-    in-degree. The DuckDB oracle replays the formula — a dropped or
-    mangled href shows up as a count mismatch."""
-    from unified_ocr_pipeline_spark.operators import linkgraph as LG
-
-    d = _t(spark, sf, "documents")
+def _synthetic_link_pages(d):
+    """Pages with a deterministic link formula (doc_id % 4 anchors, dst
+    host h{(doc_id*7+i) % 20}.example.com) built entirely JVM-side, so a
+    SQL oracle can replay the formula while the Spark side reparses the
+    real HTML."""
     n = F.pmod(F.col("doc_id"), F.lit(4))
     link = lambda i: F.concat(  # noqa: E731
         F.lit('<a href="http://h'),
@@ -850,7 +845,7 @@ def _q_outlink_domains(spark, sf):
     links = F.when(n == 0, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), link)
     )
-    pages = d.select(
+    return d.select(
         F.concat(F.lit("http://src"), F.col("doc_id"), F.lit(".example.com/page")).alias(
             "url"
         ),
@@ -862,7 +857,32 @@ def _q_outlink_domains(spark, sf):
             F.lit("</body></html>"),
         ).alias("html"),
     )
+
+
+def _q_outlink_domains(spark, sf):
+    """REAL HTML outlink extraction end-to-end: deterministic-formula
+    pages parsed back by the stdlib HTML kernel in the Arrow batch
+    stage, aggregated to per-domain in-degree. The DuckDB oracle replays
+    the formula — a dropped or mangled href shows up as a count
+    mismatch."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    pages = _synthetic_link_pages(d)
     return LG.domain_link_stats(LG.outlink_edges(pages, "url", "html"))
+
+
+def _q_pagerank(spark, sf):
+    """Fixed-3-iteration PageRank over the parsed link graph (src urls +
+    dst hosts as nodes; dangling-mass-dropped variant). The oracle
+    replays the edge formula AND the three iterations as chained CTEs."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    edges = LG.outlink_edges(_synthetic_link_pages(d), "url", "html").select(
+        "src_url", F.regexp_extract("href", r"^https?://([^/?#]+)", 1).alias("dst_host")
+    )
+    return LG.pagerank(edges, "src_url", "dst_host", iterations=3)
 
 
 def _q_bm25_topk(spark, sf):
@@ -1362,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         "outlink_domains": _q_outlink_domains,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -2614,6 +2635,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_links,
                    count(DISTINCT doc_id) AS n_src_urls
             FROM e GROUP BY dst_host
+        """,
+        # pagerank: replay the edge formula and the three fixed
+        # iterations as chained CTEs — rank_0 = 1/N over the edge-list
+        # node set, rank_{t+1}(v) = (1-0.85)/N + 0.85 * sum_{u->v}
+        # rank_t(u)/outdeg(u), dangling mass dropped (same variant).
+        "pagerank": """
+            WITH docs AS (SELECT doc_id, doc_id % 4 AS n FROM documents),
+            e AS (
+              SELECT 'http://src' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/page' AS src,
+                     'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+              FROM docs,
+                   LATERAL unnest(generate_series(0, CAST(n AS INT) - 1))
+                     AS i(i)
+              WHERE n > 0),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM e
+                       UNION SELECT dst AS node FROM e)),
+            nn AS (SELECT count(*) AS cnt FROM nodes),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / cnt AS rank FROM nodes, nn),
+            c1 AS (SELECT e.dst, sum(r0.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT nodes.node,
+                          CAST(0.15000000000000002 AS DOUBLE) / nn.cnt
+                            + CAST(0.85 AS DOUBLE) * coalesce(c1.m, 0) AS rank
+                   FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node, nn),
+            c2 AS (SELECT e.dst, sum(r1.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT nodes.node,
+                          CAST(0.15000000000000002 AS DOUBLE) / nn.cnt
+                            + CAST(0.85 AS DOUBLE) * coalesce(c2.m, 0) AS rank
+                   FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node, nn),
+            c3 AS (SELECT e.dst, sum(r2.rank / od.outdeg) AS m
+                   FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT nodes.node,
+                          CAST(0.15000000000000002 AS DOUBLE) / nn.cnt
+                            + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0) AS rank
+                   FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node, nn)
+            SELECT node, rank FROM r3
         """,
         # bm25_topk: replay the Lucene-idf BM25 (k1=1.2, b=0.75) — same
         # ws-trim/split recipe, dl=0 for empty docs, N counts ALL docs,

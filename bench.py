@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "quantize_embeddings",
     "bm25_topk",
     "outlink_domains",
+    "pagerank",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",

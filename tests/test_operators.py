@@ -1033,3 +1033,31 @@ def test_outlink_edges_binary_html_and_unclosed_anchor(spark):
     )
     edges = LG.outlink_edges(pages, "url", "html").collect()
     assert [(r["src_url"], r["href"]) for r in edges] == [("u1", "http://c.net/p")]
+
+
+def test_pagerank_hand_computed(spark):
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    # a -> b, a -> c, b -> a; c dangling (its mass drops)
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a")], "s string, d string"
+    )
+    got = {r["node"]: r["rank"] for r in LG.pagerank(e, "s", "d", iterations=2).collect()}
+    n, d = 3, 0.85
+    t = (1.0 - d) / n
+    r = {x: 1.0 / n for x in "abc"}
+    for _ in range(2):
+        r = {
+            "a": t + d * (r["b"] / 1),
+            "b": t + d * (r["a"] / 2),
+            "c": t + d * (r["a"] / 2),
+        }
+    for x in "abc":
+        assert abs(got[x] - r[x]) < 1e-12, (x, got[x], r[x])
+
+
+def test_pagerank_empty_edges(spark):
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    e = spark.createDataFrame([], "s string, d string")
+    assert LG.pagerank(e, "s", "d").count() == 0

@@ -72,3 +72,64 @@ def domain_link_stats(edges: DataFrame) -> DataFrame:
             F.count_distinct("src_url").alias("n_src_urls"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (Page et al. 1999;
+    crawl-quality prior / seed ranking). rank_0 = 1/N over the edge
+    list's node set; rank_{t+1}(v) = (1-d)/N + d * sum over in-edges
+    u->v of rank_t(u)/outdeg(u). Dangling nodes' mass is dropped (ranks
+    sum to < 1) — the variant that needs no global redistribution join;
+    fixed iteration count (not convergence-tested) keeps the result a
+    pure function of the input, replayable as chained SQL CTEs.
+
+    Scale shape: per iteration ONE shuffle join of the rank vector
+    against the (src-partitioned) edge list plus ONE hash-agg keyed by
+    dst — the textbook Pregel-on-DataFrames layout. The edge list with
+    out-degrees is computed once and reused every iteration (at cluster
+    scale: persist it; same pattern as operators/cc.py). Lineage is
+    truncated with localCheckpoint every ``checkpoint_every`` iterations
+    — same guard as the connected-components loop — so deep iteration
+    counts don't compound the plan.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    graph = e.join(outdeg, "src")  # (src, dst, outdeg), reused per iteration
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for it in range(iterations):
+        contribs = (
+            graph.join(ranks, graph["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
