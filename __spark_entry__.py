@@ -906,6 +906,28 @@ def _q_quantize_embeddings(spark, sf):
     )
 
 
+def _q_funnel(spark, sf):
+    """Ordered funnel conversion view->click->purchase (greedy-earliest
+    semantics, strict timestamp ordering)."""
+    from unified_ocr_pipeline_spark.operators import events as EV
+
+    ev = _t(spark, sf, "events")
+    return EV.funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def _q_approx_distinct(spark, sf):
+    """Linear-counting approximate distinct over the documents' text
+    fingerprints (m=1024 so the fixture actually exercises collisions),
+    next to the exact count for calibration."""
+    d = _t(spark, sf, "documents")
+    keyed = d.select(F.md5(F.coalesce("text", F.lit(""))).alias("fp"))
+    approx = SAMP.linear_count_distinct(keyed, "fp", m=1024)
+    exact = keyed.select(F.count_distinct("fp").alias("exact_distinct"))
+    return approx.join(F.broadcast(exact))
+
+
 def _q_cms_freq(spark, sf):
     """Count-min-sketch token frequencies (width 16 x depth 3 — small
     enough that the 31-token fixture vocabulary actually collides, so the
@@ -1383,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "outlink_domains": _q_outlink_domains,
         "pagerank": _q_pagerank,
+        "approx_distinct": _q_approx_distinct,
+        "funnel": _q_funnel,
     }
 
 
@@ -2586,6 +2610,56 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM documents c
                               WHERE c.doc_id % 10 <> 0
                                 AND c.text = n.text)
+        """,
+        # funnel: replay greedy-earliest funnel — t_i = min ts of step-i
+        # events strictly after t_{i-1}; conversion = n_i / n_{i-1}.
+        "funnel": """
+            WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN t1 ON t1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > t1.t
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN t2 ON t2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.t
+                   GROUP BY e.user_id),
+            c AS (
+              SELECT 1 AS step, 'view' AS step_name,
+                     (SELECT count(*) FROM t1) AS n_users
+              UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+              UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+            SELECT step, step_name, n_users,
+                   CASE WHEN step = 1 THEN CAST(1.0 AS DOUBLE)
+                        WHEN lag(n_users) OVER (ORDER BY step) = 0
+                          THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(n_users AS DOUBLE)
+                             / lag(n_users) OVER (ORDER BY step)
+                   END AS conversion
+            FROM c
+        """,
+        # approx_distinct: replay linear counting — md5-60 slot hash mod
+        # m, occupied slot count, n ~ -m*ln((m-occupied)/m); all-double
+        # casts to keep DuckDB out of DECIMAL arithmetic.
+        "approx_distinct": """
+            WITH keyed AS (
+              SELECT md5(coalesce(text, '')) AS fp FROM documents),
+            slots AS (
+              SELECT DISTINCT
+                     CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) % 1024
+                       AS slot
+              FROM keyed WHERE fp IS NOT NULL),
+            occ AS (SELECT count(*) AS occupied FROM slots)
+            SELECT occupied,
+                   CAST(1024 AS INT) AS m,
+                   CASE WHEN occupied >= 1024
+                        THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE))
+                        ELSE -CAST(1024 AS DOUBLE)
+                             * ln((CAST(1024 AS DOUBLE) - occupied)
+                                  / CAST(1024 AS DOUBLE))
+                   END AS estimate,
+                   (SELECT count(DISTINCT fp) FROM keyed) AS exact_distinct
+            FROM occ
         """,
         # cms_freq: replay the count-min math — hash_d = md5-60 of
         # 'token:d' mod width, cell counts over all occurrences, estimate

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "bm25_topk",
     "outlink_domains",
     "pagerank",
+    "approx_distinct",
+    "funnel",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",

@@ -1061,3 +1061,58 @@ def test_pagerank_empty_edges(spark):
 
     e = spark.createDataFrame([], "s string, d string")
     assert LG.pagerank(e, "s", "d").count() == 0
+
+
+def test_linear_count_distinct_accuracy_and_shape(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    # 1000 distinct keys, each duplicated 3x, plus nulls
+    rows = [(f"k{i}",) for i in range(1000)] * 3 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    r = SAMP.linear_count_distinct(df, "k", m=4096).collect()[0]
+    assert r["m"] == 4096
+    assert r["occupied"] <= 1000          # collisions only reduce slots
+    # linear counting at load factor 0.24 is accurate to a few percent
+    assert abs(r["estimate"] - 1000) / 1000 < 0.05
+    # duplicates must not move the estimate at all (slot set identical)
+    r1 = SAMP.linear_count_distinct(
+        spark.createDataFrame([(f"k{i}",) for i in range(1000)], "k string"),
+        "k", m=4096,
+    ).collect()[0]
+    assert r1["occupied"] == r["occupied"] and r1["estimate"] == r["estimate"]
+
+
+def test_funnel_steps_greedy_earliest(spark):
+    from unified_ocr_pipeline_spark.operators import events as EV
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 clicks BEFORE viewing -> stuck at view
+        (2, 20, "click"), (2, 30, "view"),
+        # u3 views only
+        (3, 10, "view"),
+        # u4 simultaneous view+click (strict >) -> stuck at view
+        (4, 10, "view"), (4, 10, "click"),
+        # u5 never views (click+purchase don't count)
+        (5, 10, "click"), (5, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {
+        r["step_name"]: (r["step"], r["n_users"], r["conversion"])
+        for r in EV.funnel_steps(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out["view"] == (1, 4, 1.0)
+    assert out["click"] == (2, 1, 0.25)
+    assert out["purchase"] == (3, 1, 1.0)
+
+
+def test_funnel_steps_zero_reach_step(spark):
+    from unified_ocr_pipeline_spark.operators import events as EV
+
+    df = spark.createDataFrame([(1, 10, "view")], "user_id long, ts long, event_type string")
+    out = {r["step_name"]: (r["n_users"], r["conversion"]) for r in EV.funnel_steps(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert out == {"view": (1, 1.0), "click": (0, 0.0), "purchase": (0, 0.0)}

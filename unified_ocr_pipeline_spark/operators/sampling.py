@@ -444,3 +444,43 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+def linear_count_distinct(
+    df: DataFrame, key_col: str, m: int = 4096
+) -> DataFrame:
+    """Linear-counting approximate COUNT(DISTINCT) (Whang et al. 1990):
+    hash each key into an m-slot bitmap, estimate
+    n ≈ -m * ln(empty_slots / m). The bounded-memory distinct counter
+    for corpus-scale cardinalities (distinct urls/hosts/fingerprints)
+    when the exact distinct's shuffle is the bottleneck — and unlike
+    HLL, the estimator is a pure function of WHICH slots are hit, so a
+    SQL oracle replays it bit-for-bit (md5-60 slot hash, same family as
+    every other replayable hash here).
+
+    Returns one row: (occupied long, m int, estimate double). Scale
+    shape: ONE hash-agg on the slot id (at most m distinct groups reach
+    the exchange after map-side partial agg — shuffle is O(tasks * m),
+    not O(rows)), then a single count. Accuracy: standard error
+    ~ sqrt(m*(exp(n/m)-1-n/m))/n; size m to the expected cardinality
+    (m >= n/12 keeps load factor in linear-counting's sweet spot).
+    Null keys are not counted (COUNT DISTINCT semantics).
+    """
+    occupied = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .where(F.col("key").isNotNull())
+        .select(F.pmod(md5_60(F.col("key")), F.lit(m)).alias("slot"))
+        .groupBy("slot")
+        .agg(F.lit(1).alias("_one"))
+        .select(F.count("*").alias("occupied"))
+    )
+    return occupied.select(
+        "occupied",
+        F.lit(m).cast("int").alias("m"),
+        F.when(F.col("occupied") >= m, F.lit(float(m)) * F.log(F.lit(float(m))))
+        .otherwise(
+            -F.lit(float(m))
+            * F.log((F.lit(float(m)) - F.col("occupied")) / F.lit(float(m)))
+        )
+        .alias("estimate"),
+    )
