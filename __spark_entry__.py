@@ -906,6 +906,24 @@ def _q_quantize_embeddings(spark, sf):
     )
 
 
+def _q_salted_skew_join(spark, sf):
+    """Skew-spread equi-join: documents (lang is a 4-value key — the
+    definitional low-cardinality hot key AQE can't split pre-shuffle)
+    joined to per-lang stats on (lang, salt); result equals the plain
+    join, which is the oracle."""
+    from unified_ocr_pipeline_spark.operators.skew import salted_skew_join
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    dim = (
+        d.groupBy("lang")
+        .agg(F.avg("n_chars").alias("lang_avg_chars"))
+    )
+    out = salted_skew_join(d, dim, ["lang"], salt=8, how="left")
+    return out.select(
+        "doc_id", "lang", "n_chars", "lang_avg_chars"
+    )
+
+
 def _q_funnel(spark, sf):
     """Ordered funnel conversion view->click->purchase (greedy-earliest
     semantics, strict timestamp ordering)."""
@@ -1407,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "approx_distinct": _q_approx_distinct,
         "funnel": _q_funnel,
+        "salted_skew_join": _q_salted_skew_join,
     }
 
 
@@ -2610,6 +2629,15 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM documents c
                               WHERE c.doc_id % 10 <> 0
                                 AND c.text = n.text)
+        """,
+        # salted_skew_join: salting is join-neutral — the oracle IS the
+        # plain join.
+        "salted_skew_join": """
+            WITH dim AS (
+              SELECT lang, avg(n_chars) AS lang_avg_chars
+              FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars, dim.lang_avg_chars
+            FROM documents d LEFT JOIN dim ON dim.lang = d.lang
         """,
         # funnel: replay greedy-earliest funnel — t_i = min ts of step-i
         # events strictly after t_{i-1}; conversion = n_i / n_{i-1}.

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "pagerank",
     "approx_distinct",
     "funnel",
+    "salted_skew_join",
     "ocr_quality_grades",
     "strategy_routing",
     "ai_normalizer",

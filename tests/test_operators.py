@@ -1116,3 +1116,44 @@ def test_funnel_steps_zero_reach_step(spark):
     out = {r["step_name"]: (r["n_users"], r["conversion"]) for r in EV.funnel_steps(
         df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
     assert out == {"view": (1, 1.0), "click": (0, 0.0), "purchase": (0, 0.0)}
+
+
+def test_salted_skew_join_equals_plain_join(spark):
+    from unified_ocr_pipeline_spark.operators.skew import salted_skew_join
+
+    # extreme skew: 1000 facts over 3 keys, one key holds 90%
+    facts = [(i, "hot" if i < 900 else ("warm" if i < 990 else "cold"), float(i))
+             for i in range(1000)]
+    fact = spark.createDataFrame(facts, "id long, k string, v double")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("warm", 2), ("missing", 9)], "k string, attr int"
+    )
+    for how in ("inner", "left"):
+        got = salted_skew_join(fact, dim, ["k"], salt=8, how=how)
+        want = fact.join(dim, ["k"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), how
+    # the physical join key must include the salt (the skew-spread itself)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        salted_skew_join(fact, dim, ["k"], salt=8).explain("formatted")
+    assert "_salt" in buf.getvalue()
+
+
+def test_salted_skew_join_spreads_hot_key(spark):
+    from unified_ocr_pipeline_spark.operators.skew import salted_skew_join
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame([(i, "hot") for i in range(800)], "id long, k string")
+    dim = spark.createDataFrame([("hot", 1)], "k string, attr int")
+    joined = salted_skew_join(fact, dim, ["k"], salt=8)
+    # reconstruct the salt distribution: every salt value should carry
+    # a nontrivial share (deterministic hash over 800 distinct rows)
+    fsalt = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8))
+    )
+    shares = [r["n"] for r in fsalt.groupBy("_salt").agg(F.count("*").alias("n")).collect()]
+    assert len(shares) == 8 and max(shares) < 800 * 0.3
+    assert joined.count() == 800
