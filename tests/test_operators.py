@@ -1118,6 +1118,28 @@ def test_funnel_steps_zero_reach_step(spark):
     assert out == {"view": (1, 1.0), "click": (0, 0.0), "purchase": (0, 0.0)}
 
 
+def test_funnel_steps_reuses_step_exchanges(spark):
+    # step i's plan contains steps 1..i-1 as subtrees; AQE's runtime
+    # exchange reuse is what keeps the k-step funnel from recomputing
+    # earlier steps once per later step (the scale contract claimed in
+    # the funnel_steps docstring). Pin it on the executed plan.
+    from unified_ocr_pipeline_spark.operators import events as EV
+
+    df = spark.createDataFrame(
+        [(1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+         (2, 10, "view"), (2, 25, "click")],
+        "user_id long, ts long, event_type string",
+    )
+    out = EV.funnel_steps(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or (
+        "reused" in plan
+    ), plan
+
+
 def test_salted_skew_join_equals_plain_join(spark):
     from unified_ocr_pipeline_spark.operators.skew import salted_skew_join
 
