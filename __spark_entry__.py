@@ -924,6 +924,74 @@ def _q_salted_skew_join(spark, sf):
     )
 
 
+def _q_hll_distinct(spark, sf):
+    """HyperLogLog approximate distinct over the documents' text
+    fingerprints (p=7, m=128 — small enough that the ~430 distinct
+    fixture fps land in HLL's raw-estimator regime rather than the
+    linear-counting fallback), next to the exact count for calibration.
+    The oracle replays the register math bit-for-bit (integer bit-smear
+    rho, exact BIGINT harmonic sum)."""
+    d = _t(spark, sf, "documents")
+    keyed = d.select(F.md5(F.coalesce("text", F.lit(""))).alias("fp"))
+    approx = SAMP.hll_count_distinct(keyed, "fp", p=7)
+    exact = keyed.select(F.count_distinct("fp").alias("exact_distinct"))
+    return approx.join(F.broadcast(exact))
+
+
+def _q_priority_sample(spark, sf):
+    """Weighted sample without replacement (Efraimidis-Spirakis A-ES):
+    top-20 documents by u^(1/n_chars) with hash-uniform u — longer docs
+    proportionally likelier, selection fully deterministic. Global
+    top-k via TakeOrderedAndProject (no sort shuffle)."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return SAMP.priority_sample(d, "doc_id", "n_chars", k=20)
+
+
+def _synthetic_anchor_pages(d):
+    """Link pages whose anchors also carry formulaic anchor TEXT
+    (t{(doc_id + 3i) % 5}), so the SQL oracle can replay the per-host
+    anchor-text consensus while the Spark side re-parses the real HTML
+    through the stdlib anchor collector."""
+    n = F.pmod(F.col("doc_id"), F.lit(4))
+    link = lambda i: F.concat(  # noqa: E731
+        F.lit('<a href="http://h'),
+        F.pmod(F.col("doc_id") * 7 + i, F.lit(20)).cast("string"),
+        F.lit(".example.com/p"),
+        i.cast("string"),
+        F.lit('">t'),
+        F.pmod(F.col("doc_id") + 3 * i, F.lit(5)).cast("string"),
+        F.lit("</a>"),
+    )
+    links = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), link)
+    )
+    return d.select(
+        F.concat(
+            F.lit("http://src"), F.col("doc_id"), F.lit(".example.com/page")
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p>"),
+            F.array_join(links, ""),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+def _q_anchor_text(spark, sf):
+    """REAL anchor-text aggregation end-to-end: formulaic pages parsed
+    back by the stdlib anchor collector in the Arrow batch stage, then
+    per-host anchor-text consensus (count, distinct texts, most-common
+    text with deterministic tie-break). A mangled href, dropped anchor,
+    or wrong tie-break all show up as a value mismatch."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    pages = _synthetic_anchor_pages(d)
+    return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
+
+
 def _q_funnel(spark, sf):
     """Ordered funnel conversion view->click->purchase (greedy-earliest
     semantics, strict timestamp ordering)."""
@@ -1426,6 +1494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "funnel": _q_funnel,
         "salted_skew_join": _q_salted_skew_join,
+        "hll_distinct": _q_hll_distinct,
+        "priority_sample": _q_priority_sample,
+        "anchor_text": _q_anchor_text,
     }
 
 
@@ -2844,5 +2915,97 @@ def oracle_sql() -> dict[str, str]:
                        (x, i) -> abs(CAST(x AS DOUBLE) * scale - v[i])),
                      'max') AS max_err
             FROM q
+        """,
+        # hll_distinct: replay HyperLogLog bit-for-bit at p=7 (m=128,
+        # w=53) — register idx = top 7 bits of md5-60, rho = 54 -
+        # bit_length(low 53 bits) via the same bit-smear + popcount the
+        # engine uses (no float log2), harmonic sum as the exact BIGINT
+        # sum of 2^(54-reg) with empty registers contributing 2^54, one
+        # double division at the end. alpha_m*m^2 = 11718.991761634348
+        # (0.7213/(1+1.079/128)*128^2, the literal the engine embeds).
+        "hll_distinct": """
+            WITH keyed AS (
+              SELECT DISTINCT md5(coalesce(text, '')) AS fp FROM documents),
+            h AS (SELECT CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) AS h
+                  FROM keyed),
+            b0 AS (SELECT h >> 53 AS idx,
+                          h & ((CAST(1 AS BIGINT) << 53) - 1) AS v FROM h),
+            b1 AS (SELECT idx, v | (v >> 1) AS v FROM b0),
+            b2 AS (SELECT idx, v | (v >> 2) AS v FROM b1),
+            b3 AS (SELECT idx, v | (v >> 4) AS v FROM b2),
+            b4 AS (SELECT idx, v | (v >> 8) AS v FROM b3),
+            b5 AS (SELECT idx, v | (v >> 16) AS v FROM b4),
+            b6 AS (SELECT idx, v | (v >> 32) AS v FROM b5),
+            regs AS (SELECT idx, max(54 - bit_count(v)) AS reg
+                     FROM b6 GROUP BY idx),
+            agg AS (SELECT count(*) AS nreg,
+                           sum(CAST(1 AS BIGINT) << (54 - reg)) AS sum_term
+                    FROM regs),
+            fin AS (SELECT CAST(128 - nreg AS BIGINT) AS zero_registers,
+                           CAST(sum_term
+                                + (128 - nreg) * (CAST(1 AS BIGINT) << 54)
+                                AS DOUBLE) AS sum_d
+                    FROM agg)
+            SELECT CAST(128 AS INT) AS m,
+                   zero_registers,
+                   CAST(11718.991761634348 AS DOUBLE)
+                     * 1.8014398509481984e16 / sum_d AS raw_estimate,
+                   CASE WHEN CAST(11718.991761634348 AS DOUBLE)
+                               * 1.8014398509481984e16 / sum_d
+                             <= CAST(320 AS DOUBLE)
+                             AND zero_registers > 0
+                        THEN CAST(128 AS DOUBLE)
+                             * ln(CAST(128 AS DOUBLE) / zero_registers)
+                        ELSE CAST(11718.991761634348 AS DOUBLE)
+                               * 1.8014398509481984e16 / sum_d
+                   END AS estimate,
+                   (SELECT count(DISTINCT md5(coalesce(text, '')))
+                    FROM documents) AS exact_distinct
+            FROM fin
+        """,
+        # priority_sample: replay A-ES — u = (md5-60('42|' || id)+1)/2^60
+        # in (0,1], priority = u^(1/n_chars), global top-20 with id
+        # tie-break. Selection flips need two priorities within ~1 ulp
+        # (engines' pow may differ in the last ulp); the emitted doubles
+        # are compared at 6 significant digits.
+        "priority_sample": """
+            SELECT doc_id, source, n_chars,
+                   power(
+                     (CAST('0x' || substr(
+                         md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) + 1) / 1152921504606846976.0,
+                     1.0 / CAST(n_chars AS DOUBLE)) AS priority
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            ORDER BY priority DESC, doc_id
+            LIMIT 20
+        """,
+        # anchor_text: replay the anchor formula (doc_id % 4 anchors,
+        # host h{(doc_id*7+i)%20}, text t{(doc_id+3i)%5}) and the
+        # per-host consensus — most frequent text, ties to the
+        # lexicographically smallest.
+        "anchor_text": """
+            WITH docs AS (SELECT doc_id, doc_id % 4 AS n FROM documents),
+            e AS (
+              SELECT doc_id,
+                     'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                         || '.example.com' AS dst_host,
+                     't' || CAST((doc_id + 3 * i.i) % 5 AS VARCHAR) AS anchor
+              FROM docs,
+                   LATERAL unnest(generate_series(0, CAST(n AS INT) - 1))
+                     AS i(i)
+              WHERE n > 0),
+            cnt AS (SELECT dst_host, anchor, count(*) AS n
+                    FROM e GROUP BY dst_host, anchor),
+            rk AS (SELECT dst_host, anchor, n,
+                          row_number() OVER (PARTITION BY dst_host
+                                             ORDER BY n DESC, anchor) AS _rk
+                   FROM cnt)
+            SELECT dst_host,
+                   CAST(sum(n) AS BIGINT) AS n_anchors,
+                   count(*) AS n_texts,
+                   max(CASE WHEN _rk = 1 THEN anchor END) AS top_anchor,
+                   max(CASE WHEN _rk = 1 THEN n END) AS top_anchor_n
+            FROM rk GROUP BY dst_host
         """,
     }

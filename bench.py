@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "outlink_domains",
     "pagerank",
     "approx_distinct",
+    "hll_distinct",
+    "priority_sample",
+    "anchor_text",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",

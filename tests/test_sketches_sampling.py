@@ -1,0 +1,223 @@
+"""HyperLogLog / weighted-priority-sampling / anchor-text tests.
+
+The HLL tests pin the register math's exactness properties (duplicate
+invariance, bounded relative error, linear-counting fallback) rather
+than golden values — the golden check is the DuckDB oracle replay in
+check_correctness. The anchor tests drive the stdlib HTML collector
+through its recovery paths (nesting, whitespace, unclosed tags)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from unified_ocr_pipeline_spark.kernels.html_extract import extract_anchors
+from unified_ocr_pipeline_spark.operators import linkgraph as LG
+from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _keys(spark, n, prefix="k"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_hll_within_expected_error(spark):
+    n = 5000
+    row = SAMP.hll_count_distinct(_keys(spark, n), "key", p=10).first()
+    # 1.04/sqrt(1024) ~ 3.25% standard error; allow 4 sigma
+    assert abs(row.estimate - n) / n < 4 * 1.04 / math.sqrt(1024)
+    assert row.m == 1024
+
+
+def test_hll_duplicate_invariance(spark):
+    base = _keys(spark, 800)
+    dup3 = base.union(base).union(base)
+    a = SAMP.hll_count_distinct(base, "key", p=9).first()
+    b = SAMP.hll_count_distinct(dup3, "key", p=9).first()
+    # registers keep a max — multiplicity cannot move any register
+    assert a.estimate == b.estimate
+    assert a.zero_registers == b.zero_registers
+
+
+def test_hll_linear_counting_fallback(spark):
+    # 40 keys into m=4096 registers: raw estimate lands far below
+    # 2.5m with plenty of empty registers -> linear-counting branch
+    row = SAMP.hll_count_distinct(_keys(spark, 40), "key", p=12).first()
+    m, v = 4096, row.zero_registers
+    assert v > 0
+    assert row.estimate == pytest.approx(m * math.log(m / v))
+    assert row.estimate != row.raw_estimate
+    assert abs(row.estimate - 40) < 5
+
+
+def test_hll_null_keys_ignored(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "key string"
+    )
+    row = SAMP.hll_count_distinct(df, "key", p=7).first()
+    assert 0 < row.estimate < 10
+
+
+def test_hll_p_bounds():
+    # p is validated before the frame is touched
+    with pytest.raises(ValueError):
+        SAMP.hll_count_distinct(None, "key", p=6)
+    with pytest.raises(ValueError):
+        SAMP.hll_count_distinct(None, "key", p=19)
+
+
+def test_hll_shuffle_bounded_by_partial_agg(spark):
+    # the register agg must run a map-side partial max before the
+    # exchange — that is what caps the shuffle at O(tasks * m)
+    plan = SAMP.hll_count_distinct(
+        _keys(spark, 100), "key", p=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    # ids 0..399: weight 1 for even ids, 20 for odd ids
+    return spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(20))
+        .alias("w"),
+    )
+
+
+def test_priority_sample_deterministic(spark, weighted):
+    a = [r.doc_id for r in SAMP.priority_sample(weighted, "doc_id", "w", 25).collect()]
+    b = [r.doc_id for r in SAMP.priority_sample(weighted, "doc_id", "w", 25).collect()]
+    assert a == b
+    assert len(a) == 25 == len(set(a))
+
+
+def test_priority_sample_weight_bias(spark, weighted):
+    rows = SAMP.priority_sample(weighted, "doc_id", "w", 40).collect()
+    heavy = sum(1 for r in rows if r.w == 20)
+    # heavy rows are 20x likelier per draw; at 50/50 population the
+    # sample should be overwhelmingly heavy (binomial tail, p<<1e-6)
+    assert heavy >= 30
+
+
+def test_priority_sample_seed_changes_selection(spark, weighted):
+    a = {r.doc_id for r in SAMP.priority_sample(weighted, "doc_id", "w", 25).collect()}
+    b = {
+        r.doc_id
+        for r in SAMP.priority_sample(weighted, "doc_id", "w", 25, seed=7).collect()
+    }
+    assert a != b
+
+
+def test_priority_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r.doc_id for r in SAMP.priority_sample(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 5}
+
+
+def test_priority_sample_no_global_sort(spark, weighted):
+    plan = (
+        SAMP.priority_sample(weighted, "doc_id", "w", 25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full-sort operator anywhere
+
+
+def test_priority_sample_priorities_in_unit_interval(spark, weighted):
+    rows = SAMP.priority_sample(weighted, "doc_id", "w", 25).collect()
+    assert all(0.0 < r.priority <= 1.0 for r in rows)
+    pris = [r.priority for r in rows]
+    assert pris == sorted(pris, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Anchor text
+# ---------------------------------------------------------------------------
+
+
+def test_extract_anchors_basic_and_whitespace():
+    h = (
+        '<p>pre</p><a href="http://x.com/a">Hello\n  <b>World</b> </a>'
+        '<a href="/rel">relative skipped</a>'
+        '<a href="mailto:a@b">mail skipped</a>'
+        '<a href="https://y.com/b"></a>'
+    )
+    assert extract_anchors(h) == [
+        ("http://x.com/a", "Hello World"),
+        ("https://y.com/b", ""),
+    ]
+
+
+def test_extract_anchors_nested_and_unclosed():
+    # nested anchor: inner text to the innermost (browser recovery);
+    # unclosed anchors flush at EOF
+    h = '<a href="https://o.com">out <a href="http://i.com">in</a>side</a>'
+    assert extract_anchors(h) == [
+        ("http://i.com", "in"),
+        ("https://o.com", "out side"),
+    ]
+    assert extract_anchors('<a href="http://q.com">tail') == [
+        ("http://q.com", "tail")
+    ]
+    assert extract_anchors(None) == []
+    assert extract_anchors("<a href=") == []
+
+
+def test_anchor_edges_and_profile(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                b'<a href="http://h1.com/x">news</a>'
+                b'<a href="http://h1.com/y">news</a>'
+                b'<a href="http://h2.com/z">blog</a>',
+            ),
+            ("u2", b'<a href="http://h1.com/w">archive</a>'),
+            ("u3", None),
+        ],
+        "url string, html binary",
+    )
+    prof = {
+        r.dst_host: r
+        for r in LG.anchor_text_profile(
+            LG.anchor_edges(pages, "url", "html")
+        ).collect()
+    }
+    assert prof["h1.com"].n_anchors == 3
+    assert prof["h1.com"].n_texts == 2
+    assert prof["h1.com"].top_anchor == "news"
+    assert prof["h1.com"].top_anchor_n == 2
+    assert prof["h2.com"].top_anchor == "blog"
+
+
+def test_anchor_profile_tie_breaks_lexicographically(spark):
+    edges = spark.createDataFrame(
+        [
+            ("u1", "http://h.com/1", "zeta", 0),
+            ("u2", "http://h.com/2", "alpha", 0),
+        ],
+        "src_url string, href string, anchor string, link_pos int",
+    )
+    row = LG.anchor_text_profile(edges).first()
+    assert row.top_anchor == "alpha"
+    assert row.top_anchor_n == 1

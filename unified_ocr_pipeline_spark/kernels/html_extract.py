@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from html.parser import HTMLParser
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 # Tags whose subtree contributes no text at all.
 _DROP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe"}
@@ -208,3 +208,56 @@ def extract_links(html_text: str) -> List[str]:
     except Exception:
         pass  # malformed tail: keep whatever parsed before the error
     return p.links
+
+
+class _AnchorCollector(HTMLParser):
+    """Collect (absolute href, visible anchor text) pairs from <a> tags.
+    Text is everything rendered between the open and close tag
+    (whitespace-normalized); nested <a> (invalid HTML, but crawls have
+    it) attributes the inner text to the innermost open anchor, matching
+    how browsers recover."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: List[Tuple[str, str]] = []
+        self._stack: List[Tuple[Optional[str], List[str]]] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            href = None
+            for k, v in attrs:
+                if k == "href" and v and v.startswith(("http://", "https://")):
+                    href = v
+                    break
+            self._stack.append((href, []))
+
+    def handle_data(self, data: str) -> None:
+        if self._stack:
+            self._stack[-1][1].append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._stack:
+            href, parts = self._stack.pop()
+            if href is not None:
+                text = " ".join("".join(parts).split())
+                self.anchors.append((href, text))
+
+
+def extract_anchors(html_text: str) -> List[Tuple[str, str]]:
+    """All (absolute href, anchor text) pairs of a page in document
+    order — the raw material for anchor-text aggregation (the classic
+    web-corpus signal: what OTHER pages call a target page/host).
+    Duplicates kept; text whitespace-normalized, may be empty."""
+    p = _AnchorCollector()
+    try:
+        p.feed(html_text or "")
+        p.close()
+    except Exception:
+        pass  # malformed tail: keep whatever parsed before the error
+    # Anchors never closed by EOF: browsers auto-close at document end,
+    # so flush them too (innermost first, matching nested-pop order).
+    while p._stack:
+        href, parts = p._stack.pop()
+        if href is not None:
+            p.anchors.append((href, " ".join("".join(parts).split())))
+    return p.anchors

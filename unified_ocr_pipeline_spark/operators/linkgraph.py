@@ -21,7 +21,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.html_extract import extract_links
+from ..kernels.html_extract import extract_anchors, extract_links
 
 _HOST_RE = r"^https?://([^/?#]+)"
 
@@ -133,3 +133,79 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def anchor_edges(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """One row per (src_url, href, anchor, link_pos) absolute outlink
+    WITH its visible anchor text — the raw material for anchor-text
+    aggregation. Same Arrow-batch shape as outlink_edges: the stdlib
+    HTML parser runs on scan partitions (raw HTML never shuffles), and
+    only the small (url, href, anchor) triples enter any exchange."""
+
+    def gen(batches: Iterator["pd.DataFrame"]):  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            srcs, hrefs, texts, poss = [], [], [], []
+            for url, html in zip(pdf["_url"], pdf["_html"]):
+                if html is None:
+                    continue
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                for i, (href, text) in enumerate(extract_anchors(html)):
+                    srcs.append(url)
+                    hrefs.append(href)
+                    texts.append(text)
+                    poss.append(i)
+            yield pd.DataFrame(
+                {
+                    "src_url": srcs,
+                    "href": hrefs,
+                    "anchor": texts,
+                    "link_pos": poss,
+                }
+            )
+
+    narrow = pages.select(
+        F.col(url_col).alias("_url"), F.col(html_col).alias("_html")
+    )
+    return narrow.mapInPandas(
+        gen, schema="src_url string, href string, anchor string, link_pos int"
+    )
+
+
+def anchor_text_profile(edges: DataFrame) -> DataFrame:
+    """Per-destination-host anchor-text consensus — the classic web
+    signal (what OTHER pages call a host describes it better than the
+    host describes itself; every crawl-era ranking/labeling pipeline
+    aggregates it). Returns (dst_host, n_anchors, n_texts, top_anchor,
+    top_anchor_n): total inbound anchors, distinct texts, and the most
+    frequent text (ties broken by lexicographically smallest, so the
+    result is deterministic).
+
+    Scale shape: the (host, anchor) count agg runs FIRST with map-side
+    partial agg, so the rank window — one reducer per HOST otherwise —
+    only ever sees <= |distinct texts per host| rows, not the raw edge
+    list. Two exchanges total, both keyed on dst_host (AQE coalesces
+    the second into the first's partitioning when sizes allow)."""
+    from pyspark.sql import Window
+
+    by_text = (
+        edges.select(
+            F.regexp_extract("href", _HOST_RE, 1).alias("dst_host"), "anchor"
+        )
+        .where(F.col("dst_host") != "")
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.col("anchor"))
+    return (
+        by_text.withColumn("_rk", F.row_number().over(w))
+        .groupBy("dst_host")
+        .agg(
+            F.sum("n").alias("n_anchors"),
+            F.count("*").alias("n_texts"),
+            F.max(F.when(F.col("_rk") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("_rk") == 1, F.col("n"))).alias("top_anchor_n"),
+        )
+    )

@@ -503,3 +503,118 @@ def linear_count_distinct(
         )
         .alias("estimate"),
     )
+
+
+def hll_count_distinct(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
+    """HyperLogLog approximate COUNT(DISTINCT) (Flajolet et al. 2007) on
+    the md5-60 hash: the top ``p`` hash bits pick one of m = 2**p
+    registers, the register keeps the max leading-zero-run length (rho)
+    of the remaining w = 60-p bits, and the harmonic-mean estimator
+    alpha_m * m^2 / sum(2^-reg) recovers the cardinality, with the
+    standard linear-counting fallback below 2.5m when empty registers
+    remain. Relative error ~ 1.04/sqrt(m) with O(m) state — the
+    industry-standard bounded-memory distinct counter (what a 100 TB
+    crawl uses for per-snapshot distinct urls/hosts where even
+    linear-counting's bitmap per group would be too wide).
+
+    Everything before the final one-row projection is exact integer
+    math, so a SQL oracle replays it bit-for-bit: rho comes from a
+    bit-smear + popcount (no float log2 whose rounding could differ
+    across engines), and the harmonic sum is accumulated as the integer
+    sum of 2^(w+1-reg) (max m * 2^(w+1) < 2^63 for p >= 7, so the
+    BIGINT sum is exact and order-independent) and divided back to
+    double once.
+
+    Scale shape: ONE hash-agg keyed by register index — map-side partial
+    max collapses every task to <= m rows before the exchange (shuffle
+    is O(tasks * m), not O(rows)) — then a single-row agg over <= m
+    registers. Null keys are not counted (COUNT DISTINCT semantics).
+
+    Returns one row: (m int, zero_registers long, raw_estimate double,
+    estimate double).
+    """
+    if not 7 <= p <= 18:
+        # p >= 7 keeps the asymptotic alpha_m valid AND the scaled
+        # harmonic sum inside BIGINT; p <= 18 caps register memory.
+        raise ValueError(f"p must be in [7, 18], got {p}")
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    h = md5_60(F.col("key"))
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    # bit_length(rest) via bit-smear + popcount; rho = w + 1 - bit_length
+    v = rest
+    for s in (1, 2, 4, 8, 16, 32):
+        v = v.bitwiseOR(F.shiftright(v, s))
+    rho = (F.lit(w + 1) - F.bit_count(v)).alias("rho")
+
+    regs = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .where(F.col("key").isNotNull())
+        .select(F.shiftright(h, w).alias("idx"), rho)
+        .groupBy("idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # (python's F.shiftleft wrapper only takes an int shift amount; the
+    # underlying SQL ShiftLeft is a binary expression, so go via expr)
+    agg = regs.agg(
+        F.count("*").alias("nreg"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - reg)")).alias(
+            "sum_term"
+        ),
+    )
+    zero = F.lit(m).cast("long") - F.col("nreg")
+    sum_int = F.col("sum_term") + zero * F.lit(1 << (w + 1)).cast("long")
+    raw = (
+        F.lit(alpha * m * m) * F.lit(float(1 << (w + 1))) / sum_int.cast("double")
+    )
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        zero.alias("zero_registers"),
+        raw.alias("raw_estimate"),
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (zero > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zero.cast("double")),
+        )
+        .otherwise(raw)
+        .alias("estimate"),
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws the hash-uniform
+    u = (md5_60(seed|id) + 1) / 2^60 in (0, 1] and the sample is the
+    global top-k rows by priority u^(1/weight) — exactly the
+    distribution of sequential weighted draws without replacement, but
+    as a single one-pass top-k. The mixture-building primitive when
+    sources are weighted by token count rather than gated by budget
+    (mixture_sample's cousin): re-runs pick identical rows because u
+    comes from the content hash, never an RNG.
+
+    Rows with null/non-positive weight are excluded (they have no
+    well-defined draw). Ties (astronomically unlikely) break by id.
+
+    Scale shape: NO global sort — orderBy+limit compiles to
+    TakeOrderedAndProject, a per-partition O(k) heap + single-reducer
+    merge of tasks*k candidate rows (plan-asserted in tests). The
+    priority expression is pure JVM codegen.
+    """
+    u = (
+        md5_60(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    pri = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )
