@@ -992,6 +992,60 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_hits(spark, sf):
+    """Fixed-2-iteration HITS hubs/authorities over the same parsed link
+    graph as pagerank (L1-normalized per half-step). The oracle replays
+    both iterations as chained CTEs with scalar-subquery normalizers."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    edges = LG.outlink_edges(_synthetic_link_pages(d), "url", "html").select(
+        "src_url",
+        F.regexp_extract("href", r"^https?://([^/?#]+)", 1).alias("dst_host"),
+    )
+    return LG.hits(edges, "src_url", "dst_host", iterations=2)
+
+
+def _q_quality_lr(spark, sf):
+    """Logistic quality-classifier score (CCNet/LLaMA-style 'looks like
+    reference prose' filter) over the same rounded shape signals as the
+    Gopher gates, plus length and stopword-density evidence — pure JVM
+    Column expression, one codegen'd projection."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.quality_lr_score(t).alias("lr_score"),
+        TX.quality_lr_keep(t).alias("keep"),
+    )
+
+
+def _q_containment(spark, sf):
+    """Directed near-containment (Broder's containment coefficient) over
+    word-trigram shingle sets: catches a short doc quoted inside a long
+    one that symmetric Jaccard misses. Same doc_id<100 slice as
+    ngram_jaccard so the self-join stays fixture-sized."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return DD.containment_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.05, max_shingle_df=1000
+    )
+
+
+def _q_lm_perplexity(spark, sf):
+    """CCNet-style unigram-LM fluency scoring: train on a deterministic
+    md5-60 hash sample of the corpus (mod 4, vocab top-512 with add-one
+    smoothing), then score every document's mean negative log-likelihood
+    in one narrow Arrow pass (broadcast dict, no explode/shuffle). The
+    oracle replays the identical sample, vocabulary cut and smoothing in
+    SQL, so a wrong sample, tie-break, OOV mass or token split all
+    surface as a value mismatch."""
+    from unified_ocr_pipeline_spark.operators import lm as LM
+
+    d = _t(spark, sf, "documents")
+    model, meta = LM.lm_train(d, "text", "doc_id", sample_mod=4, vocab_size=512)
+    return LM.lm_score(d, model, meta, "text", "doc_id")
+
+
 def _q_funnel(spark, sf):
     """Ordered funnel conversion view->click->purchase (greedy-earliest
     semantics, strict timestamp ordering)."""
@@ -1497,6 +1551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "priority_sample": _q_priority_sample,
         "anchor_text": _q_anchor_text,
+        "lm_perplexity": _q_lm_perplexity,
+        "containment": _q_containment,
+        "quality_lr": _q_quality_lr,
+        "hits_scores": _q_hits,
     }
 
 
@@ -3007,5 +3065,154 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN _rk = 1 THEN anchor END) AS top_anchor,
                    max(CASE WHEN _rk = 1 THEN n END) AS top_anchor_n
             FROM rk GROUP BY dst_host
+        """,
+        # lm_perplexity: replay the unigram LM end-to-end — identical
+        # md5-60 sample (mod 4), identical lower+\s+ tokenization,
+        # identical top-512 (count desc, token) vocabulary cut and
+        # add-one smoothing over (N + V + 1).
+        "lm_perplexity": r"""
+            WITH samp AS (
+              SELECT text FROM documents
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 4 = 0),
+            tok AS (
+              SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+              FROM samp),
+            cnt AS (SELECT tok, count(*) AS c FROM tok
+                    WHERE tok <> '' GROUP BY tok),
+            tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cnt),
+            vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 512),
+            vsz AS (SELECT count(*) AS v FROM vocab),
+            lm AS (SELECT tok, ln((c + 1.0) / (n + v + 1.0)) AS logp
+                   FROM vocab, tot, vsz),
+            dt AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+              FROM documents),
+            dt2 AS (SELECT doc_id, tok FROM dt WHERE tok <> ''),
+            scored AS (
+              SELECT d.doc_id,
+                     coalesce(lm.logp, ln(1.0 / (n + v + 1.0))) AS logp
+              FROM dt2 d LEFT JOIN lm USING (tok), tot, vsz)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   -avg(logp) AS nll
+            FROM scored GROUP BY doc_id
+        """,
+        # containment: same shingle space as ngram_jaccard (word
+        # trigrams, DISTINCT per doc), directed score = inter/|src|,
+        # both directions emitted from each undirected intersection,
+        # threshold applied to the ROUNDED value exactly as the engine
+        # does.
+        "containment": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id < 100),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+              FROM toks WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            sized AS (
+              SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b
+              FROM pairs
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b),
+            directed AS (
+              SELECT id_a AS src, id_b AS dst,
+                     round(inter * 1.0 / size_a, 4) AS containment
+              FROM sized
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst,
+                     round(inter * 1.0 / size_b, 4) AS containment
+              FROM sized)
+            SELECT src, dst, containment
+            FROM directed WHERE containment >= 0.05
+        """,
+        # quality_lr: the gopher_quality feature CTEs (identically
+        # rounded) + length/stopword evidence, dotted with the fixed
+        # stand-in weights and squashed; keep gates on the ROUNDED score.
+        "quality_lr": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS syms,
+                     len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS stop_hits
+              FROM documents),
+            s AS (
+              SELECT doc_id, syms, stop_hits, ws, len(ws) AS n,
+                     len(list_distinct(ws)) AS nd,
+                     list_sum(list_transform(ws, x -> length(x))) AS total_len
+              FROM w),
+            m AS (
+              SELECT doc_id, n, stop_hits,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(1.0 - nd / CAST(n AS DOUBLE), 4) END AS dup_frac,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(list_max(list_transform(list_distinct(ws),
+                                 d -> len(list_filter(ws, x -> x = d))))
+                               / CAST(n AS DOUBLE), 4) END AS top_cov,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(total_len / CAST(n AS DOUBLE), 4) END AS mean_wlen,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(syms / CAST(n AS DOUBLE), 4) END AS sym_ratio
+              FROM s),
+            z AS (
+              SELECT doc_id,
+                     1.0 + 0.8 * least(n / 100.0, 1.0)
+                         + 1.2 * least(stop_hits * 5.0 / greatest(n, 1), 1.0)
+                         - 3.0 * dup_frac - 2.0 * top_cov - 2.5 * sym_ratio
+                         - 0.08 * least(abs(mean_wlen - 5.0), 5.0) AS zv
+              FROM m)
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-zv)), 4) AS lr_score,
+                   round(1.0 / (1.0 + exp(-zv)), 4) >= 0.5 AS keep
+            FROM z
+        """,
+        # hits_scores: the pagerank edge formula, then two HITS
+        # iterations (auth half-step, hub half-step, L1 normalize each)
+        # as chained CTEs with scalar-subquery normalizers.
+        "hits_scores": """
+            WITH docs AS (SELECT doc_id, doc_id % 4 AS n FROM documents),
+            e AS (
+              SELECT 'http://src' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/page' AS src,
+                     'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+              FROM docs,
+                   LATERAL unnest(generate_series(0, CAST(n AS INT) - 1))
+                     AS i(i)
+              WHERE n > 0),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM e
+                       UNION SELECT dst AS node FROM e)),
+            h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+            a1r AS (SELECT e.dst, sum(h0.hub) AS r
+                    FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+            a1 AS (SELECT nodes.node,
+                          coalesce(a1r.r, 0) / (SELECT sum(r) FROM a1r) AS auth
+                   FROM nodes LEFT JOIN a1r ON a1r.dst = nodes.node),
+            h1r AS (SELECT e.src, sum(a1.auth) AS r
+                    FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+            h1 AS (SELECT nodes.node,
+                          coalesce(h1r.r, 0) / (SELECT sum(r) FROM h1r) AS hub
+                   FROM nodes LEFT JOIN h1r ON h1r.src = nodes.node),
+            a2r AS (SELECT e.dst, sum(h1.hub) AS r
+                    FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+            a2 AS (SELECT nodes.node,
+                          coalesce(a2r.r, 0) / (SELECT sum(r) FROM a2r) AS auth
+                   FROM nodes LEFT JOIN a2r ON a2r.dst = nodes.node),
+            h2r AS (SELECT e.src, sum(a2.auth) AS r
+                    FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+            h2 AS (SELECT nodes.node,
+                          coalesce(h2r.r, 0) / (SELECT sum(r) FROM h2r) AS hub
+                   FROM nodes LEFT JOIN h2r ON h2r.src = nodes.node)
+            SELECT h2.node, h2.hub, a2.auth
+            FROM h2 JOIN a2 USING (node)
         """,
     }

@@ -1,0 +1,192 @@
+"""Unigram-LM perplexity filter and directed containment tests.
+
+The LM tests differential-check lm_train/lm_score against a pure-Python
+reference on a synthetic corpus (the golden check is the DuckDB oracle
+replay in check_correctness); the containment tests pin the directed
+semantics Jaccard can't express — a short doc quoted inside a long one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from unified_ocr_pipeline_spark.operators import dedup as DD
+from unified_ocr_pipeline_spark.operators import lm as LM
+
+_WS = re.compile(r"\s+")
+
+
+def _md5_60(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+
+
+def _py_lm(rows, sample_mod, vocab_size):
+    """Pure-Python replica of lm_train + lm_score."""
+    counts: dict = {}
+    for i, text in rows:
+        if _md5_60(str(i)) % sample_mod != 0:
+            continue
+        for t in _WS.split(text.lower()):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+    n = sum(counts.values())
+    vocab = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    v = len(vocab)
+    denom = n + v + 1.0
+    lut = {t: math.log((c + 1.0) / denom) for t, c in vocab}
+    oov = math.log(1.0 / denom)
+    out = {}
+    for i, text in rows:
+        toks = [t for t in _WS.split(text.lower()) if t]
+        if not toks:
+            continue
+        s = 0.0
+        for t in toks:
+            s += lut.get(t, oov)
+        out[i] = (len(toks), -s / len(toks))
+    return out, n, v
+
+
+def _corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "a completely different sentence about spark plans"),
+        (3, "the the the the repeated filler tokens"),
+        (4, "zzz unseen vocabulary qqq xyzzy plugh"),
+        (5, "   "),
+        (6, "the cat sat on the mat again and again"),
+        (7, "mixed CASE Tokens lower the same way"),
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_matches_python_reference(spark):
+    rows, df = _corpus(spark)
+    model, meta = LM.lm_train(df, "text", "doc_id", sample_mod=2, vocab_size=5)
+    scored = {
+        r["doc_id"]: (r["n_tok"], r["nll"])
+        for r in LM.lm_score(df, model, meta, "text", "doc_id").collect()
+    }
+    want, n, v = _py_lm(rows, sample_mod=2, vocab_size=5)
+    assert meta["n_tokens"] == n
+    assert meta["vocab"] == v
+    assert set(scored) == set(want)  # doc 5 (whitespace-only) dropped
+    for k, (nt, nll) in want.items():
+        assert scored[k][0] == nt
+        assert abs(scored[k][1] - nll) < 1e-9
+
+
+def test_lm_vocab_cap_and_oov_floor(spark):
+    _, df = _corpus(spark)
+    model, meta = LM.lm_train(df, "text", "doc_id", sample_mod=1, vocab_size=3)
+    lm_rows = model.collect()
+    assert len(lm_rows) == 3 == meta["vocab"]
+    # OOV mass is strictly below every in-vocab logp (add-one smoothing)
+    assert all(meta["oov_logp"] < r["logp"] for r in lm_rows)
+    # deterministic tie-break: re-train gives the identical vocabulary
+    model2, meta2 = LM.lm_train(df, "text", "doc_id", sample_mod=1, vocab_size=3)
+    assert sorted(r["tok"] for r in lm_rows) == sorted(
+        r["tok"] for r in model2.collect()
+    )
+    assert meta == meta2
+
+
+def test_lm_fluent_scores_below_gibberish(spark):
+    _, df = _corpus(spark)
+    model, meta = LM.lm_train(df, "text", "doc_id", sample_mod=1, vocab_size=64)
+    s = {r["doc_id"]: r["nll"] for r in LM.lm_score(df, model, meta).collect()}
+    # doc 4 is all-OOV-ish gibberish; doc 0 is head-vocabulary — the LM
+    # must rank them the way a CCNet bucket gate would
+    assert s[4] > s[0]
+
+
+def test_lm_perplexity_gate_buckets(spark):
+    _, df = _corpus(spark)
+    out = LM.lm_perplexity_gate(
+        df, "text", "doc_id", sample_mod=1, vocab_size=64, n_buckets=2
+    ).collect()
+    assert {r["ppl_bucket"] for r in out} == {1, 2}
+    by_bucket = {b: [r["nll"] for r in out if r["ppl_bucket"] == b] for b in (1, 2)}
+    assert max(by_bucket[1]) <= min(by_bucket[2])
+
+
+def test_containment_floods_broadcast_anti(spark):
+    # same contract as ngram_jaccard: the only explicit broadcast is the
+    # over-threshold flood set on a LEFT ANTI — never the corpus-sized
+    # complement, never the inverted-index self-join sides.
+    import io
+    import re as _re
+    from contextlib import redirect_stdout
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        q = DD.containment_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.05)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bhj = _re.findall(r"BroadcastHashJoin \w+", plan)
+    assert bhj and all("LeftAnti" in b for b in bhj), plan
+
+
+def test_containment_directed_asymmetry(spark):
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words here " + quote + " and then a very long tail "
+        "with many additional unrelated tokens stretching the shingle set "
+        "far beyond the quoted fragment so jaccard stays low"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "unrelated content entirely")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in DD.containment_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    # every trigram of the quote appears in the long doc → src=1 fully contained
+    assert out[(1, 2)] == 1.0
+    # the reverse direction is far below threshold → absent
+    assert (2, 1) not in out
+    assert not any(3 in k for k in out)
+
+
+def test_containment_agrees_with_python(spark):
+    rows = [
+        (0, "one two three four five six"),
+        (1, "zero one two three four five six seven"),
+        (2, "one two three nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in DD.containment_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.0
+        ).collect()
+    }
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in rows}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in out
+            else:
+                assert out[(a, b)] == round(inter / len(sets[a]), 4)

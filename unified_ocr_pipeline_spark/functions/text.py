@@ -197,6 +197,46 @@ def gopher_keep(text: Column, max_dup_frac: float = 0.3,
     )
 
 
+def quality_lr_score(text: Column) -> Column:
+    """Logistic quality-classifier score in [0, 1] over the shape
+    signals — the fastText/LR "looks like a reference corpus" filter of
+    CCNet/LLaMA-style curation, as a pure JVM Column expression.
+
+    The weights are fixed, documented stand-ins for an offline-trained
+    model (the sandbox has no trained classifier to load); the operator
+    contract — featurize with the SAME rounded signals as the Gopher
+    gates, dot with a weight vector, sigmoid, round — is what transfers.
+    Hand-tuned direction: length and stopword density are positive
+    evidence of running prose; repetition, single-token dominance and
+    symbol noise are negative; mean word length is penalized by its
+    distance from ~5 chars (English prose mode).
+
+    Whole-stage-codegen friendly: no UDF, no shuffle, one projection.
+    """
+    w = words_of(text)
+    n = F.size(w)
+    len_feat = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_feat = F.least(
+        stopword_hits(text, "en") * F.lit(5.0) / F.greatest(n, F.lit(1)),
+        F.lit(1.0),
+    )
+    z = (
+        F.lit(1.0)
+        + F.lit(0.8) * len_feat
+        + F.lit(1.2) * stop_feat
+        - F.lit(3.0) * dup_word_fraction(text)
+        - F.lit(2.0) * top_word_coverage(text)
+        - F.lit(2.5) * symbol_word_ratio(text)
+        - F.lit(0.08) * F.least(F.abs(mean_word_length(text) - F.lit(5.0)), F.lit(5.0))
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+
+
+def quality_lr_keep(text: Column, threshold: float = 0.5) -> Column:
+    """Keep gate on the rounded classifier score."""
+    return quality_lr_score(text) >= threshold
+
+
 def collapse_token_runs(text: Column) -> Column:
     """Remove CONSECUTIVE repeated tokens ("batch batch batch" → "batch") —
     the classic crawl-text repetition scrub. Pure array expressions, no

@@ -135,6 +135,79 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities (Kleinberg 1999) over an
+    edge list — the directory-page vs content-page split PageRank can't
+    express (a crawl frontier wants hub pages for discovery, authority
+    pages for content).
+
+    h_0 = 1; per iteration: a(v) = Σ_{u→v} h(u) then L1-normalize,
+    h(u) = Σ_{u→v} a(v) then L1-normalize.  L1 (sum) normalization is
+    chosen over the classical L2 because it replays in SQL as a scalar
+    subquery with no sqrt-of-sum-of-squares ordering hazard, and the
+    fixed iteration count keeps the result a pure input function.
+
+    Scale shape mirrors :func:`pagerank`: per iteration two shuffle
+    joins of a node-sized vector against the edge list and two hash
+    aggs; the normalizing sums stay IN-PLAN as single-row broadcast
+    cross joins (no driver action per iteration); localCheckpoint
+    truncates lineage on deep runs.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for it in range(iterations):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .select("dst", "hub")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").alias("a_tot"))
+        auth = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("a_tot")).alias(
+                    "auth"
+                ),
+            )
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select("src", "auth")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").alias("h_tot"))
+        hub = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("h_tot")).alias(
+                    "hub"
+                ),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return hub.join(auth, "node")
+
+
 def anchor_edges(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
     """One row per (src_url, href, anchor, link_pos) absolute outlink
     WITH its visible anchor text — the raw material for anchor-text

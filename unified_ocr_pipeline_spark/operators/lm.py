@@ -1,0 +1,161 @@
+"""CCNet-style statistical language-model quality filtering.
+
+The reference pipeline gates documents on hand-written quality
+heuristics only (``scripts/unified_ocr_pipeline.py:727-788`` — char/word
+counts, confidence thresholds); a web-scale curation stack additionally
+scores every document under a language model trained on a trusted or
+self-sampled corpus and gates/buckets on perplexity (CCNet, Wenzek et
+al. 2020; Gopher, Rae et al. 2021).  This module is that operator,
+Spark-first and fully deterministic:
+
+- ``lm_train``: unigram LM over a *deterministic hash sample* of the
+  corpus (md5-60(id) % mod == 0, so re-runs and incremental batches pick
+  the identical sample), vocabulary capped at top-V by (count desc,
+  token) — a TakeOrderedAndProject, never a single-reducer global sort.
+  Add-one smoothing: p(tok) = (c+1)/(N+V+1), OOV mass 1/(N+V+1).
+- ``lm_score``: mean negative log-likelihood per document.  The LM is
+  bounded by construction (≤ vocab_size rows), so it rides to executors
+  as a broadcast dict and scoring is ONE narrow Arrow pass — token
+  lookups vectorized via pandas ``.map`` + ``np.add.reduceat`` per-doc
+  sums, no explode, no shuffle, no per-row Python.
+
+At 100 TB: training touches only the hash sample (tunable mod), its
+shuffle carries vocabulary-sized partial counts (map-side combine), and
+scoring is embarrassingly parallel.  The whole computation replays in
+ANSI SQL for the DuckDB oracle (same md5-60 sample, same smoothing).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import md5_60
+
+_WS = re.compile(r"\s+")
+
+
+def lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int = 4,
+    vocab_size: int = 4096,
+) -> tuple[DataFrame, dict]:
+    """Train a unigram LM on a deterministic hash sample of ``df``.
+
+    Returns ``(lm, meta)`` where ``lm`` is a DataFrame
+    ``(tok string, c bigint, logp double)`` with at most ``vocab_size``
+    rows, and ``meta`` carries the smoothing scalars:
+    ``n_tokens`` (sample token total, including out-of-vocab),
+    ``vocab`` (actual vocabulary size ≤ vocab_size) and ``oov_logp``.
+
+    Tokenization is lower + split on ``\\s+`` dropping empties — chosen
+    because it means the same thing in Java regex (Spark), RE2 (DuckDB)
+    and Python ``re``, so the oracle replays it exactly.
+    """
+    sample = df.where(md5_60(F.col(id_col)) % sample_mod == 0)
+    toks = sample.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # Two driver actions over the vocabulary-sized relation (not the
+    # corpus): the token total and the capped vocabulary.  Same bounded
+    # pattern as ivf.kmeans_train's sample collect.
+    n_tokens = counts.agg(F.sum("c")).collect()[0][0] or 0
+    vocab = counts.orderBy(F.col("c").desc(), "tok").limit(vocab_size)
+    v = vocab.count()
+    denom = float(n_tokens + v + 1)
+    lm = vocab.withColumn(
+        "logp", F.log((F.col("c") + F.lit(1.0)) / F.lit(denom))
+    )
+    meta = {
+        "n_tokens": int(n_tokens),
+        "vocab": int(v),
+        "oov_logp": math.log(1.0 / denom),
+        "sample_mod": sample_mod,
+        "vocab_size": vocab_size,
+    }
+    return lm, meta
+
+
+def lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    meta: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document: ``(id_col, n_tok bigint, nll double)``.
+
+    ``nll`` is the mean negative log-probability of the document's
+    tokens under ``lm`` (lower = more fluent under the corpus LM; CCNet
+    buckets on exactly this).  Documents with zero tokens are dropped —
+    they have no likelihood and the downstream gate already quarantines
+    empties.
+
+    The LM collect is bounded by ``vocab_size``; scoring is a single
+    mapInPandas pass whose inner loop is pandas/NumPy (``Series.map`` on
+    the token stream + ``add.reduceat`` per-doc segment sums), the same
+    Arrow-batch kernel shape as operators/dedup's MinHash stage.
+    """
+    lut = {r["tok"]: r["logp"] for r in lm.select("tok", "logp").collect()}
+    oov = float(meta["oov_logp"])
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tok_lists = [
+                [t for t in _WS.split(s.lower()) if t]
+                for s in pdf[text_col].fillna("").astype(str)
+            ]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            keep = lens > 0
+            if not keep.any():
+                continue
+            ids = pdf[id_col].to_numpy()[keep]
+            lens = lens[keep]
+            flat = [t for toks, k in zip(tok_lists, keep) if k for t in toks]
+            logps = (
+                pd.Series(flat, dtype="object").map(lut).fillna(oov).to_numpy()
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(logps, starts)
+            yield pd.DataFrame(
+                {id_col: ids, "n_tok": lens, "nll": -sums / lens}
+            )
+
+    return df.mapInPandas(gen, schema=f"{id_col} {id_type}, n_tok bigint, nll double")
+
+
+def lm_perplexity_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int = 4,
+    vocab_size: int = 4096,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Train-and-score convenience: NTILE-bucket documents by nll.
+
+    Returns ``(id_col, n_tok, nll, ppl_bucket int)`` where bucket 1 is
+    the most-fluent quartile (CCNet keeps head/middle buckets for
+    training mixes).  The ntile is a single window over the scored
+    relation — at 100 TB, swap for approx quantile cutpoints if the
+    exact global ranking isn't required.
+    """
+    from pyspark.sql import Window
+
+    lm, meta = lm_train(df, text_col, id_col, sample_mod, vocab_size)
+    scored = lm_score(df, lm, meta, text_col, id_col)
+    w = Window.orderBy(F.col("nll").asc(), F.col(id_col).asc())
+    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
