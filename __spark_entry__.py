@@ -992,6 +992,52 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_warc_segment(spark, sf):
+    """WARC container round trip: build well-formed WARC/1.0 blobs from
+    the documents table (8 files, records ordered by doc_id, JVM binary
+    concat), segment them back with the mapInPandas parser, and emit
+    per-record headers + payload md5. The oracle predicts every field
+    from the generative formula — a mis-sliced payload, off-by-one
+    Content-Length, or wrong record order all change the output."""
+    from unified_ocr_pipeline_spark.sources import warc as WARC
+
+    d = _t(spark, sf, "documents")
+    rec = WARC.warc_record_bytes(
+        F.lit("response"),
+        F.concat(
+            F.lit("http://doc"), F.col("doc_id").cast("string"), F.lit(".example.com/")
+        ),
+        F.lit("2024-01-01T00:00:00Z"),
+        F.coalesce(F.col("text"), F.lit("")).cast("binary"),
+    )
+    blobs = (
+        d.select(
+            (F.col("doc_id") % 8).alias("file_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "file_id",
+            F.aggregate(
+                "arr",
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["rec"]),
+            ).alias("blob"),
+        )
+    )
+    recs = WARC.parse_warc_records(blobs, "blob", "file_id")
+    return recs.select(
+        "file_id",
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def _q_hits(spark, sf):
     """Fixed-2-iteration HITS hubs/authorities over the same parsed link
     graph as pagerank (L1-normalized per half-step). The oracle replays
@@ -1555,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": _q_containment,
         "quality_lr": _q_quality_lr,
         "hits_scores": _q_hits,
+        "warc_segment": _q_warc_segment,
     }
 
 
@@ -3214,5 +3261,30 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes LEFT JOIN h2r ON h2r.src = nodes.node)
             SELECT h2.node, h2.hub, a2.auth
             FROM h2 JOIN a2 USING (node)
+        """,
+        # warc_segment: the oracle PREDICTS the parse from the
+        # generative formula — record index = rank within file by
+        # doc_id, Content-Length = payload BYTE length (octet_length of
+        # the utf-8 encoding, matching Spark's binary length), payload
+        # md5 = md5 of those bytes.
+        "warc_segment": """
+            WITH base AS (
+              SELECT doc_id,
+                     doc_id % 8 AS file_id,
+                     CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                             ORDER BY doc_id) - 1 AS INT)
+                       AS rec_idx,
+                     'http://doc' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/' AS target_uri,
+                     octet_length(encode(coalesce(text, ''))) AS clen,
+                     md5(coalesce(text, '')) AS payload_md5
+              FROM documents)
+            SELECT file_id, rec_idx,
+                   'response' AS warc_type,
+                   target_uri,
+                   '2024-01-01T00:00:00Z' AS warc_date,
+                   CAST(clen AS BIGINT) AS content_length,
+                   payload_md5
+            FROM base
         """,
     }

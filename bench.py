@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "hll_distinct",
     "priority_sample",
     "anchor_text",
+    "lm_perplexity",
+    "containment",
+    "quality_lr",
+    "hits_scores",
+    "warc_segment",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",
