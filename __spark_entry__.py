@@ -992,6 +992,49 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_robots(spark, sf):
+    """robots.txt end-to-end: synthesize a formulaic robots body per
+    host (agent groups, comments, empty-Allow no-op, a wildcard rule the
+    deterministic subset drops), parse it with the real parser, and
+    admit one URL per document through longest-match/allow-wins
+    evaluation. The oracle predicts every decision from the formula — a
+    wrong group pick, prefix-vs-path bug, or tie-break flip all change
+    the output."""
+    from unified_ocr_pipeline_spark.operators import robots as ROB
+
+    d = _t(spark, sf, "documents")
+    k = F.col("k").cast("string")
+    robots = (
+        d.select((F.col("doc_id") % 10).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), k, F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit("User-agent: googlebot\nDisallow: /\n\n"),
+                F.lit("User-agent: *\n# policy\nCrawl-delay: 5\n"),
+                F.lit("Disallow: /private"), k, F.lit("/\n"),
+                F.lit("Allow: /private"), k, F.lit("/public/\n"),
+                F.lit("Disallow: /tmp\nAllow:\nDisallow: /wild/*\n"),
+            ).alias("body"),
+        )
+    )
+    rules = ROB.robots_rules(robots, "host", "body", agent="*")
+    kk = (F.col("doc_id") % 10).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/private"), kk, F.lit("/secret.html")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private"), kk, F.lit("/public/page.html")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/tmpfile"))
+        .otherwise(F.lit("/open/index.html"))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), kk, F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("http://h"), kk, F.lit(".example.com"), path).alias("url"),
+    )
+    out = ROB.robots_admit(urls, rules, "url", "host")
+    return out.select("doc_id", "admitted", "matched_rule")
+
+
 def _q_warc_segment(spark, sf):
     """WARC container round trip: build well-formed WARC/1.0 blobs from
     the documents table (8 files, records ordered by doc_id, JVM binary
@@ -1602,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr": _q_quality_lr,
         "hits_scores": _q_hits,
         "warc_segment": _q_warc_segment,
+        "robots_admission": _q_robots,
     }
 
 
@@ -3286,5 +3330,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(clen AS BIGINT) AS content_length,
                    payload_md5
             FROM base
+        """,
+        # robots_admission: the oracle predicts the longest-match /
+        # allow-wins decision straight from the URL + body formulas —
+        # v=0 hits Disallow /private<k>/, v=1 is rescued by the longer
+        # Allow /private<k>/public/, v=2 shows /tmp prefix-matching
+        # /tmpfile, v=3 is default-allow (googlebot's Disallow:/ group
+        # must NOT apply to agent '*').
+        "robots_admission": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN false
+                     WHEN 1 THEN true
+                     WHEN 2 THEN false
+                     ELSE true END AS admitted,
+                   CASE doc_id % 4
+                     WHEN 0 THEN '/private' || CAST(doc_id % 10 AS VARCHAR) || '/'
+                     WHEN 1 THEN '/private' || CAST(doc_id % 10 AS VARCHAR) || '/public/'
+                     WHEN 2 THEN '/tmp'
+                     ELSE NULL END AS matched_rule
+            FROM documents
         """,
     }

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "quality_lr",
     "hits_scores",
     "warc_segment",
+    "robots_admission",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",

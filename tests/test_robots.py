@@ -1,0 +1,110 @@
+"""robots.txt parser + admission tests: group selection, longest-match,
+allow-wins-ties, empty-Disallow, wildcard subset flagging, default
+allow.  The end-to-end golden check is the formula oracle in
+check_correctness (`robots_admission`)."""
+
+from __future__ import annotations
+
+from unified_ocr_pipeline_spark.operators import robots as ROB
+from unified_ocr_pipeline_spark.operators.robots import parse_robots_body
+
+BODY = """
+# global policy
+User-agent: googlebot
+Disallow: /
+
+User-agent: spark-crawler
+User-agent: *
+Crawl-delay: 5
+Disallow: /private/
+Allow: /private/public/
+Disallow: /tmp
+Allow:
+Disallow: /wild/*
+Disallow: /end$
+"""
+
+
+def test_group_selection_exact_beats_star():
+    rules, _ = parse_robots_body(BODY, agent="googlebot")
+    assert rules == [("/", False)]
+    # the shared-agent-run group governs both its named agent and *
+    for agent in ("spark-crawler", "*", "SPARK-CRAWLER"):
+        rules, dropped = parse_robots_body(BODY, agent)
+        assert ("/private/", False) in rules
+        assert ("/private/public/", True) in rules
+        assert ("/tmp", False) in rules
+        assert dropped == 2  # /wild/* and /end$
+        # empty Allow dropped entirely
+        assert not any(p == "" for p, _ in rules)
+
+
+def test_no_matching_group_is_unrestricted():
+    rules, _ = parse_robots_body("User-agent: other\nDisallow: /\n", "mybot")
+    assert rules == []
+    rules, _ = parse_robots_body("", "mybot")
+    assert rules == []
+
+
+def test_rule_line_before_any_group_is_ignored_group_wise():
+    # rules with no preceding user-agent form a group with no agents:
+    # never selected
+    rules, _ = parse_robots_body("Disallow: /x\nUser-agent: *\nAllow: /y\n", "*")
+    assert rules == [("/y", True)]
+
+
+def _admit(spark, body: str, urls):
+    robots = spark.createDataFrame([("h.com", body)], "host string, body string")
+    rules = ROB.robots_rules(robots, "host", "body", agent="*")
+    u = spark.createDataFrame(
+        [(i, "h.com", f"http://h.com{p}") for i, p in enumerate(urls)],
+        "i long, host string, url string",
+    )
+    out = ROB.robots_admit(u, rules, "url", "host").collect()
+    return {r["i"]: (r["admitted"], r["matched_rule"]) for r in out}
+
+
+def test_admit_longest_match_and_ties(spark):
+    body = (
+        "User-agent: *\nDisallow: /a/\nAllow: /a/b/\n"
+        "Disallow: /a/b/c/\nAllow: /a/b/c/\n"
+    )
+    got = _admit(
+        spark,
+        body,
+        ["/a/x", "/a/b/x", "/a/b/c/x", "/elsewhere", "/"],
+    )
+    assert got[0] == (False, "/a/")
+    assert got[1] == (True, "/a/b/")
+    # equal-length allow+disallow on /a/b/c/ — allow wins the tie
+    assert got[2] == (True, "/a/b/c/")
+    assert got[3] == (True, None)  # default allow, no rule matched
+    assert got[4] == (True, None)
+
+
+def test_admit_prefix_semantics_and_rootless_url(spark):
+    got = _admit(spark, "User-agent: *\nDisallow: /tmp\n", ["/tmpfile", "/tm"])
+    assert got[0] == (False, "/tmp")  # prefix, not path-segment, semantics
+    assert got[1] == (True, None)
+    # URL with no path component evaluates as "/"
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /\n")], "host string, body string"
+    )
+    rules = ROB.robots_rules(robots, "host", "body")
+    u = spark.createDataFrame(
+        [(0, "h.com", "http://h.com")], "i long, host string, url string"
+    )
+    r = ROB.robots_admit(u, rules, "url", "host").first()
+    assert r["admitted"] is False and r["matched_rule"] == "/"
+
+
+def test_admit_host_without_rules(spark):
+    robots = spark.createDataFrame(
+        [("other.com", "User-agent: *\nDisallow: /\n")], "host string, body string"
+    )
+    rules = ROB.robots_rules(robots, "host", "body")
+    u = spark.createDataFrame(
+        [(0, "h.com", "http://h.com/x")], "i long, host string, url string"
+    )
+    r = ROB.robots_admit(u, rules, "url", "host").first()
+    assert r["admitted"] is True and r["matched_rule"] is None

@@ -1,0 +1,162 @@
+"""robots.txt parsing and URL admission — the crawl-politeness gate.
+
+The reference ingests whatever lands in its watch directory
+(``scripts/unified_ocr_pipeline.py:250-320``); a web crawler must first
+decide *which URLs it may fetch at all*.  This module implements the
+RFC 9309 / Googlebot subset that covers the overwhelming majority of
+real robots files:
+
+- groups of ``User-agent:`` lines followed by ``Allow:`` / ``Disallow:``
+  rules; comments (``#``) and blank lines ignored; keys case-insensitive;
+- group selection: the group whose user-agent token exactly matches the
+  crawler (case-insensitive) wins over the ``*`` group; if neither
+  exists the host is unrestricted;
+- rule matching: plain path-prefix rules with LONGEST-MATCH precedence,
+  ``Allow`` winning length ties (Google's documented tie-break); an
+  empty ``Disallow:`` means "allow everything" (per the RFC) and is
+  dropped at parse time; ``*``/``$`` wildcard rules are out of the
+  deterministic subset and are dropped with a counted flag so callers
+  can route those hosts to a fuller evaluator.
+
+Spark shape: parsing is one narrow mapInPandas pass over the (tiny)
+robots bodies → a ``(host, rule_path, allow)`` relation; admission is a
+host-keyed left join of the URL table against that relation plus ONE
+window for the longest-match pick.  Rules-per-host is bounded (~dozens),
+so the join carries no skew risk; the URL side never moves twice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots_body(body: str, agent: str = "*") -> tuple[list[tuple], int]:
+    """Pure-Python parse → ([(path, allow_bool)], n_wildcard_dropped).
+
+    Returns the rules of the best-matching group: exact ``agent`` match
+    beats ``*``; within a group, later ``User-agent`` lines extend the
+    same group until the first rule line closes it (RFC 9309 grouping).
+    """
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple] = []
+    in_agent_run = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run and (cur_agents or cur_rules):
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(val.lower())
+            in_agent_run = True
+        elif key in ("allow", "disallow"):
+            in_agent_run = False
+            cur_rules.append((val, key == "allow"))
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+
+    chosen: list[tuple] = []
+    exact = [r for agents, r in groups if agent in agents]
+    star = [r for agents, r in groups if "*" in agents]
+    pool = exact if exact else star
+    for rules in pool:
+        chosen.extend(rules)
+
+    out: list[tuple] = []
+    dropped = 0
+    for path, allow in chosen:
+        if not path:
+            continue  # empty Disallow == allow-all (and empty Allow is a no-op)
+        if "*" in path or path.endswith("$"):
+            dropped += 1
+            continue
+        out.append((path, allow))
+    return out, dropped
+
+
+def robots_rules(
+    df: DataFrame,
+    host_col: str,
+    body_col: str,
+    agent: str = "*",
+) -> DataFrame:
+    """(host, rule_path string, allow boolean, n_wildcard_dropped int)
+    — one row per prefix rule of the group governing ``agent``."""
+    host_type = df.schema[host_col].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, paths, allows, drops = [], [], [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                rules, dropped = parse_robots_body(
+                    body if body is not None else "", agent
+                )
+                for path, allow in rules:
+                    hosts.append(host)
+                    paths.append(path)
+                    allows.append(allow)
+                    drops.append(dropped)
+            yield pd.DataFrame(
+                {
+                    host_col: pd.Series(hosts, dtype="object"),
+                    "rule_path": pd.Series(paths, dtype="object"),
+                    "allow": pd.Series(allows, dtype="bool"),
+                    "n_wildcard_dropped": pd.Series(drops, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema=(
+            f"{host_col} {host_type}, rule_path string, allow boolean, "
+            "n_wildcard_dropped int"
+        ),
+    )
+
+
+def robots_admit(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str,
+    host_col: str,
+) -> DataFrame:
+    """Admission decision per URL row: all of ``urls``'s columns plus
+    ``admitted boolean`` and the winning ``matched_rule`` (NULL when no
+    rule matched — default-allow).
+
+    Longest-match precedence, Allow wins ties: ONE window ordered by
+    (prefix length desc, allow desc) after the host join + prefix
+    filter.  URLs whose host has no rules survive via the left join.
+    """
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/[^#?]*)", 1), F.lit("")),
+        F.lit("/"),
+    )
+    u = urls.withColumn("_path", path)
+    r = rules.select(
+        F.col(host_col).alias("_rhost"), "rule_path", F.col("allow").alias("_allow")
+    )
+    joined = u.join(r, u[host_col] == r["_rhost"], "left").withColumn(
+        "_hit", F.col("rule_path").isNotNull() & F.col("_path").startswith(F.col("rule_path"))
+    )
+    w = Window.partitionBy(*(u.columns)).orderBy(
+        F.col("_hit").desc(),
+        F.length("rule_path").desc(),
+        F.col("_allow").desc(),
+    )
+    ranked = joined.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return ranked.select(
+        *urls.columns,
+        F.when(F.col("_hit"), F.col("_allow")).otherwise(F.lit(True)).alias("admitted"),
+        F.when(F.col("_hit"), F.col("rule_path")).alias("matched_rule"),
+    )
