@@ -992,6 +992,35 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_charset(spark, sf):
+    """Charset detection + transcoding round trip: encode the (ASCII)
+    documents text four ways JVM-side (utf-8 with a forced non-ascii
+    suffix, BOM'd utf-16le, latin-1 with a bare 0xE9 byte, plain
+    ascii), detect + decode with the Arrow kernel, and emit the charset
+    label + md5 of the re-encoded utf-8 text. The oracle predicts both
+    from the formula — the synthesis is Spark's encode(), not the
+    kernel, so the kernel is tested against an independent encoder."""
+    from unified_ocr_pipeline_spark.sources import transcode as TC
+
+    d = _t(spark, sf, "documents")
+    v = F.col("doc_id") % 4
+    t = F.coalesce(F.col("text"), F.lit(""))
+    payload = (
+        F.when(v == 0, F.encode(F.concat(t, F.lit("☃")), "UTF-8"))
+        .when(v == 1, F.concat(F.lit(b"\xff\xfe"), F.encode(t, "UTF-16LE")))
+        .when(v == 2, F.concat(F.encode(t, "ISO-8859-1"), F.lit(b"\xe9")))
+        .otherwise(F.encode(t, "UTF-8"))
+    )
+    out = TC.transcode_payloads(
+        d.select("doc_id", payload.alias("payload")), "payload", "doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "charset",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+
+
 def _q_robots(spark, sf):
     """robots.txt end-to-end: synthesize a formulaic robots body per
     host (agent groups, comments, empty-Allow no-op, a wildcard rule the
@@ -1646,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "warc_segment": _q_warc_segment,
         "robots_admission": _q_robots,
+        "charset_transcode": _q_charset,
     }
 
 
@@ -3349,6 +3379,23 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN '/private' || CAST(doc_id % 10 AS VARCHAR) || '/public/'
                      WHEN 2 THEN '/tmp'
                      ELSE NULL END AS matched_rule
+            FROM documents
+        """,
+        # charset_transcode: the oracle predicts label + decoded-text
+        # md5 from the synthesis formula (text is pure ASCII in the
+        # fixture, asserted by the ascii arm itself: any non-ascii doc
+        # would flip its label to utf-8 and mismatch).
+        "charset_transcode": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'utf-8'
+                     WHEN 1 THEN 'utf-16le'
+                     WHEN 2 THEN 'latin-1'
+                     ELSE 'ascii' END AS charset,
+                   CASE doc_id % 4
+                     WHEN 0 THEN md5(text || '☃')
+                     WHEN 2 THEN md5(text || 'é')
+                     ELSE md5(text) END AS text_md5
             FROM documents
         """,
     }

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "hits_scores",
     "warc_segment",
     "robots_admission",
+    "charset_transcode",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",
