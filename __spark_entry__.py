@@ -992,6 +992,36 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_crawl_schedule(spark, sf):
+    """Per-host politeness schedule: one fetch per host per delay
+    window, queue ordered by a priority column (n_chars here, standing
+    in for a pagerank prior) with deterministic ties. One window
+    partitioned by host — the exact parallelism a fetch fleet has."""
+    from unified_ocr_pipeline_spark.operators import robots as ROB
+
+    d = _t(spark, sf, "documents")
+    kk = (F.col("doc_id") % 10).cast("string")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), kk, F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("http://h"), kk, F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "n_chars",
+    )
+    out = ROB.schedule_fetches(
+        urls, "host", "url", delay_sec=5, epoch=1700000000, priority_col="n_chars"
+    )
+    return out.select("doc_id", "host", "slot", "fetch_at")
+
+
+def _q_zipf(spark, sf):
+    """Whole-corpus Zipf fit: OLS of log10(freq) on log10(rank) over
+    the token-frequency distribution via the built-in regr_* aggregates
+    — the corpus-health check next to per-document gates."""
+    d = _t(spark, sf, "documents")
+    return SAMP.zipf_fit(d, "text")
+
+
 def _q_charset(spark, sf):
     """Charset detection + transcoding round trip: encode the (ASCII)
     documents text four ways JVM-side (utf-8 with a forced non-ascii
@@ -1676,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_segment": _q_warc_segment,
         "robots_admission": _q_robots,
         "charset_transcode": _q_charset,
+        "crawl_schedule": _q_crawl_schedule,
+        "zipf_slope": _q_zipf,
     }
 
 
@@ -3397,5 +3429,46 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 2 THEN md5(text || 'é')
                      ELSE md5(text) END AS text_md5
             FROM documents
+        """,
+        # crawl_schedule: replay the per-host queue window — priority
+        # (n_chars) desc, url asc ties, slot*delay from the epoch.
+        "crawl_schedule": """
+            WITH u AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+                     'http://h' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     n_chars
+              FROM documents)
+            SELECT doc_id, host,
+                   CAST(row_number() OVER (PARTITION BY host
+                                           ORDER BY n_chars DESC, url ASC) - 1
+                        AS INT) AS slot,
+                   CAST(1700000000 + (row_number() OVER (PARTITION BY host
+                                      ORDER BY n_chars DESC, url ASC) - 1) * 5
+                        AS BIGINT) AS fetch_at
+            FROM u
+        """,
+        # zipf_slope: identical tokenization/rank tie-break, DuckDB's
+        # own regr_* aggregates over the same log10 pairs.
+        "zipf_slope": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, count(*) AS n FROM toks
+              WHERE token <> '' GROUP BY token),
+            ranked AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+              FROM counts)
+            SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   round(regr_slope(log10(CAST(n AS DOUBLE)),
+                                    log10(CAST(rank AS DOUBLE))), 6) AS slope,
+                   round(regr_intercept(log10(CAST(n AS DOUBLE)),
+                                        log10(CAST(rank AS DOUBLE))), 6) AS intercept,
+                   round(regr_r2(log10(CAST(n AS DOUBLE)),
+                                 log10(CAST(rank AS DOUBLE))), 6) AS r2
+            FROM ranked
         """,
     }

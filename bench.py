@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "warc_segment",
     "robots_admission",
     "charset_transcode",
+    "crawl_schedule",
+    "zipf_slope",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",

@@ -190,3 +190,18 @@ def test_containment_agrees_with_python(spark):
                 assert (a, b) not in out
             else:
                 assert out[(a, b)] == round(inter / len(sets[a]), 4)
+
+
+def test_zipf_fit_on_planted_powerlaw(spark):
+    """A corpus whose token counts are exactly c(r) = 1000 / r must fit
+    slope = -1 with r2 = 1."""
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    words = []
+    for r in range(1, 21):
+        words.extend([f"w{r:02d}"] * (1000 // r))
+    df = spark.createDataFrame([(  " ".join(words),)], "text string")
+    row = SAMP.zipf_fit(df, "text").first()
+    assert row["n_types"] == 20
+    assert abs(row["slope"] + 1.0) < 0.02  # floor(1000/r) quantization
+    assert row["r2"] > 0.999

@@ -108,3 +108,41 @@ def test_admit_host_without_rules(spark):
     )
     r = ROB.robots_admit(u, rules, "url", "host").first()
     assert r["admitted"] is True and r["matched_rule"] is None
+
+
+def test_schedule_fetches_per_host_queue(spark):
+    rows = [
+        (0, "a.com", "http://a.com/1", 10),
+        (1, "a.com", "http://a.com/2", 30),
+        (2, "a.com", "http://a.com/0", 30),
+        (3, "b.com", "http://b.com/x", 1),
+    ]
+    from unified_ocr_pipeline_spark.operators import robots as ROB
+
+    df = spark.createDataFrame(rows, "i long, host string, url string, pri long")
+    out = {
+        r["i"]: (r["slot"], r["fetch_at"])
+        for r in ROB.schedule_fetches(
+            df, "host", "url", delay_sec=7, epoch=100, priority_col="pri"
+        ).collect()
+    }
+    # pri desc, url asc ties: /0 before /2 (both pri=30), then /1
+    assert out[2] == (0, 100)
+    assert out[1] == (1, 107)
+    assert out[0] == (2, 114)
+    # other host starts its own queue at the epoch
+    assert out[3] == (0, 100)
+
+
+def test_schedule_fetches_default_order_is_url(spark):
+    from unified_ocr_pipeline_spark.operators import robots as ROB
+
+    df = spark.createDataFrame(
+        [(0, "a.com", "http://a.com/b"), (1, "a.com", "http://a.com/a")],
+        "i long, host string, url string",
+    )
+    out = {
+        r["i"]: r["slot"]
+        for r in ROB.schedule_fetches(df, "host", "url", delay_sec=1).collect()
+    }
+    assert out[1] == 0 and out[0] == 1

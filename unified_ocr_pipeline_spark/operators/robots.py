@@ -160,3 +160,36 @@ def robots_admit(
         F.when(F.col("_hit"), F.col("_allow")).otherwise(F.lit(True)).alias("admitted"),
         F.when(F.col("_hit"), F.col("rule_path")).alias("matched_rule"),
     )
+
+
+def schedule_fetches(
+    urls: DataFrame,
+    host_col: str,
+    url_col: str,
+    delay_sec: int = 5,
+    epoch: int = 0,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Per-host politeness schedule: all of ``urls``'s columns plus
+    ``slot int`` (0-based position in the host's fetch queue) and
+    ``fetch_at bigint`` (``epoch + slot * delay_sec`` seconds).
+
+    One fetch per host per ``delay_sec`` is the standard courtesy rule
+    (and what Crawl-delay asks for); the schedule is ONE window
+    partitioned by host — exactly the parallelism a fetch fleet has,
+    since requests to different hosts never contend.  Queue order is
+    ``priority_col`` descending when given (e.g. a pagerank prior),
+    ties and the default both by ``url_col`` for determinism.
+    """
+    order = (
+        [F.col(priority_col).desc(), F.col(url_col).asc()]
+        if priority_col
+        else [F.col(url_col).asc()]
+    )
+    w = Window.partitionBy(host_col).orderBy(*order)
+    slot = F.row_number().over(w) - F.lit(1)
+    return urls.select(
+        *urls.columns,
+        slot.cast("int").alias("slot"),
+        (F.lit(epoch) + slot.cast("bigint") * F.lit(delay_sec)).alias("fetch_at"),
+    )

@@ -618,3 +618,49 @@ def priority_sample(
         .orderBy(F.desc("priority"), F.col(id_col))
         .limit(k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    max_rank: int | None = None,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency distribution: one
+    row ``(n_types bigint, n_tokens bigint, slope double, intercept
+    double, r2 double)`` from an OLS regression of log10(freq) on
+    log10(rank).
+
+    Natural-language corpora sit near slope ≈ −1; a corpus whose slope
+    drifts far from that is dominated by boilerplate/templates (too
+    steep) or by random/generated junk (too flat) — a cheap whole-corpus
+    health check next to the per-document quality gates.
+
+    Scale shape: the explode partial-aggregates map-side so the shuffle
+    carries vocabulary-sized counts; the rank window orders the VOCAB
+    relation (bounded, millions of rows at web scale — document the
+    ``max_rank`` head cut for the strict-memory case); the regression
+    itself is one built-in aggregate (regr_slope/intercept/r2), no
+    driver math.
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    if max_rank is not None:
+        ranked = ranked.where(F.col("rank") <= max_rank)
+    x = F.log10(F.col("rank").cast("double"))
+    y = F.log10(F.col("n").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
