@@ -1151,7 +1151,15 @@ def _q_hits(spark, sf):
         "src_url",
         F.regexp_extract("href", r"^https?://([^/?#]+)", 1).alias("dst_host"),
     )
-    return LG.hits(edges, "src_url", "dst_host", iterations=2)
+    out = LG.hits(edges, "src_url", "dst_host", iterations=2)
+    # alias the float scores AFTER 'node' alphabetically so every
+    # row-alignment comparator (driver canon, test_entry sort) keys on
+    # the unique node, not on ulp-sensitive doubles
+    return out.select(
+        "node",
+        F.col("hub").alias("score_hub"),
+        F.col("auth").alias("score_auth"),
+    )
 
 
 def _q_quality_lr(spark, sf):
@@ -3365,7 +3373,7 @@ def oracle_sql() -> dict[str, str]:
             h2 AS (SELECT nodes.node,
                           coalesce(h2r.r, 0) / (SELECT sum(r) FROM h2r) AS hub
                    FROM nodes LEFT JOIN h2r ON h2r.src = nodes.node)
-            SELECT h2.node, h2.hub, a2.auth
+            SELECT h2.node, h2.hub AS score_hub, a2.auth AS score_auth
             FROM h2 JOIN a2 USING (node)
         """,
         # warc_segment: the oracle PREDICTS the parse from the
