@@ -992,6 +992,43 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_dup_segments(spark, sf):
+    """Gopher's duplicate-line / duplicate-paragraph repetition gates.
+    The fixture text is single-line, so the query synthesizes the
+    structure boilerplate creates: a nav line wrapped around the
+    sentence-split body plus a repeated footer paragraph — and the
+    oracle replays the same synthesis + both fractions."""
+    d = _t(spark, sf, "documents")
+    t2 = F.concat(
+        F.lit("NAV MENU\n"),
+        F.regexp_replace(F.col("text"), r"\. ", ".\n"),
+        F.lit("\nNAV MENU\n\nFOOTER\n\nFOOTER"),
+    )
+    return d.select(
+        "doc_id",
+        TX.dup_line_fraction(t2).alias("dup_line_frac"),
+        TX.dup_para_fraction(t2).alias("dup_para_frac"),
+    )
+
+
+def _q_extraction_f1(spark, sf):
+    """Token-multiset precision/recall/F1 of a perturbed extraction
+    against gold (the trafilatura-benchmark metric): pred adds two
+    spurious tokens, gold drops every 'the' — both perturbations are
+    formulas the oracle replays, so the multiset-min credit logic is
+    what's actually under test."""
+    from unified_ocr_pipeline_spark.operators import evaluate as EV
+
+    d = _t(spark, sf, "documents")
+    pred = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" spurious spurious")).alias("ptext")
+    )
+    gold = d.select(
+        "doc_id", F.regexp_replace(F.col("text"), r"\bthe\b", "").alias("gtext")
+    )
+    return EV.extraction_f1(pred, gold, "doc_id", "ptext", "gtext")
+
+
 def _q_crawl_schedule(spark, sf):
     """Per-host politeness schedule: one fetch per host per delay
     window, queue ordered by a priority column (n_chars here, standing
@@ -1716,6 +1753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_transcode": _q_charset,
         "crawl_schedule": _q_crawl_schedule,
         "zipf_slope": _q_zipf,
+        "dup_segments": _q_dup_segments,
+        "extraction_f1": _q_extraction_f1,
     }
 
 
@@ -3478,5 +3517,78 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(log10(CAST(n AS DOUBLE)),
                                  log10(CAST(rank AS DOUBLE))), 6) AS r2
             FROM ranked
+        """,
+        # dup_segments: same synthesis (nav wrap + sentence split +
+        # doubled footer paragraph), same trim/non-empty segment rules,
+        # both fractions rounded to 4.
+        "dup_segments": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'NAV MENU' || chr(10)
+                       || regexp_replace(text, '\. ', '.' || chr(10), 'g')
+                       || chr(10) || 'NAV MENU' || chr(10) || chr(10)
+                       || 'FOOTER' || chr(10) || chr(10) || 'FOOTER' AS t2
+              FROM documents),
+            segs AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       regexp_split_to_array(t2, '\n'), x -> trim(x)),
+                       x -> x <> '') AS lines,
+                     list_filter(list_transform(
+                       regexp_split_to_array(t2, '\n{2,}'), x -> trim(x)),
+                       x -> x <> '') AS paras
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(lines))
+                                   / CAST(len(lines) AS DOUBLE), 4)
+                   END AS dup_line_frac,
+                   CASE WHEN len(paras) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(paras))
+                                   / CAST(len(paras) AS DOUBLE), 4)
+                   END AS dup_para_frac
+            FROM segs
+        """,
+        # extraction_f1: replay the perturbations, the lower+\s+ token
+        # counts, the full-outer multiset-min join, and the rounded
+        # metrics.
+        "extraction_f1": r"""
+            WITH pc AS (
+              SELECT doc_id, tok, count(*) AS pc FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                         lower(text || ' spurious spurious'), '\s+')) AS tok
+                FROM documents) WHERE tok <> '' GROUP BY doc_id, tok),
+            gc AS (
+              SELECT doc_id, tok, count(*) AS gc FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                         lower(regexp_replace(text, '\bthe\b', '', 'g')),
+                         '\s+')) AS tok
+                FROM documents) WHERE tok <> '' GROUP BY doc_id, tok),
+            j AS (
+              SELECT coalesce(pc.doc_id, gc.doc_id) AS doc_id,
+                     coalesce(pc.pc, 0) AS pc, coalesce(gc.gc, 0) AS gc
+              FROM pc FULL OUTER JOIN gc
+                ON pc.doc_id = gc.doc_id AND pc.tok = gc.tok),
+            per AS (
+              SELECT doc_id,
+                     CAST(sum(pc) AS BIGINT) AS n_pred,
+                     CAST(sum(gc) AS BIGINT) AS n_gold,
+                     CAST(sum(least(pc, gc)) AS BIGINT) AS n_common
+              FROM j GROUP BY doc_id),
+            m AS (
+              SELECT doc_id, n_pred, n_gold, n_common,
+                     CASE WHEN n_pred = 0 THEN 0.0
+                          ELSE n_common / CAST(n_pred AS DOUBLE) END AS p,
+                     CASE WHEN n_gold = 0 THEN 0.0
+                          ELSE n_common / CAST(n_gold AS DOUBLE) END AS r
+              FROM per)
+            SELECT doc_id, n_pred, n_gold, n_common,
+                   round(p, 4) AS precision,
+                   round(r, 4) AS recall,
+                   CASE WHEN p + r = 0 THEN 0.0
+                        ELSE round(2 * p * r / (p + r), 4) END AS f1
+            FROM m
         """,
     }

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "charset_transcode",
     "crawl_schedule",
     "zipf_slope",
+    "dup_segments",
+    "extraction_f1",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",

@@ -234,3 +234,42 @@ def test_grade_col_matches_kernel_on_whitespace_padding(spark):
     }
     for i, text, conf in rows:
         assert got[i] == Q.assess_ocr_quality(text, conf), (i, got[i])
+
+
+# ---------------------------------------------------------------------------
+# duplicate-line / duplicate-paragraph fractions (round-3)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_segment_fractions(spark):
+    from pyspark.sql import functions as F
+
+    from unified_ocr_pipeline_spark.functions import text as TX
+
+    t = (
+        "NAV\nbody one\nbody two\nNAV\n"  # 4 lines, NAV duplicated
+        "\n\npara A\n\npara A\n\npara B"  # paras: [all-lines-block?]...
+    )
+    df = spark.createDataFrame([(t,)], "text string")
+    row = df.select(
+        TX.dup_line_fraction(F.col("text")).alias("lf"),
+        TX.dup_para_fraction(F.col("text")).alias("pf"),
+    ).first()
+    # lines: NAV, body one, body two, NAV, para A, para A, para B → 7 total, 5 distinct
+    assert row["lf"] == round(1 - 5 / 7, 4)
+    # paragraphs (split on blank lines): [NAV..NAV block], para A, para A, para B
+    # → 4 total, 3 distinct
+    assert row["pf"] == 0.25
+
+
+def test_dup_segment_empty_and_single(spark):
+    from pyspark.sql import functions as F
+
+    from unified_ocr_pipeline_spark.functions import text as TX
+
+    df = spark.createDataFrame([("",), ("only line",), ("  \n  \n ",)], "text string")
+    rows = df.select(
+        TX.dup_line_fraction(F.col("text")).alias("lf"),
+        TX.dup_para_fraction(F.col("text")).alias("pf"),
+    ).collect()
+    assert all(r["lf"] == 0.0 and r["pf"] == 0.0 for r in rows)

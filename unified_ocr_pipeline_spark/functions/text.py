@@ -197,6 +197,35 @@ def gopher_keep(text: Column, max_dup_frac: float = 0.3,
     )
 
 
+def _segments_of(text: Column, sep_regex: str) -> Column:
+    """Trimmed, non-empty segments of ``text`` split on ``sep_regex``."""
+    parts = F.split(text, sep_regex)
+    trimmed = F.transform(parts, lambda x: F.trim(x))
+    return F.filter(trimmed, lambda x: x != F.lit(""))
+
+
+def _dup_segment_fraction(segs: Column) -> Column:
+    n = F.size(segs)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(segs)) / n.cast("double"), 4)
+    )
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Gopher's duplicate-line gate: 1 − distinct_lines / total_lines
+    over trimmed non-empty lines (0 when no lines).  Boilerplate-heavy
+    pages (nav bars, cookie banners repeated per section) score high
+    where the word-level signal stays quiet."""
+    return _dup_segment_fraction(_segments_of(text, r"\n"))
+
+
+def dup_para_fraction(text: Column) -> Column:
+    """Duplicate-paragraph fraction (paragraphs = blank-line-separated
+    blocks), the coarser sibling of :func:`dup_line_fraction` from the
+    same Gopher repetition family."""
+    return _dup_segment_fraction(_segments_of(text, r"\n{2,}"))
+
+
 def quality_lr_score(text: Column) -> Column:
     """Logistic quality-classifier score in [0, 1] over the shape
     signals — the fastText/LR "looks like a reference corpus" filter of
