@@ -992,6 +992,25 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_pq_topk(spark, sf):
+    """Product-quantization ANN: encode every embedding to m=4 codes
+    against seeded codebooks (64x memory cut), then ADC top-5 for the
+    first five vectors — batch-local partial top-k, one window finish.
+    The oracle regenerates the identical codebooks and replays encode
+    (argmin with low-code ties) and the lookup-table distance sum in
+    SQL."""
+    from unified_ocr_pipeline_spark.operators import ivf as IVF
+
+    e = _t(spark, sf, "embeddings")
+    cb = IVF.pq_codebooks(4, 16, 64, seed=7)
+    enc = IVF.pq_encode(e, "embedding", "vec_id", cb)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    ]
+    return IVF.pq_topk(enc, queries, cb, "vec_id", k=5)
+
+
 def _q_dup_segments(spark, sf):
     """Gopher's duplicate-line / duplicate-paragraph repetition gates.
     The fixture text is single-line, so the query synthesizes the
@@ -1754,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _q_crawl_schedule,
         "zipf_slope": _q_zipf,
         "dup_segments": _q_dup_segments,
+        "pq_topk": _q_pq_topk,
         "extraction_f1": _q_extraction_f1,
     }
 
@@ -1918,6 +1938,65 @@ def _simhash_oracle(bits: int = 48, max_hamming: int = 3) -> str:
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _pq_topk_oracle(
+    m: int = 4, ksub: int = 16, dim: int = 64, seed: int = 7, k: int = 5
+) -> str:
+    """Replays operators/ivf.pq_encode + pq_topk: identical seeded
+    codebook literals, the same monotone assignment score
+    (−2·v·c + ||c||², ties to the lowest code = numpy argmin), and the
+    same per-subspace lookup-table distance sum for ADC."""
+    from unified_ocr_pipeline_spark.operators.ivf import pq_codebooks
+
+    cb = pq_codebooks(m, ksub, dim, seed)
+    dsub = dim // m
+    values = ",\n            ".join(
+        f"({j}, {code}, [{', '.join(repr(float(x)) for x in cb[j][code])}]::DOUBLE[])"
+        for j in range(m)
+        for code in range(ksub)
+    )
+    return f"""
+        WITH cb AS (
+          SELECT j, code, cv, list_dot_product(cv, cv) AS c2
+          FROM (VALUES
+            {values}) AS t(j, code, cv)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        subs AS (
+          SELECT e.vec_id, js.j,
+                 e.v[js.j * {dsub} + 1 : (js.j + 1) * {dsub}] AS sub
+          FROM e CROSS JOIN (SELECT unnest(range(0, {m})) AS j) js),
+        scored0 AS (
+          SELECT s.vec_id, s.j, cb.code,
+                 -2 * list_dot_product(s.sub, cb.cv) + cb.c2 AS sc
+          FROM subs s JOIN cb ON cb.j = s.j),
+        scored AS (
+          SELECT vec_id, j, code,
+                 row_number() OVER (PARTITION BY vec_id, j
+                                    ORDER BY sc, code) AS rn
+          FROM scored0),
+        codes AS (SELECT vec_id, j, code FROM scored WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 5),
+        qlut AS (
+          SELECT q.qid, cb.j, cb.code,
+                 -2 * list_dot_product(
+                        q.v[cb.j * {dsub} + 1 : (cb.j + 1) * {dsub}], cb.cv)
+                   + cb.c2 AS lv
+          FROM q CROSS JOIN cb),
+        ad AS (
+          SELECT ql.qid, c.vec_id AS nid, round(sum(ql.lv), 4) AS adist
+          FROM codes c
+          JOIN qlut ql ON ql.j = c.j AND ql.code = c.code
+          WHERE c.vec_id <> ql.qid
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT qid, nid, adist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adist, nid) AS rank
+          FROM ad)
+        SELECT qid, nid, adist, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -2635,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
+        "pq_topk": _pq_topk_oracle(),
         # stratified_sample: the md5-60bit order key replayed verbatim
         # (operators/sampling.md5_60 ≡ ('0x'||substr(md5(x),1,15))::BIGINT)
         "stratified_sample": """

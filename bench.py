@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "zipf_slope",
     "dup_segments",
     "extraction_f1",
+    "pq_topk",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",

@@ -348,3 +348,131 @@ def semantic_dedup(
     return comp.withColumn(
         "is_canonical", F.col("id") == F.min("id").over(w)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN memory-scale path beyond IVF-flat
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    m: int, ksub: int, dim: int, seed: int = 7
+) -> "np.ndarray":
+    """Seeded Gaussian PQ codebooks, shape (m, ksub, dim/m) — one
+    ksub-centroid codebook per subspace (Jégou et al. 2011).  A single
+    sequential RNG stream (same discipline as seeded_centroids /
+    _hyperplanes) so the oracle can regenerate the identical literals;
+    production would train each codebook with kmeans_train on subvector
+    slices — the encode/search contract below is unchanged."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = random.Random(seed)
+    dsub = dim // m
+    flat = [rng.gauss(0.0, 1.0) for _ in range(m * ksub * dsub)]
+    return np.asarray(flat, dtype=np.float64).reshape(m, ksub, dsub)
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: "np.ndarray",
+) -> DataFrame:
+    """(id_col, codes array<int>) — each vector compressed to m bytes
+    (code j = argmin over codebook j of ||v_sub − c||², computed as the
+    monotone −2·v·c + ||c||² with ties to the LOWEST code, numpy argmin
+    ≡ ORDER BY score, code).
+
+    64-dim float32 → m=4 codes is a 64× memory cut: the property that
+    lets a 10⁹-vector index live in executor RAM for the ADC scan.
+    One narrow Arrow pass; codebooks ride the closure (m·ksub·dsub
+    doubles — KBs)."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    c2 = np.einsum("mkd,mkd->mk", codebooks, codebooks)  # (m, ksub)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                scores = -2.0 * sub @ codebooks[j].T + c2[j]
+                codes[:, j] = np.argmin(scores, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.mapInPandas(gen, schema=f"{id_col} {id_type}, codes array<int>")
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: "list[tuple]",
+    codebooks: "np.ndarray",
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes:
+    ``(qid bigint, nid, adist double, rank int)``.
+
+    ``queries`` is a bounded [(qid, vector)] list (broadcast, the same
+    contract as brute_force_topk).  Per query a (m × ksub) lookup table
+    of −2·q_sub·c + ||c||² is precomputed; each candidate's approximate
+    distance is m table lookups — no float vector is ever touched at
+    scan time.  The Arrow pass emits only its BATCH-LOCAL top-k per
+    query (partial top-k, the associative trick that keeps the exchange
+    at O(batches·q·k) rows), then one window finishes the global rank;
+    ties break by neighbor id.  Self-matches are excluded."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    c2 = np.einsum("mkd,mkd->mk", codebooks, codebooks)
+    luts = []
+    qids = []
+    for qid, qv in queries:
+        qv = np.asarray(qv, dtype=np.float64)
+        lut = np.empty((m, ksub))
+        for j in range(m):
+            lut[j] = -2.0 * (qv[j * dsub : (j + 1) * dsub] @ codebooks[j].T) + c2[j]
+        luts.append(lut)
+        qids.append(qid)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            codes = np.asarray([np.asarray(c) for c in pdf["codes"]])
+            out_q, out_n, out_d = [], [], []
+            cols = np.arange(m)
+            for lut, qid in zip(luts, qids):
+                adist = np.round(lut[cols, codes].sum(axis=1), 4)
+                mask = ids != qid
+                cand_ids, cand_d = ids[mask], adist[mask]
+                take = min(k, len(cand_ids))
+                if not take:
+                    continue
+                part = np.lexsort((cand_ids, cand_d))[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(cand_ids[part])
+                out_d.extend(cand_d[part])
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "adist": out_d})
+
+    id_type = encoded.schema[id_col].dataType.simpleString()
+    partial = encoded.mapInPandas(
+        gen, schema=f"qid bigint, nid {id_type}, adist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "adist", "rank")
+    )
