@@ -992,6 +992,45 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_sitemap(spark, sf):
+    """Sitemap round trip: build one <urlset> per host from a formula
+    (JVM string agg, entries ordered by doc_id), parse with the
+    tolerant tag scanner, and emit per-entry rows. The oracle predicts
+    ordinal, loc, lastmod and the parsed float priority straight from
+    the formula."""
+    from unified_ocr_pipeline_spark.sources import sitemap as SM
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>http://h"), (did % 8).cast("string"),
+        F.lit(".example.com/p/"), did.cast("string"),
+        F.lit("</loc><lastmod>2024-01-"),
+        F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    bodies = (
+        d.select(
+            (did % 8).alias("file_id"),
+            F.struct(did, entry.alias("e")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "file_id",
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.aggregate(
+                    "arr", F.lit(""), lambda acc, x: F.concat(acc, x["e"])
+                ),
+                F.lit("</urlset>"),
+            ).alias("body"),
+        )
+    )
+    return SM.sitemap_entries(bodies, "file_id", "body")
+
+
 def _q_pq_topk(spark, sf):
     """Product-quantization ANN: encode every embedding to m=4 codes
     against seeded codebooks (64x memory cut), then ADC top-5 for the
@@ -1774,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": _q_zipf,
         "dup_segments": _q_dup_segments,
         "pq_topk": _q_pq_topk,
+        "sitemap_entries": _q_sitemap,
         "extraction_f1": _q_extraction_f1,
     }
 
@@ -2715,6 +2755,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         "pq_topk": _pq_topk_oracle(),
+        # sitemap_entries: predict every parsed field from the
+        # generative formula (ordinal = rank within host by doc_id,
+        # priority string '0.<p>' parsed to the same double as p/10.0).
+        "sitemap_entries": """
+            SELECT doc_id % 8 AS file_id,
+                   'urlset' AS kind,
+                   CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                           ORDER BY doc_id) - 1 AS INT) AS ord,
+                   'http://h' || CAST(doc_id % 8 AS VARCHAR)
+                     || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS loc,
+                   '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     AS lastmod,
+                   (doc_id % 10) / 10.0 AS priority
+            FROM documents
+        """,
         # stratified_sample: the md5-60bit order key replayed verbatim
         # (operators/sampling.md5_60 ≡ ('0x'||substr(md5(x),1,15))::BIGINT)
         "stratified_sample": """

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dup_segments",
     "extraction_f1",
     "pq_topk",
+    "sitemap_entries",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",
