@@ -646,17 +646,30 @@ def containment_pairs(
         ),
         "id_b",
     )
+    # both directions via ONE explode, not a union: a union would
+    # duplicate the entire inverted-index join subtree per branch (the
+    # plan doubles; only runtime exchange reuse saves it), while the
+    # 2-element array explode keeps a single subtree
     directed = sized.select(
-        F.col("id_a").alias("src"),
-        F.col("id_b").alias("dst"),
-        F.round(F.col("inter") / F.col("size_a"), 4).alias("containment"),
-    ).unionByName(
-        sized.select(
-            F.col("id_b").alias("src"),
-            F.col("id_a").alias("dst"),
-            F.round(F.col("inter") / F.col("size_b"), 4).alias("containment"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.round(F.col("inter") / F.col("size_a"), 4).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.round(F.col("inter") / F.col("size_b"), 4).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d")
+    ).select("d.src", "d.dst", "d.containment")
     return directed.where(F.col("containment") >= threshold)
 
 
