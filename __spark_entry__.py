@@ -992,6 +992,22 @@ def _q_anchor_text(spark, sf):
     return LG.anchor_text_profile(LG.anchor_edges(pages, "url", "html"))
 
 
+def _q_frontier(spark, sf):
+    """Crawl-frontier BFS: 3 hops out from a seed host over a
+    formulaic host graph, min-hop depth labels. The oracle replays it
+    as a depth-bounded recursive CTE with min(depth) aggregation."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("n"), (did % 20).cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((did * 7 + 3) % 20).cast("string")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    return LG.frontier_bfs(edges, "src", "dst", seeds, max_depth=3)
+
+
 def _q_sitemap(spark, sf):
     """Sitemap round trip: build one <urlset> per host from a formula
     (JVM string agg, entries ordered by doc_id), parse with the
@@ -1814,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_segments": _q_dup_segments,
         "pq_topk": _q_pq_topk,
         "sitemap_entries": _q_sitemap,
+        "frontier_bfs": _q_frontier,
         "extraction_f1": _q_extraction_f1,
     }
 
@@ -2755,6 +2772,22 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         "pq_topk": _pq_topk_oracle(),
+        # frontier_bfs: depth-bounded recursive reachability with
+        # min-hop labels over the same formulaic host graph.
+        "frontier_bfs": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT 'n' || CAST(doc_id % 20 AS VARCHAR) AS src,
+                     'n' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+              FROM documents),
+            bfs(node, depth) AS (
+              SELECT 'n0', 0
+              UNION ALL
+              SELECT e.dst, b.depth + 1
+              FROM bfs b JOIN e ON e.src = b.node
+              WHERE b.depth < 3)
+            SELECT node, CAST(min(depth) AS INT) AS depth
+            FROM bfs GROUP BY node
+        """,
         # sitemap_entries: predict every parsed field from the
         # generative formula (ordinal = rank within host by doc_id,
         # priority string '0.<p>' parsed to the same double as p/10.0).

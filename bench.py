@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "extraction_f1",
     "pq_topk",
     "sitemap_entries",
+    "frontier_bfs",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",

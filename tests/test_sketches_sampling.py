@@ -221,3 +221,31 @@ def test_anchor_profile_tie_breaks_lexicographically(spark):
     row = LG.anchor_text_profile(edges).first()
     assert row.top_anchor == "alpha"
     assert row.top_anchor_n == 1
+
+
+# ---------------------------------------------------------------------------
+# crawl-frontier BFS (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_frontier_bfs_min_depth_and_cycles(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),  # cycle
+         ("a", "d"), ("d", "e"), ("e", "f"),  # chain
+         ("b", "d"),                           # shortcut (d stays depth 1)
+         ("x", "y")],                          # unreachable island
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["depth"]
+        for r in LG.frontier_bfs(edges, "src", "dst", seeds, max_depth=3).collect()
+    }
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2, "e": 2, "f": 3}
+
+
+def test_frontier_bfs_depth_zero_and_no_edges(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = LG.frontier_bfs(edges, "src", "dst", seeds, max_depth=2).collect()
+    assert [(r["node"], r["depth"]) for r in got] == [("s", 0)]

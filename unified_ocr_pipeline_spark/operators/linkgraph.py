@@ -208,6 +208,48 @@ def hits(
     return hub.join(auth, "node")
 
 
+def frontier_bfs(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Crawl-frontier expansion: breadth-first reachability from seed
+    nodes with hop labels — ``(node, depth int)``, depth = MINIMUM hop
+    count ≤ ``max_depth`` (the "crawl N hops out from the seed list"
+    primitive every focused crawl starts with).
+
+    Per hop: ONE join of the frontier against the (src-keyed) edge list
+    + a distinct + an anti-join against the visited set — the visited
+    anti-join is what makes first-discovery depth equal min depth and
+    keeps the frontier from re-expanding explored nodes (textbook
+    Pregel BFS on DataFrames).  Bounded driver loop (``max_depth``
+    iterations, no data-dependent actions), localCheckpoint lineage
+    guard like :func:`pagerank`.  ``seeds`` is a DataFrame with a
+    ``node`` column.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    visited = seeds.select("node").distinct().withColumn("depth", F.lit(0))
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        visited = visited.unionByName(nxt)
+        if d % checkpoint_every == 0 and d < max_depth:
+            visited = visited.localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited
+
+
 def anchor_edges(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
     """One row per (src_url, href, anchor, link_pos) absolute outlink
     WITH its visible anchor text — the raw material for anchor-text
