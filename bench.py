@@ -78,6 +78,29 @@ BENCH_QUERIES = [
     "pq_topk",
     "sitemap_entries",
     "frontier_bfs",
+    "clause_codes_sorted",
+    "dense_rank_spenders",
+    "domain_stats",
+    "dpas_multi",
+    "event_case",
+    "except_lapsed_custs",
+    "gopher_quality",
+    "intersect_buyers_clickers",
+    "json_props",
+    "multimodal_meta",
+    "order_months",
+    "pack_sequences",
+    "pages_pipeline_yield",
+    "pivot_events",
+    "quality_gate",
+    "regex_count",
+    "regex_extract_first",
+    "scan_filter_project",
+    "semi_join_parts",
+    "stratified_sample",
+    "union_doc_langs",
+    "vocab_topk",
+    "word_conf_filter",
     "funnel",
     "salted_skew_join",
     "ocr_quality_grades",

@@ -83,6 +83,18 @@ def test_every_query_has_an_oracle():
     assert orphans == [], f"oracles without a query: {orphans}"
 
 
+def test_bench_covers_every_query():
+    # the bench list must not drift from the driver contract: every
+    # queries() entry is benched (so BENCH_r{N} prices all operators),
+    # and bench never names a query that no longer exists.
+    import bench
+
+    missing = sorted(set(E.queries()) - set(bench.BENCH_QUERIES))
+    stale = sorted(set(bench.BENCH_QUERIES) - set(E.queries()))
+    assert missing == [], f"queries not benched: {missing}"
+    assert stale == [], f"bench names unknown queries: {stale}"
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
