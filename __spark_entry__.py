@@ -1368,19 +1368,17 @@ def _q_split_assign(spark, sf):
     )
 
 
-def _q_media_decode_real(spark, sf):
-    """REAL image decode end-to-end: per-doc grayscale PNGs are generated
-    deterministically from doc_id (pixel i = (doc_id + i) % 256, one PNG
-    filter type per row so decode exercises every unfilter path), then
-    parsed back with the pure-stdlib codec (kernels/imagecodec.py). The
-    DuckDB oracle replays the generative formula — so a wrong
-    width/height/unfilter shows up as a value mismatch."""
+def _synthetic_media(d: DataFrame) -> DataFrame:
+    """Per-doc grayscale PNGs generated deterministically from doc_id
+    (pixel i = (doc_id + i) % 256, w/h from doc_id, one PNG filter type
+    per row so decode exercises every unfilter path). Because the pixel
+    ramp wraps mod 256, doc_id and doc_id+256 encode byte-identical
+    images whenever their dims agree (they always do: 256 ≡ 0 mod 16) —
+    natural planted duplicates for the perceptual-hash query."""
     import numpy as np
     import pandas as pd
 
     from unified_ocr_pipeline_spark.kernels import imagecodec as IC
-
-    d = _t(spark, sf, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -1395,8 +1393,31 @@ def _q_media_decode_real(spark, sf):
                 out["media"].append(IC.encode_png(px, filter_mode="cycle"))
             yield pd.DataFrame(out)
 
-    media = d.mapInPandas(gen, schema="media_id long, media binary")
-    return MM.extract_media_metadata(media, real=True)
+    return d.select("doc_id").mapInPandas(gen, schema="media_id long, media binary")
+
+
+def _q_media_decode_real(spark, sf):
+    """REAL image decode end-to-end: the synthetic per-doc PNGs parsed
+    back with the pure-stdlib codec (kernels/imagecodec.py). The
+    DuckDB oracle replays the generative formula — so a wrong
+    width/height/unfilter shows up as a value mismatch."""
+    d = _t(spark, sf, "documents")
+    return MM.extract_media_metadata(_synthetic_media(d), real=True)
+
+
+def _q_image_dhash_dups(spark, sf):
+    """Perceptual-hash (dHash) image dedup end-to-end: decode each
+    synthetic PNG, difference-hash an 8×8 block-mean mosaic with
+    integer-exact comparisons (operators/multimodal.py dhash_kernel),
+    and group images sharing a hash. The wrap-around pixel ramp plants
+    byte-identical (doc_id, doc_id+256) pairs, and near-identical ramps
+    at other offsets collide or separate purely by the block math — the
+    DuckDB oracle replays pixel formula, block partition, integer
+    cross-multiplied bits, and grouping, so one wrong unfilter or block
+    boundary breaks the value hash."""
+    d = _t(spark, sf, "documents")
+    hashed = MM.dhash_images(_synthetic_media(d))
+    return MM.dhash_dup_groups(hashed, min_group=2)
 
 
 # --- curation operators: URL canonicalization / PII / repetition / CDC ----
@@ -1803,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
         "media_decode_real": _q_media_decode_real,
+        "image_dhash_dups": _q_image_dhash_dups,
         "split_assign": _q_split_assign,
         "substring_dup": _q_substring_dup,
         "tfidf_topk": _q_tfidf_topk,
@@ -3030,6 +3052,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w*h AS BIGINT) AS n_pixels,
                    CAST(px_sum AS BIGINT) AS px_sum
             FROM g JOIN px USING (doc_id)
+        """,
+        # image_dhash_dups: replay the whole perceptual-hash pipeline in
+        # SQL — pixel i = (doc_id + i) % 256 on a (h, w) grid, block of a
+        # pixel = ((row*8)//h, (col*8)//w), bit(r,c) = integer
+        # cross-multiplied mean comparison of horizontally adjacent
+        # blocks (7 bits × 8 rows = 56-bit hash), then group hashes with
+        # >= 2 members. Any decode/unfilter/block-boundary error in the
+        # engine shifts a block sum and breaks the value hash.
+        "image_dhash_dups": """
+            WITH g AS (
+              SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 7) % 16 AS h
+              FROM documents
+            ),
+            blk AS (
+              SELECT doc_id,
+                     (((i.i // w) * 8) // h) AS r,
+                     (((i.i % w) * 8) // w) AS c,
+                     SUM((doc_id + i.i) % 256) AS s,
+                     COUNT(*) AS a
+              FROM g, LATERAL unnest(generate_series(0, w*h - 1)) AS i(i)
+              GROUP BY 1, 2, 3
+            ),
+            bits AS (
+              SELECT l.doc_id, l.r, l.c,
+                     CASE WHEN l.s * rgt.a > rgt.s * l.a THEN 1 ELSE 0 END AS bit
+              FROM blk l
+              JOIN blk rgt
+                ON rgt.doc_id = l.doc_id AND rgt.r = l.r AND rgt.c = l.c + 1
+              WHERE l.c < 7
+            ),
+            h AS (
+              SELECT doc_id,
+                     SUM(bit * (CAST(1 AS BIGINT) << (r * 7 + c))) AS dhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT CAST(dhash AS BIGINT) AS dhash,
+                   COUNT(*) AS n_images,
+                   MIN(doc_id) AS canonical_id,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS member_ids
+            FROM h
+            GROUP BY dhash
+            HAVING COUNT(*) >= 2
         """,
         # split_assign: md5-60 uniform in [0,1) via the same 15-hex-char
         # trick; both engines compute v/2^60 in IEEE double on identical

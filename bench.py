@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "snapshot_diff",
     "media_decode_real",
+    "image_dhash_dups",
     "split_assign",
     "substring_dup",
     "tfidf_topk",

