@@ -1405,6 +1405,102 @@ def _q_media_decode_real(spark, sf):
     return MM.extract_media_metadata(_synthetic_media(d), real=True)
 
 
+def _synthetic_meta_pages(d):
+    """Pages whose <head> metadata follows a formula over doc_id % 5, so
+    the DuckDB oracle can predict every extracted field while the Spark
+    side re-parses the real HTML through the stdlib head collector:
+    m=0 full head (title/description/canonical/meta published_time),
+    m=1 messy-whitespace title + case-mixed meta name, m=2 self-closed
+    meta + <time datetime> fallback, m=3 empty title + meta beating
+    <time>, m=4 no metadata at all."""
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    m = did % 5
+    dd = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    hh = (did % 10).cast("string")
+    head = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<head><title>Title "), sid, F.lit("</title>"),
+                F.lit('<meta name="description" content="Desc '), sid,
+                F.lit(' summary">'),
+                F.lit('<link rel="canonical" href="http://canon.example.com/p'),
+                (did % 50).cast("string"), F.lit('">'),
+                F.lit('<meta property="article:published_time" '),
+                F.lit('content="2024-03-'), dd, F.lit('T00:00:00Z"></head>'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<head><title>  Title \n\t "), sid, F.lit("  </title>"),
+                F.lit('<meta name="Description" content="Mixed '), sid,
+                F.lit('"></head>'),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('<head><meta name="description" content="Self '), sid,
+                F.lit('"/></head>'),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("<head><title></title>"),
+                F.lit('<meta property="article:published_time" '),
+                F.lit('content="2022-01-0'), ((did % 9) + 1).cast("string"),
+                F.lit('"></head>'),
+            ),
+        )
+        .otherwise(F.lit("<head></head>"))
+    )
+    body = (
+        F.when(
+            m == 2,
+            F.concat(
+                F.lit('<body><p>x</p><time datetime="2023-12-01T'), F.lpad(hh, 2, "0"),
+                F.lit(':00:00">posted</time></body>'),
+            ),
+        )
+        .when(
+            m == 3,
+            F.lit('<body><time datetime="1999-01-01">old</time></body>'),
+        )
+        .otherwise(F.lit("<body><p>x</p></body>"))
+    )
+    return d.select(
+        F.concat(F.lit("http://src"), sid, F.lit(".example.com/page")).alias("url"),
+        F.concat(F.lit("<html>"), head, body, F.lit("</html>")).alias("html"),
+    )
+
+
+def _q_page_metadata(spark, sf):
+    """REAL head-metadata extraction end-to-end: formulaic pages parsed
+    back by the stdlib head collector (title whitespace normalization,
+    attr-value case-insensitivity, void-element self-closing, the
+    meta-beats-<time> published cascade). The oracle predicts all four
+    fields per doc_id class — a mis-parsed head shows up as a value
+    mismatch."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    d = _t(spark, sf, "documents")
+    return MD.page_metadata(_synthetic_meta_pages(d))
+
+
+def _q_canonical_collapse(spark, sf):
+    """Canonical-url dedup over the same pages: syndicated fetches
+    collapse onto coalesce(canonical_url, url) — one hash-agg on the
+    canonical key (m=0 docs share 10 canonical targets; everything else
+    stays singleton)."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    d = _t(spark, sf, "documents")
+    return MD.canonical_dedup(MD.page_metadata(_synthetic_meta_pages(d)))
+
+
 def _q_image_dhash_dups(spark, sf):
     """Perceptual-hash (dHash) image dedup end-to-end: decode each
     synthetic PNG, difference-hash an 8×8 block-mean mosaic with
@@ -1825,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "media_decode_real": _q_media_decode_real,
         "image_dhash_dups": _q_image_dhash_dups,
+        "page_metadata": _q_page_metadata,
+        "canonical_collapse": _q_canonical_collapse,
         "split_assign": _q_split_assign,
         "substring_dup": _q_substring_dup,
         "tfidf_topk": _q_tfidf_topk,
@@ -3095,6 +3193,55 @@ def oracle_sql() -> dict[str, str]:
             FROM h
             GROUP BY dhash
             HAVING COUNT(*) >= 2
+        """,
+        # page_metadata: the engine re-parses real generated HTML through
+        # the stdlib head collector; the oracle PREDICTS the extracted
+        # fields per doc_id % 5 class (it never parses — so a mis-parsed
+        # title/meta/canonical/<time> cascade breaks the value hash).
+        "page_metadata": """
+            SELECT 'http://src' || CAST(doc_id AS VARCHAR)
+                     || '.example.com/page' AS url,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'Title ' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'Title ' || CAST(doc_id AS VARCHAR)
+                     ELSE NULL END AS title,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'Desc ' || CAST(doc_id AS VARCHAR) || ' summary'
+                     WHEN 1 THEN 'Mixed ' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN 'Self ' || CAST(doc_id AS VARCHAR)
+                     ELSE NULL END AS description,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'http://canon.example.com/p'
+                                   || CAST(doc_id % 50 AS VARCHAR)
+                     ELSE NULL END AS canonical_url,
+                   CASE doc_id % 5
+                     WHEN 0 THEN '2024-03-'
+                                   || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                                   || 'T00:00:00Z'
+                     WHEN 2 THEN '2023-12-01T'
+                                   || lpad(CAST(doc_id % 10 AS VARCHAR), 2, '0')
+                                   || ':00:00'
+                     WHEN 3 THEN '2022-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     ELSE NULL END AS published
+            FROM documents
+        """,
+        # canonical_collapse: group the predicted canonical keys.
+        "canonical_collapse": """
+            WITH meta AS (
+              SELECT doc_id,
+                     'http://src' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/page' AS url,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'http://canon.example.com/p'
+                                     || CAST(doc_id % 50 AS VARCHAR)
+                       ELSE NULL END AS canonical_url
+              FROM documents
+            )
+            SELECT COALESCE(canonical_url, url) AS canonical_key,
+                   COUNT(*) AS n_fetches,
+                   MIN(url) AS representative_url
+            FROM meta
+            GROUP BY 1
         """,
         # split_assign: md5-60 uniform in [0,1) via the same 15-hex-char
         # trick; both engines compute v/2^60 in IEEE double on identical

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "media_decode_real",
     "image_dhash_dups",
+    "page_metadata",
+    "canonical_collapse",
     "split_assign",
     "substring_dup",
     "tfidf_topk",

@@ -240,3 +240,53 @@ def test_empty_main_html_reports_zero_pages():
     r = D.process_document("http://x/", nav_only, None)
     assert r.status == D.STATUS_EMPTY
     assert r.total_pages == 0 and r.po_page_count == 0
+
+
+# --- head-metadata extraction (title/description/canonical/published) ----
+
+
+def test_page_meta_full_head_and_first_wins():
+    from unified_ocr_pipeline_spark.kernels.html_extract import extract_page_meta
+
+    html = (
+        '<html><head><title> A  \n Title </title>'
+        '<meta name="description" content="first desc">'
+        '<meta name="description" content="second desc">'
+        '<link rel="canonical" href=" http://c.example.com/x ">'
+        '<meta property="article:published_time" content="2024-01-02T03:04:05Z">'
+        '</head><body><time datetime="1999-01-01">old</time></body></html>'
+    )
+    title, desc, canon, pub = extract_page_meta(html)
+    assert title == "A Title"
+    assert desc == "first desc"           # first occurrence wins
+    assert canon == "http://c.example.com/x"  # value stripped
+    assert pub == "2024-01-02T03:04:05Z"  # meta beats <time>
+
+
+def test_page_meta_case_insensitive_values_and_self_closed():
+    from unified_ocr_pipeline_spark.kernels.html_extract import extract_page_meta
+
+    html = (
+        '<head><META NAME="Description" CONTENT="mixed case"/>'
+        '<LINK REL="Canonical" HREF="http://c.example.com/y"/></head>'
+        '<body><time datetime="2023-12-31">d</time></body>'
+    )
+    title, desc, canon, pub = extract_page_meta(html)
+    assert (title, desc, canon, pub) == (
+        None, "mixed case", "http://c.example.com/y", "2023-12-31"
+    )
+
+
+def test_page_meta_absent_empty_and_malformed():
+    from unified_ocr_pipeline_spark.kernels.html_extract import extract_page_meta
+
+    assert extract_page_meta("<body><p>no head</p></body>") == (None,) * 4
+    assert extract_page_meta("") == (None,) * 4
+    # empty <title></title> is NOT a title; a later one may still win
+    t, _, _, _ = extract_page_meta("<title></title><title>real</title>")
+    assert t == "real"
+    # EOF inside <title>: browsers keep the buffered text
+    t, _, _, _ = extract_page_meta("<title>trunc")
+    assert t == "trunc"
+    # meta with no content attr is skipped, not crashed on
+    assert extract_page_meta('<meta name="description">')[1] is None

@@ -261,3 +261,93 @@ def extract_anchors(html_text: str) -> List[Tuple[str, str]]:
         if href is not None:
             p.anchors.append((href, " ".join("".join(parts).split())))
     return p.anchors
+
+
+# ---------------------------------------------------------------------------
+# Head-metadata extraction (title / description / canonical / published time)
+# ---------------------------------------------------------------------------
+
+class _MetaCollector(HTMLParser):
+    """First-occurrence-wins head metadata:
+
+    - ``title``      — text inside the first <title> (whitespace-normalized)
+    - ``description``— first <meta name="description" content=...>
+                       (attr-value case-insensitive, like browsers)
+    - ``canonical``  — first <link rel="canonical" href=...>
+    - ``published``  — first <meta property="article:published_time"
+                       content=...>, falling back to the first
+                       <time datetime=...> in the body (the trafilatura-
+                       style cascade: explicit metadata beats markup)
+
+    HTMLParser lowercases tag/attr NAMES but not values, so the value
+    comparisons normalize case themselves. First occurrence wins for every
+    field — crawl pages repeat meta tags and browsers keep the first.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: Optional[str] = None
+        self.description: Optional[str] = None
+        self.canonical: Optional[str] = None
+        self.meta_published: Optional[str] = None
+        self.time_published: Optional[str] = None
+        self._title_buf: Optional[List[str]] = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = {k: v for k, v in attrs if v is not None}
+        if tag == "title" and self.title is None:
+            self._title_buf = []
+        elif tag == "meta":
+            name = (a.get("name") or "").lower()
+            prop = (a.get("property") or "").lower()
+            content = a.get("content")
+            if content is not None:
+                if name == "description" and self.description is None:
+                    self.description = " ".join(content.split())
+                if prop == "article:published_time" and self.meta_published is None:
+                    self.meta_published = content.strip()
+        elif tag == "link":
+            rel = (a.get("rel") or "").lower()
+            href = a.get("href")
+            if rel == "canonical" and href and self.canonical is None:
+                self.canonical = href.strip()
+        elif tag == "time":
+            dt = a.get("datetime")
+            if dt and self.time_published is None:
+                self.time_published = dt.strip()
+
+    # <meta>/<link> are void elements; some crawls self-close them.
+    handle_startendtag = handle_starttag
+
+    def handle_data(self, data: str) -> None:
+        if self._title_buf is not None:
+            self._title_buf.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._title_buf is not None:
+            text = " ".join("".join(self._title_buf).split())
+            self.title = text if text else None
+            self._title_buf = None
+
+    @property
+    def published(self) -> Optional[str]:
+        return self.meta_published or self.time_published
+
+
+def extract_page_meta(html_text: str) -> Tuple[
+    Optional[str], Optional[str], Optional[str], Optional[str]
+]:
+    """(title, description, canonical_url, published) of a page, each None
+    when absent. Deterministic, stdlib-only; malformed tails keep whatever
+    parsed before the error (same recovery policy as the link collectors)."""
+    p = _MetaCollector()
+    try:
+        p.feed(html_text or "")
+        p.close()
+    except Exception:
+        pass
+    if p._title_buf is not None:  # EOF inside <title>: browsers keep the text
+        text = " ".join("".join(p._title_buf).split())
+        if p.title is None and text:
+            p.title = text
+    return p.title, p.description, p.canonical, p.published

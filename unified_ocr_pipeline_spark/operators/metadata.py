@@ -1,0 +1,80 @@
+"""Page head-metadata extraction: HTML -> (title, description, canonical,
+published) columns.
+
+Crawl curation leans on head metadata constantly — canonical urls collapse
+syndicated duplicates before any content hash runs, titles/descriptions feed
+quality classifiers and search indexing, and publish dates drive freshness
+mixing. The reference is a PDF pipeline with no HTML surface; this family is
+mandated by the round brief's web-scale posture (Common-Crawl-style pages),
+and the extraction cascade mirrors trafilatura's metadata step: explicit
+<meta> beats markup (<time datetime>), first occurrence wins.
+
+Scale shape: the parse is the sanctioned Arrow-batch kernel pattern
+(kernels/html_extract.extract_page_meta — compiled stdlib parser, one
+JVM<->Python crossing per batch, runs on scan partitions BEFORE any
+exchange). Raw HTML never shuffles; only the four small string columns
+leave the Python stage. Canonical-dedup afterwards is one hash-agg on the
+canonical url (coalesced to the fetch url), the same exchange shape as the
+pipeline's url dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.html_extract import extract_page_meta
+
+_META_SCHEMA = (
+    "url string, title string, description string, "
+    "canonical_url string, published string"
+)
+
+
+def page_metadata(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """One row per page: (url, title, description, canonical_url,
+    published), NULL where the page carries no such field. HTML may be
+    string or binary (utf-8, errors replaced)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]):  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"url": [], "title": [], "description": [],
+                   "canonical_url": [], "published": []}
+            for url, html in zip(pdf["_url"], pdf["_html"]):
+                if html is None:
+                    title = desc = canon = pub = None
+                else:
+                    if isinstance(html, (bytes, bytearray)):
+                        html = bytes(html).decode("utf-8", errors="replace")
+                    title, desc, canon, pub = extract_page_meta(html)
+                out["url"].append(url)
+                out["title"].append(title)
+                out["description"].append(desc)
+                out["canonical_url"].append(canon)
+                out["published"].append(pub)
+            yield pd.DataFrame(out)
+
+    narrow = pages.select(
+        F.col(url_col).alias("_url"), F.col(html_col).alias("_html")
+    )
+    return narrow.mapInPandas(gen, schema=_META_SCHEMA)
+
+
+def canonical_dedup(meta: DataFrame) -> DataFrame:
+    """Collapse syndicated/parameterized fetches onto their declared
+    canonical url: group by coalesce(canonical_url, url), keep the
+    lexicographically-least member url as the fetch representative and
+    count the collapsed members. One hash-agg shuffle on the canonical
+    key; partial aggregation collapses map-side duplicates first."""
+    keyed = meta.select(
+        F.coalesce("canonical_url", "url").alias("canonical_key"), "url"
+    )
+    return keyed.groupBy("canonical_key").agg(
+        F.count("*").alias("n_fetches"),
+        F.min("url").alias("representative_url"),
+    )
