@@ -1501,6 +1501,18 @@ def _q_canonical_collapse(spark, sf):
     return MD.canonical_dedup(MD.page_metadata(_synthetic_meta_pages(d)))
 
 
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): log p_target/p_raw per
+    document under hashed unigram+bigram bag models (256 md5-60 buckets,
+    Laplace-smoothed), target = the English slice of the corpus. The
+    oracle replays tokenization, gram construction, bucketing, both
+    distributions, and the per-doc weighted sum."""
+    from unified_ocr_pipeline_spark.operators import dsir as DS
+
+    d = _t(spark, sf, "documents")
+    return DS.dsir_weights(d, is_target=F.col("lang") == "en", n_buckets=256)
+
+
 def _q_image_dhash_dups(spark, sf):
     """Perceptual-hash (dHash) image dedup end-to-end: decode each
     synthetic PNG, difference-hash an 8×8 block-mean mosaic with
@@ -1923,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dups": _q_image_dhash_dups,
         "page_metadata": _q_page_metadata,
         "canonical_collapse": _q_canonical_collapse,
+        "dsir_weights": _q_dsir_weights,
         "split_assign": _q_split_assign,
         "substring_dup": _q_substring_dup,
         "tfidf_topk": _q_tfidf_topk,
@@ -3224,6 +3237,52 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN '2022-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
                      ELSE NULL END AS published
             FROM documents
+        """,
+        # dsir_weights: replay the full DSIR computation — lower/\s+-split
+        # tokens, unigrams + space-joined bigrams, md5-60 % 256 buckets,
+        # Laplace-smoothed target (lang='en') and raw (everything)
+        # distributions, per-doc Σ cnt·(ln p_t − ln p_r). Zero-gram docs
+        # drop on both sides.
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, lang = 'en' AS t,
+                     CASE WHEN length(regexp_replace(lower(text),
+                                      '^\s+|\s+$', '', 'g')) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(
+                                 regexp_replace(lower(text),
+                                                '^\s+|\s+$', '', 'g'), '\s+')
+                     END AS tk
+              FROM documents),
+            g AS (
+              SELECT doc_id, t, u.g AS gram
+              FROM toks, LATERAL unnest(tk) AS u(g)
+              UNION ALL
+              SELECT doc_id, t, tk[i.i] || ' ' || tk[i.i + 1] AS gram
+              FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS i(i)
+              WHERE len(tk) >= 2),
+            fb AS (
+              SELECT doc_id, t,
+                     CAST(CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                          % 256 AS INT) AS bucket,
+                     COUNT(*) AS cnt
+              FROM g GROUP BY 1, 2, 3),
+            st AS (
+              SELECT bucket,
+                     SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
+                     SUM(cnt) AS cr
+              FROM fb GROUP BY 1),
+            tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM st),
+            lam AS (
+              SELECT bucket,
+                     ln((ct + 1.0) / (nt + 256.0))
+                       - ln((cr + 1.0) / (nr + 256.0)) AS lam
+              FROM st, tot)
+            SELECT fb.doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   SUM(cnt * lam) AS dsir_logw
+            FROM fb JOIN lam USING (bucket)
+            GROUP BY fb.doc_id
         """,
         # canonical_collapse: group the predicted canonical keys.
         "canonical_collapse": """

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "image_dhash_dups",
     "page_metadata",
     "canonical_collapse",
+    "dsir_weights",
     "split_assign",
     "substring_dup",
     "tfidf_topk",
