@@ -1501,6 +1501,42 @@ def _q_canonical_collapse(spark, sf):
     return MD.canonical_dedup(MD.page_metadata(_synthetic_meta_pages(d)))
 
 
+def _q_reciprocity(spark, sf):
+    """Link-farm reciprocity: pages whose src host lives in the SAME h*
+    namespace as the link targets (url = h{id%20}/page{id}), so mutual
+    host pairs occur naturally; per-host distinct-outlink and back-edge
+    counts through the REAL HTML parse. The oracle replays the edge
+    formula and the reciprocity math."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    n = F.pmod(F.col("doc_id"), F.lit(4))
+    link = lambda i: F.concat(  # noqa: E731
+        F.lit('<a href="http://h'),
+        F.pmod(F.col("doc_id") * 7 + i, F.lit(20)).cast("string"),
+        F.lit(".example.com/p"),
+        i.cast("string"),
+        F.lit('">x</a>'),
+    )
+    links = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), link)
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("http://h"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+            F.lit(".example.com/page"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body>"), F.array_join(links, ""), F.lit("</body></html>")
+        ).alias("html"),
+    )
+    edges = LG.outlink_edges(pages, "url", "html").select(
+        F.regexp_extract("src_url", r"^https?://([^/?#]+)", 1).alias("src_host"),
+        F.regexp_extract("href", r"^https?://([^/?#]+)", 1).alias("dst_host"),
+    )
+    return LG.host_reciprocity(edges)
+
+
 def _q_dsir_weights(spark, sf):
     """DSIR importance weights (Xie et al. 2023): log p_target/p_raw per
     document under hashed unigram+bigram bag models (256 md5-60 buckets,
@@ -1936,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": _q_page_metadata,
         "canonical_collapse": _q_canonical_collapse,
         "dsir_weights": _q_dsir_weights,
+        "reciprocity": _q_reciprocity,
         "split_assign": _q_split_assign,
         "substring_dup": _q_substring_dup,
         "tfidf_topk": _q_tfidf_topk,
@@ -3237,6 +3274,35 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN '2022-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
                      ELSE NULL END AS published
             FROM documents
+        """,
+        # reciprocity: replay the edge formula (src h{id%20} → dst
+        # h{(id*7+i)%20}, i < id%4), drop self-loops, distinct pairs,
+        # back-edge semi-join, per-src ratio.
+        "reciprocity": """
+            WITH e AS (
+              SELECT DISTINCT
+                     'h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.com' AS a,
+                     'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                       || '.example.com' AS b
+              FROM documents,
+                   LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS i(i)
+              WHERE doc_id % 4 > 0
+                AND doc_id % 20 != (doc_id * 7 + i.i) % 20
+            ),
+            r AS (
+              SELECT e.a, COUNT(*) AS n_reciprocal
+              FROM e
+              WHERE EXISTS (SELECT 1 FROM e b2 WHERE b2.a = e.b AND b2.b = e.a)
+              GROUP BY e.a
+            )
+            SELECT e.a AS src_host,
+                   COUNT(*) AS n_out_hosts,
+                   COALESCE(MIN(r.n_reciprocal), 0) AS n_reciprocal,
+                   COALESCE(MIN(r.n_reciprocal), 0) * 1.0 / COUNT(*)
+                     AS reciprocity
+            FROM e LEFT JOIN r USING (a)
+            GROUP BY e.a
         """,
         # dsir_weights: replay the full DSIR computation — lower/\s+-split
         # tokens, unigrams + space-joined bigrams, md5-60 % 256 buckets,

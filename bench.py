@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "page_metadata",
     "canonical_collapse",
     "dsir_weights",
+    "reciprocity",
     "split_assign",
     "substring_dup",
     "tfidf_topk",

@@ -1179,3 +1179,29 @@ def test_salted_skew_join_spreads_hot_key(spark):
     shares = [r["n"] for r in fsalt.groupBy("_salt").agg(F.count("*").alias("n")).collect()]
     assert len(shares) == 8 and max(shares) < 800 * 0.3
     assert joined.count() == 800
+
+
+def test_host_reciprocity_hand_graph(spark):
+    from unified_ocr_pipeline_spark.operators.linkgraph import host_reciprocity
+    # a<->b mutual; a->c one-way; c->c self-loop (dropped); duplicate edge
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")],
+        "src_host string, dst_host string",
+    )
+    rows = {r["src_host"]: r for r in host_reciprocity(edges).collect()}
+    assert rows["a"]["n_out_hosts"] == 2          # b, c (dup collapsed)
+    assert rows["a"]["n_reciprocal"] == 1         # only b links back
+    assert rows["a"]["reciprocity"] == 0.5
+    assert rows["b"]["n_reciprocal"] == 1 and rows["b"]["reciprocity"] == 1.0
+    assert "c" not in rows                        # self-loop only → no outlinks
+
+
+def test_host_reciprocity_empty_and_no_backlinks(spark):
+    from unified_ocr_pipeline_spark.operators.linkgraph import host_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src_host string, dst_host string"
+    )
+    rows = {r["src_host"]: r for r in host_reciprocity(edges).collect()}
+    assert all(r["n_reciprocal"] == 0 for r in rows.values())
+    assert all(r["reciprocity"] == 0.0 for r in rows.values())

@@ -324,3 +324,47 @@ def anchor_text_profile(edges: DataFrame) -> DataFrame:
             F.max(F.when(F.col("_rk") == 1, F.col("n"))).alias("top_anchor_n"),
         )
     )
+
+
+def host_reciprocity(
+    edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host"
+) -> DataFrame:
+    """Per-host reciprocal-link profile — the classic link-farm signal
+    (organic linking is overwhelmingly one-directional; mutual-exchange
+    rings reciprocate most of their outlinks, TrustRank/SpamRank-era
+    heuristics gate on exactly this ratio).
+
+    Returns (src_host, n_out_hosts, n_reciprocal, reciprocity double):
+    distinct outlinked hosts (self-loops excluded), how many of them link
+    back, and the ratio.
+
+    Scale shape: the graph first collapses to DISTINCT host pairs (one
+    hash-agg with map-side combine — url-level multiplicity never enters
+    the join), then one self-join keyed on the composite (dst, src) pair
+    detects back-edges, then one hash-agg per src. Nothing exceeds
+    O(distinct host edges); no driver-side collection.
+    """
+    pairs = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .where((F.col("a") != "") & (F.col("b") != ""))
+        .distinct()
+    )
+    back = pairs.select(F.col("a").alias("b"), F.col("b").alias("a"))
+    marked = pairs.join(back, ["a", "b"], "left_semi").select(
+        F.col("a"), F.lit(1).alias("_recip")
+    )
+    per_src = pairs.groupBy("a").agg(F.count("*").alias("n_out_hosts"))
+    recip = marked.groupBy("a").agg(F.count("*").alias("n_reciprocal"))
+    return (
+        per_src.join(recip, "a", "left")
+        .select(
+            F.col("a").alias("src_host"),
+            "n_out_hosts",
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+            (
+                F.coalesce("n_reciprocal", F.lit(0)).cast("double")
+                / F.col("n_out_hosts")
+            ).alias("reciprocity"),
+        )
+    )
