@@ -1501,6 +1501,43 @@ def _q_canonical_collapse(spark, sf):
     return MD.canonical_dedup(MD.page_metadata(_synthetic_meta_pages(d)))
 
 
+def _q_soft404(spark, sf):
+    """Soft-404 detection over formulaic pages: filler of k tokens plus a
+    class-dependent error-phrase suffix — one marker on a short page or
+    2+ markers anywhere flags the page. The oracle PREDICTS hits and the
+    verdict per class (it never scans), so a broken phrase match or token
+    count shows up as a mismatch."""
+    d = _t(spark, sf, "documents")
+    k = (F.col("doc_id") % 200 + 10).cast("int")
+    m = F.col("doc_id") % 7
+    body = F.concat(
+        F.repeat(F.lit("w "), k),
+        F.when(m == 0, F.lit("page not found"))
+        .when(m == 1, F.lit("error 404 and this page does not exist"))
+        .otherwise(F.lit("w")),
+    )
+    return d.select(
+        "doc_id",
+        TX.soft404_hits(body).alias("n_soft404_hits"),
+        TX.is_soft404(body).alias("soft404"),
+    )
+
+
+def _q_sentence_stats(spark, sf):
+    """Sentence segmentation stats over formulaic text (r 3-token
+    sentences + a class-dependent tail): terminator-run counting without
+    lookbehind (Java∩RE2), tokens per sentence, Gopher-style
+    terminal-punctuation gate. Oracle predicts every value per class."""
+    d = _t(spark, sf, "documents")
+    r = (F.col("doc_id") % 20 + 1).cast("int")
+    m = F.col("doc_id") % 3
+    body = F.concat(
+        F.repeat(F.lit("tok tok tok. "), r),
+        F.when(m == 0, F.lit("end")).when(m == 1, F.lit("end!")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", *TX.sentence_stats(body))
+
+
 def _q_reciprocity(spark, sf):
     """Link-farm reciprocity: pages whose src host lives in the SAME h*
     namespace as the link targets (url = h{id%20}/page{id}), so mutual
@@ -1973,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_collapse": _q_canonical_collapse,
         "dsir_weights": _q_dsir_weights,
         "reciprocity": _q_reciprocity,
+        "soft404": _q_soft404,
+        "sentence_stats": _q_sentence_stats,
         "split_assign": _q_split_assign,
         "substring_dup": _q_substring_dup,
         "tfidf_topk": _q_tfidf_topk,
@@ -3274,6 +3313,37 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN '2022-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
                      ELSE NULL END AS published
             FROM documents
+        """,
+        # soft404: predict hits/verdict per doc_id class — m=0 one marker
+        # on a k+3-token page (soft404 iff k <= 117), m=1 two markers
+        # (always soft404), else clean.
+        "soft404": """
+            SELECT doc_id,
+                   CASE doc_id % 7 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END
+                     AS n_soft404_hits,
+                   CASE doc_id % 7
+                     WHEN 0 THEN doc_id % 200 + 10 + 3 <= 120
+                     WHEN 1 THEN TRUE
+                     ELSE FALSE END AS soft404
+            FROM documents
+        """,
+        # sentence_stats: predict counts per class — r 3-token sentences,
+        # tail m=0 'end' (no terminator), m=1 'end!' (+1 sentence),
+        # m=2 none.
+        "sentence_stats": """
+            WITH p AS (
+              SELECT doc_id, doc_id % 20 + 1 AS r, doc_id % 3 AS m
+              FROM documents)
+            SELECT doc_id,
+                   CAST(r + CASE WHEN m = 1 THEN 1 ELSE 0 END AS INT)
+                     AS n_sentences,
+                   CAST(3 * r + CASE WHEN m IN (0, 1) THEN 1 ELSE 0 END AS INT)
+                     AS n_tokens,
+                   (3 * r + CASE WHEN m IN (0, 1) THEN 1 ELSE 0 END) * 1.0
+                     / (r + CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                     AS avg_sentence_tokens,
+                   m != 0 AS terminal_end
+            FROM p
         """,
         # reciprocity: replay the edge formula (src h{id%20} → dst
         # h{(id*7+i)%20}, i < id%4), drop self-loops, distinct pairs,

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "canonical_collapse",
     "dsir_weights",
     "reciprocity",
+    "soft404",
+    "sentence_stats",
     "split_assign",
     "substring_dup",
     "tfidf_topk",

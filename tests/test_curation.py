@@ -299,3 +299,51 @@ def test_decontaminate_flags_overlap_once(spark):
     assert got[1] == (0, False)
     assert got[2] == (1, True)
     assert got[3] == (0, False)
+
+
+# --- soft-404 + sentence stats --------------------------------------------
+
+
+def test_soft404_rules(spark):
+    from unified_ocr_pipeline_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "sorry, this Page Not Found here"),                 # 1 hit, short
+        (1, "x " * 300 + "page not found"),                     # 1 hit, long
+        (2, "x " * 300 + "error 404 ... does not exist"),       # 2 hits, long
+        (3, "perfectly fine content about cats"),               # clean
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: (r["h"], r["s"])
+        for r in df.select(
+            "id",
+            TX.soft404_hits(F.col("t")).alias("h"),
+            TX.is_soft404(F.col("t")).alias("s"),
+        ).collect()
+    }
+    assert got[0] == (1, True)     # case-insensitive, short page
+    assert got[1] == (1, False)    # one phrase but long page
+    assert got[2] == (2, True)     # two phrases override length
+    assert got[3] == (0, False)
+
+
+def test_sentence_stats_edges(spark):
+    from unified_ocr_pipeline_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "One two. Three four! Five??  Six"),  # 3 terminator runs
+        (1, "no punctuation at all"),
+        (2, ""),
+        (3, "Trailing ok."),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r for r in df.select("id", *TX.sentence_stats(F.col("t"))).collect()}
+    assert got[0]["n_sentences"] == 3          # '??' is one run
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["terminal_end"] is False
+    assert got[1]["n_sentences"] == 0 and got[1]["avg_sentence_tokens"] is None
+    assert got[2]["n_tokens"] == 0
+    assert got[3]["n_sentences"] == 1 and got[3]["terminal_end"] is True

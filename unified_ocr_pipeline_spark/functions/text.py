@@ -306,3 +306,71 @@ def fingerprint(text: Column) -> Column:
     lower-cased text (md5 — same function exists in DuckDB)."""
     norm = F.regexp_replace(F.lower(ws_trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# Soft-404 / error-page detection + sentence segmentation stats
+# ---------------------------------------------------------------------------
+
+# Frozen phrase list (the SQL oracle embeds the same list): the classic
+# soft-404 markers — pages that return HTTP 200 but render an error body.
+SOFT404_PHRASES = [
+    "page not found",
+    "404 error",
+    "error 404",
+    "file not found",
+    "no longer available",
+    "does not exist",
+    "page cannot be found",
+    "page you requested",
+]
+
+
+def soft404_hits(text: Column) -> Column:
+    """How many distinct soft-404 marker phrases the text contains
+    (case-insensitive substring; counts phrases, not occurrences)."""
+    lo = F.lower(text)
+    return sum(
+        (F.contains(lo, F.lit(p)).cast("int") for p in SOFT404_PHRASES),
+        F.lit(0),
+    )
+
+
+def is_soft404(text: Column, max_tokens: int = 120) -> Column:
+    """Soft-404 verdict: any marker phrase on a SHORT page (error bodies
+    are near-empty), or 2+ distinct phrases regardless of length (long
+    templated error pages). Real crawls filter these before dedup so an
+    identical error body served by thousands of urls never floods the
+    near-dup buckets."""
+    hits = soft404_hits(text)
+    return ((hits >= 1) & (ws_token_count(text) <= max_tokens)) | (hits >= 2)
+
+
+# Sentence terminator runs followed by whitespace or end-of-text. No
+# lookbehind — RE2 (DuckDB oracle) doesn't support it; Java and RE2 agree
+# on this pattern.
+SENTENCE_REGEX = r"[.!?]+(\s+|$)"
+
+
+def sentence_count(text: Column) -> Column:
+    """Number of sentence-terminator boundaries in the text."""
+    return F.size(F.regexp_extract_all(text, F.lit(SENTENCE_REGEX), F.lit(0)))
+
+
+def ends_with_terminal(text: Column) -> Column:
+    """Gopher-style gate input: does the (ws-trimmed) text end with
+    terminal punctuation? Boilerplate fragments usually don't."""
+    return ws_trim(text).rlike(r"[.!?]$")
+
+
+def sentence_stats(text: Column) -> list[Column]:
+    """(n_sentences, n_tokens, avg_sentence_tokens, terminal_end) —
+    avg is tokens per sentence, NULL when the text has no sentences."""
+    ns = sentence_count(text)
+    nt = ws_token_count(text)
+    return [
+        ns.alias("n_sentences"),
+        nt.alias("n_tokens"),
+        F.when(ns > 0, nt.cast("double") / ns).alias("avg_sentence_tokens"),
+        ends_with_terminal(text).alias("terminal_end"),
+    ]
