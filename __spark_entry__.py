@@ -1501,6 +1501,33 @@ def _q_canonical_collapse(spark, sf):
     return MD.canonical_dedup(MD.page_metadata(_synthetic_meta_pages(d)))
 
 
+def _q_mojibake(spark, sf):
+    """ftfy-lite mojibake repair end-to-end: formulaic inputs carry the
+    three real crawl accidents — latin-1 mojibake ('Ã©'), cp1252
+    smart-quote mojibake ('â€™'), and DOUBLE mojibake ('Ã\\u0083Â©') —
+    plus a clean-ascii no-op class. The Spark side runs the real
+    encode/decode unwinding kernel; the oracle predicts the repaired
+    text and the per-class shrink, so a wrong codec path or an
+    over-eager repair of clean text breaks the hash."""
+    from unified_ocr_pipeline_spark.functions.normalize import fix_mojibake
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(m == 0, F.concat(F.lit("cafÃ© no "), sid))
+        .when(m == 1, F.concat(F.lit("itâ€™s page "), sid))
+        .when(m == 2, F.concat(F.lit("plain ascii "), sid))
+        .otherwise(F.concat(F.lit("cafÃÂ© twice "), sid))
+    )
+    fixed = fix_mojibake(raw)
+    return d.select(
+        "doc_id",
+        fixed.alias("fixed_text"),
+        (F.length(raw) - F.length(fixed)).alias("chars_repaired"),
+    )
+
+
 def _q_soft404(spark, sf):
     """Soft-404 detection over formulaic pages: filler of k tokens plus a
     class-dependent error-phrase suffix — one marker on a short page or
@@ -2012,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "soft404": _q_soft404,
         "sentence_stats": _q_sentence_stats,
+        "mojibake": _q_mojibake,
         "split_assign": _q_split_assign,
         "substring_dup": _q_substring_dup,
         "tfidf_topk": _q_tfidf_topk,
@@ -3312,6 +3340,21 @@ def oracle_sql() -> dict[str, str]:
                                    || ':00:00'
                      WHEN 3 THEN '2022-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
                      ELSE NULL END AS published
+            FROM documents
+        """,
+        # mojibake: predict the repaired text per doc_id class — latin-1
+        # mojibake shrinks by 1 char, cp1252 smart quote by 2, double
+        # mojibake by 3, clean ascii untouched.
+        "mojibake": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'café no ' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'it’s page ' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN 'plain ascii ' || CAST(doc_id AS VARCHAR)
+                     ELSE 'café twice ' || CAST(doc_id AS VARCHAR)
+                   END AS fixed_text,
+                   CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                   WHEN 2 THEN 0 ELSE 3 END AS chars_repaired
             FROM documents
         """,
         # soft404: predict hits/verdict per doc_id class — m=0 one marker

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "reciprocity",
     "soft404",
     "sentence_stats",
+    "mojibake",
     "split_assign",
     "substring_dup",
     "tfidf_topk",

@@ -347,3 +347,27 @@ def test_sentence_stats_edges(spark):
     assert got[1]["n_sentences"] == 0 and got[1]["avg_sentence_tokens"] is None
     assert got[2]["n_tokens"] == 0
     assert got[3]["n_sentences"] == 1 and got[3]["terminal_end"] is True
+
+
+def test_fix_mojibake_kernel_and_udf(spark):
+    from unified_ocr_pipeline_spark.functions.normalize import fix_mojibake
+    from unified_ocr_pipeline_spark.kernels.mojibake import fix_mojibake_str as fix
+
+    assert fix("cafÃ©") == "café"
+    assert fix("naÃ¯ve rÃ©sumÃ©") == "naïve résumé"
+    assert fix("plain ascii") == "plain ascii"     # no-op
+    assert fix("café") == "café"                   # already clean: no-op
+    assert fix("日本語") == "日本語"                 # non-latin clean: no-op
+    assert fix(None) is None
+    # double mojibake unwinds twice
+    s = "é".encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    assert fix(s) == "é"
+    # cp1252 fallback covers the 0x80-0x9F gap (smart quotes)
+    s2 = "it’s".encode("utf-8").decode("cp1252")
+    assert fix(s2) == "it’s"
+    # and the vectorized UDF matches the scalar kernel
+    df = spark.createDataFrame(
+        [(0, "cafÃ©"), (1, "ok"), (2, None)], "id long, t string"
+    )
+    got = {r["id"]: r["f"] for r in df.select("id", fix_mojibake("t").alias("f")).collect()}
+    assert got == {0: "café", 1: "ok", 2: None}

@@ -40,3 +40,19 @@ def normalize_text(col: Column, lowercase: bool = True) -> Column:
     if lowercase:
         out = F.lower(out)
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy-lite): UTF-8 double-decoded as Latin-1 / cp1252
+# ---------------------------------------------------------------------------
+# The scalar kernel lives in kernels/mojibake.py (import-safe on executors:
+# this module's pandas_udf decorators need an active session, so workers
+# must never have to import it to unpickle a UDF).
+
+
+@pandas_udf("string")
+def fix_mojibake(col: pd.Series) -> pd.Series:
+    """ftfy-lite mojibake repair, null-preserving, Arrow-batched."""
+    from unified_ocr_pipeline_spark.kernels.mojibake import fix_mojibake_str
+
+    return col.map(fix_mojibake_str)
