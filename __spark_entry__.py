@@ -1501,6 +1501,139 @@ def _q_canonical_collapse(spark, sf):
     return MD.canonical_dedup(MD.page_metadata(_synthetic_meta_pages(d)))
 
 
+def _q_c4_clean(spark, sf):
+    """C4 line cleaning (Raffel et al. 2020 §2.2) over formulaic
+    multi-line pages: a good sentence line, a short line, a
+    no-terminal line, a javascript/cookie line, and a template line
+    with braces — only the good line (and the id-bearing long line)
+    survive. Oracle predicts the cleaned text and counts per class."""
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    body = F.concat(
+        F.lit("This is a perfectly fine sentence number "), sid, F.lit(".\n"),
+        F.lit("too short.\n"),
+        F.lit("this line has plenty of words but no terminal mark\n"),
+        F.when(m == 0, F.lit("Please enable javascript to view this page.\n"))
+        .when(m == 1, F.lit("The template failed with {placeholder} inside.\n"))
+        .otherwise(F.lit("Lorem ipsum dolor sit amet consectetur elite.\n")),
+        F.lit("Another keeper line closes the document properly."),
+    )
+    cleaned = TX.c4_clean(body)
+    return d.select(
+        "doc_id", cleaned.alias("clean_text"), *TX.c4_line_counts(body)
+    )
+
+
+def _q_html_markdown(spark, sf):
+    """HTML → markdown end-to-end: formulaic pages rendered through the
+    real structure-preserving parser (heading prefixes, adjacent list
+    items, blockquote, [text](url) links, block separation). The oracle
+    predicts the exact markdown string per doc_id class."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    r = F.col("doc_id") % 3  # extra list items for m=1
+    item = lambda j: F.concat(  # noqa: E731
+        F.lit("<li>item "), sid, F.lit(f" {j}</li>")
+    )
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<h1>Head "), sid, F.lit("</h1><p>Para "), sid,
+                F.lit(" text</p>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<ul>"), item(0),
+                F.when(r >= 1, item(1)).otherwise(F.lit("")),
+                F.when(r >= 2, item(2)).otherwise(F.lit("")),
+                F.lit("</ul>"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("<blockquote>quote "), sid,
+                F.lit("</blockquote><p>after</p>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<p>see <a href="http://t'),
+                F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+                F.lit('.example.com/">link '), sid, F.lit("</a> end</p>"),
+            )
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("http://src"), sid, F.lit(".example.com/page")).alias("url"),
+        html.alias("html"),
+    )
+    return MD.page_markdown(pages)
+
+
+def _q_refresh_schedule(spark, sf):
+    """Adaptive re-crawl scheduling (Cho & Garcia-Molina): the events
+    table becomes a fetch history (url = event_id % 200, changed =
+    event_id % 3 == 0) and each url gets a Poisson change-rate estimate
+    and a clamped refresh interval. The oracle replays aggregation and
+    estimator arithmetic in the same operation order."""
+    from unified_ocr_pipeline_spark.operators import robots as RB
+
+    e = _t(spark, sf, "events")
+    hist = e.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 200).cast("string")).alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        (F.col("event_id") % 3 == 0).alias("changed"),
+    )
+    return RB.refresh_schedule(hist)
+
+
+def _q_sitemap_discovery(spark, sf):
+    """Sitemap discovery from robots.txt: group-independent ``Sitemap:``
+    lines parsed through the real flat-line scanner — case-insensitive
+    key, no-space-after-colon, comment stripping, relative/ftp refs
+    skipped, duplicates kept in order. Oracle predicts the surviving
+    urls per doc_id class."""
+    from unified_ocr_pipeline_spark.operators import robots as RB
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), sid, F.lit(".example.com"))
+    m = F.col("doc_id") % 4
+    body = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /x\nSitemap: http://h"), sid,
+                F.lit(".example.com/sitemap.xml\n# note\nSITEMAP: https://h"),
+                sid, F.lit(".example.com/s2.xml"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("sitemap: /relative.xml\nSitemap: ftp://bad\n"),
+                F.lit("Sitemap: http://h"), sid, F.lit(".example.com/only.xml"),
+            ),
+        )
+        .when(m == 2, F.lit("User-agent: a\nDisallow: /"))
+        .otherwise(
+            F.concat(
+                F.lit("Sitemap:http://h"), sid, F.lit(".example.com/nospace.xml")
+            )
+        )
+    )
+    robots = d.select(host.alias("host"), body.alias("body"))
+    return RB.sitemap_directives(robots)
+
+
 def _q_mojibake(spark, sf):
     """ftfy-lite mojibake repair end-to-end: formulaic inputs carry the
     three real crawl accidents — latin-1 mojibake ('Ã©'), cp1252
@@ -2040,6 +2173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": _q_soft404,
         "sentence_stats": _q_sentence_stats,
         "mojibake": _q_mojibake,
+        "sitemap_discovery": _q_sitemap_discovery,
+        "refresh_schedule": _q_refresh_schedule,
+        "html_markdown": _q_html_markdown,
+        "c4_clean": _q_c4_clean,
         "split_assign": _q_split_assign,
         "substring_dup": _q_substring_dup,
         "tfidf_topk": _q_tfidf_topk,
@@ -3341,6 +3478,88 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN '2022-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
                      ELSE NULL END AS published
             FROM documents
+        """,
+        # c4_clean: predict the surviving lines — line 1 and the closer
+        # always pass; the short / no-terminal / banned-content lines
+        # always fail (5 lines total, 2 kept).
+        "c4_clean": """
+            SELECT doc_id,
+                   'This is a perfectly fine sentence number '
+                     || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+                     || 'Another keeper line closes the document properly.'
+                     AS clean_text,
+                   5 AS n_lines,
+                   2 AS n_kept_lines
+            FROM documents
+        """,
+        # html_markdown: predict the exact markdown per class — m=0
+        # heading+para ('\n\n' separated), m=1 adjacent '- ' items
+        # ('\n'), m=2 '> ' quote + para, m=3 inline [text](url) link.
+        "html_markdown": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 4 AS m, doc_id % 3 AS r,
+                     CAST(doc_id AS VARCHAR) AS sid
+              FROM documents)
+            SELECT 'http://src' || sid || '.example.com/page' AS url,
+                   CASE m
+                     WHEN 0 THEN '# Head ' || sid || chr(10) || chr(10)
+                                   || 'Para ' || sid || ' text'
+                     WHEN 1 THEN '- item ' || sid || ' 0'
+                                   || CASE WHEN r >= 1 THEN chr(10)
+                                        || '- item ' || sid || ' 1' ELSE '' END
+                                   || CASE WHEN r >= 2 THEN chr(10)
+                                        || '- item ' || sid || ' 2' ELSE '' END
+                     WHEN 2 THEN '> quote ' || sid || chr(10) || chr(10)
+                                   || 'after'
+                     ELSE 'see [link ' || sid || '](http://t'
+                            || CAST(doc_id % 20 AS VARCHAR)
+                            || '.example.com/) end'
+                   END AS markdown
+            FROM d
+        """,
+        # refresh_schedule: replay the Cho–Garcia-Molina estimator with
+        # the identical nesting — λ = -ln((n-X+0.5)/(n+0.5)) /
+        # ((t1-t0)/day_us/(n-1)), refresh = clamp(1/λ, 0.25, 30).
+        "refresh_schedule": """
+            WITH h AS (
+              SELECT 'u' || CAST(event_id % 200 AS VARCHAR) AS url, ts,
+                     CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS chg
+              FROM events),
+            a AS (
+              SELECT url, COUNT(*) AS n_fetches, SUM(chg) AS n_changed,
+                     epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+              FROM h GROUP BY 1
+              HAVING COUNT(*) >= 2),
+            l AS (
+              SELECT url, n_fetches, CAST(n_changed AS BIGINT) AS n_changed,
+                     (t1 - t0) / 86400000000.0 AS span_days,
+                     -ln((n_fetches - n_changed + 0.5) / (n_fetches + 0.5))
+                       / ((t1 - t0) / 86400000000.0 / (n_fetches - 1))
+                       AS lambda_per_day
+              FROM a)
+            SELECT url, n_fetches, n_changed, span_days, lambda_per_day,
+                   LEAST(GREATEST(1.0 / lambda_per_day, 0.25), 30.0)
+                     AS refresh_days
+            FROM l
+        """,
+        # sitemap_discovery: predict the surviving Sitemap: urls per
+        # class — m=0 two (mixed-case key), m=1 one (relative + ftp
+        # skipped), m=2 none, m=3 one (no space after colon).
+        "sitemap_discovery": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 4 AS m,
+                     'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS h
+              FROM documents)
+            SELECT h AS host,
+                   'http://' || h || '/sitemap.xml' AS sitemap_url,
+                   0 AS pos
+            FROM d WHERE m = 0
+            UNION ALL
+            SELECT h, 'https://' || h || '/s2.xml', 1 FROM d WHERE m = 0
+            UNION ALL
+            SELECT h, 'http://' || h || '/only.xml', 0 FROM d WHERE m = 1
+            UNION ALL
+            SELECT h, 'http://' || h || '/nospace.xml', 0 FROM d WHERE m = 3
         """,
         # mojibake: predict the repaired text per doc_id class — latin-1
         # mojibake shrinks by 1 char, cp1252 smart quote by 2, double

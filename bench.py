@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "soft404",
     "sentence_stats",
     "mojibake",
+    "sitemap_discovery",
+    "refresh_schedule",
+    "html_markdown",
+    "c4_clean",
     "split_assign",
     "substring_dup",
     "tfidf_topk",

@@ -371,3 +371,26 @@ def test_fix_mojibake_kernel_and_udf(spark):
     )
     got = {r["id"]: r["f"] for r in df.select("id", fix_mojibake("t").alias("f")).collect()}
     assert got == {0: "café", 1: "ok", 2: None}
+
+
+def test_c4_line_rules(spark):
+    from unified_ocr_pipeline_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    body = "\n".join([
+        "This sentence has enough words and ends well.",   # keep
+        "Short line here.",                                # <5 words
+        "plenty of words but missing the terminal mark",   # no terminal
+        "Please enable javascript to continue reading.",   # banned word
+        "Lorem Ipsum filler text should be dropped now.",  # banned phrase
+        "Braces {x} inside a long enough sentence fail.",  # brace
+        'He said "the quoted close counts as terminal."',  # quote terminal
+    ])
+    row = spark.range(1).select(
+        TX.c4_clean(F.lit(body)).alias("c"), *TX.c4_line_counts(F.lit(body))
+    ).collect()[0]
+    assert row["c"] == (
+        "This sentence has enough words and ends well.\n"
+        'He said "the quoted close counts as terminal."'
+    )
+    assert row["n_lines"] == 7 and row["n_kept_lines"] == 2

@@ -290,3 +290,33 @@ def test_page_meta_absent_empty_and_malformed():
     assert t == "trunc"
     # meta with no content attr is skipped, not crashed on
     assert extract_page_meta('<meta name="description">')[1] is None
+
+
+def test_html_to_markdown_structures():
+    from unified_ocr_pipeline_spark.kernels.html_extract import html_to_markdown
+
+    md = html_to_markdown(
+        "<h1>Title</h1><h3>Sub</h3><p>Body text.</p>"
+        "<ul><li>one</li><li>two</li></ul><p>between</p><ol><li>three</li></ol>"
+        "<blockquote>wise words</blockquote>"
+        '<p>see <a href="http://x.com/p">the docs</a> now</p>'
+        "<script>drop()</script><style>p{}</style>"
+    )
+    assert md == (
+        "# Title\n\n### Sub\n\nBody text.\n\n- one\n- two\n\nbetween\n\n"
+        "- three\n\n> wise words\n\nsee [the docs](http://x.com/p) now"
+    )
+
+
+def test_html_to_markdown_edges():
+    from unified_ocr_pipeline_spark.kernels.html_extract import html_to_markdown
+
+    assert html_to_markdown("") == ""
+    assert html_to_markdown(None) == ""
+    assert html_to_markdown("<p>plain") == "plain"            # EOF mid-block
+    # relative href: anchor text kept, no link syntax
+    assert html_to_markdown('<p>go <a href="/x">here</a>.</p>') == "go here."
+    # unterminated anchor keeps its text
+    assert html_to_markdown('<p>go <a href="http://a.io/">here') == "go here"
+    # whitespace normalization inside blocks
+    assert html_to_markdown("<h2>  Big \n title </h2>") == "## Big title"

@@ -146,3 +146,26 @@ def test_schedule_fetches_default_order_is_url(spark):
         for r in ROB.schedule_fetches(df, "host", "url", delay_sec=1).collect()
     }
     assert out[1] == 0 and out[0] == 1
+
+
+def test_parse_sitemap_directives_edge_cases():
+    from unified_ocr_pipeline_spark.operators.robots import parse_sitemap_directives
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: http://a.com/s1.xml   # trailing comment\n"
+        "SITEMAP:https://a.com/s2.xml\n"     # mixed case, no space
+        "sitemap: /relative.xml\n"           # relative: skipped
+        "Sitemap: ftp://a.com/s.xml\n"       # non-http scheme: skipped
+        "Sitemap: http://a.com/s1.xml\n"     # duplicate: kept, in order
+        "Sitemap:\n"                         # empty value: skipped
+        "NotSitemap: http://a.com/no.xml\n"
+    )
+    assert parse_sitemap_directives(body) == [
+        "http://a.com/s1.xml",
+        "https://a.com/s2.xml",
+        "http://a.com/s1.xml",
+    ]
+    assert parse_sitemap_directives("") == []
+    assert parse_sitemap_directives(None) == []

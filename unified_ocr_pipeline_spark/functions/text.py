@@ -374,3 +374,43 @@ def sentence_stats(text: Column) -> list[Column]:
         F.when(ns > 0, nt.cast("double") / ns).alias("avg_sentence_tokens"),
         ends_with_terminal(text).alias("terminal_end"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+
+
+def _c4_line_keep(line: Column) -> Column:
+    """The C4 per-line rules: ≥5 words, ends with terminal punctuation
+    (period/!/?/closing quote), no 'javascript', no 'lorem ipsum', no
+    curly brace (code/templating leak)."""
+    t = ws_trim(line)
+    lo = F.lower(t)
+    return (
+        (F.size(F.split(t, r"\s+")) >= C4_MIN_LINE_WORDS)
+        & t.rlike("[.!?\"']$")
+        & ~F.contains(lo, F.lit("javascript"))
+        & ~F.contains(lo, F.lit("lorem ipsum"))
+        & ~F.contains(t, F.lit("{"))
+    )
+
+
+def c4_clean(text: Column) -> Column:
+    """C4 line filter: keep only lines passing the per-line rules,
+    rejoined with '\\n'. Pure array lambda expressions — no explode, no
+    shuffle, whole-stage codegen."""
+    lines = F.split(text, r"\n")
+    kept = F.filter(lines, _c4_line_keep)
+    return F.array_join(kept, "\n")
+
+
+def c4_line_counts(text: Column) -> list[Column]:
+    """(n_lines, n_kept_lines) diagnostics for the C4 filter."""
+    lines = F.split(text, r"\n")
+    return [
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, _c4_line_keep)).alias("n_kept_lines"),
+    ]

@@ -351,3 +351,126 @@ def extract_page_meta(html_text: str) -> Tuple[
         if p.title is None and text:
             p.title = text
     return p.title, p.description, p.canonical, p.published
+
+
+# ---------------------------------------------------------------------------
+# HTML → Markdown conversion (structure-preserving extraction)
+# ---------------------------------------------------------------------------
+
+_HEADING_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
+class _MarkdownParser(HTMLParser):
+    """Structure-preserving text extraction: headings → ``#`` prefixes,
+    list items → ``- ``, blockquotes → ``> ``, absolute-href anchors →
+    ``[text](url)``, everything else → plain paragraphs. LLM-corpus
+    pipelines increasingly keep this structure instead of flat text
+    (markdown survives tokenization and teaches document layout).
+
+    Same recovery posture as the other collectors: script/style subtrees
+    dropped, whitespace normalized per block, malformed tails keep
+    whatever parsed before the error."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[Tuple[str, str]] = []  # (kind, text)
+        self._buf: List[str] = []
+        self._kind = "p"
+        self._drop_depth = 0
+        self._anchor: Optional[Tuple[str, List[str]]] = None
+
+    def _flush(self) -> None:
+        if self._anchor is not None:  # unterminated anchor: keep its text
+            self._buf.append("".join(self._anchor[1]))
+            self._anchor = None
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.blocks.append((self._kind, text))
+        self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if tag == "a":
+            href = None
+            for k, v in attrs:
+                if k == "href" and v and v.startswith(("http://", "https://")):
+                    href = v
+                    break
+            if self._anchor is None and href is not None:
+                self._anchor = (href, [])
+            return
+        if tag in _HEADING_TAGS:
+            self._flush()
+            self._kind = f"h{_HEADING_TAGS[tag]}"
+        elif tag == "li":
+            self._flush()
+            self._kind = "li"
+        elif tag == "blockquote":
+            self._flush()
+            self._kind = "quote"
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+            self._kind = "p"
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if tag == "a":
+            if self._anchor is not None:
+                href, parts = self._anchor
+                self._anchor = None
+                text = " ".join("".join(parts).split())
+                if text:
+                    self._buf.append(f"[{text}]({href})")
+            return
+        if tag in _HEADING_TAGS or tag in ("li", "blockquote") or tag in _BLOCK_TAGS:
+            self._flush()
+            self._kind = "p"
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._kind = "p"
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        if self._anchor is not None:
+            self._anchor[1].append(data)
+        else:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+_MD_PREFIX = {"li": "- ", "quote": "> ", "p": ""}
+
+
+def html_to_markdown(html_text: str) -> str:
+    """Render a page as markdown: ``#``-prefixed headings, ``- `` list
+    items (consecutive items stay adjacent lines), ``> `` blockquotes,
+    ``[text](url)`` for absolute-href anchors, blank lines between
+    blocks. Deterministic, stdlib-only."""
+    p = _MarkdownParser()
+    try:
+        p.feed(html_text or "")
+        p.close()
+    except Exception:
+        pass
+    out: List[str] = []
+    prev_kind = None
+    for kind, text in p.blocks:
+        if kind.startswith("h"):
+            line = "#" * int(kind[1]) + " " + text
+        else:
+            line = _MD_PREFIX[kind] + text
+        if out:
+            out.append("\n" if prev_kind == "li" and kind == "li" else "\n\n")
+        out.append(line)
+        prev_kind = kind
+    return "".join(out)

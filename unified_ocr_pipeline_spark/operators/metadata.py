@@ -78,3 +78,34 @@ def canonical_dedup(meta: DataFrame) -> DataFrame:
         F.count("*").alias("n_fetches"),
         F.min("url").alias("representative_url"),
     )
+
+
+def page_markdown(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(url, markdown): structure-preserving extraction — headings,
+    list items, blockquotes, and [text](url) links survive as markdown
+    instead of flattening to plain text (the format modern LLM-corpus
+    pipelines keep because structure survives tokenization). Same
+    scan-partition Arrow pass as page_metadata; raw HTML never shuffles."""
+    from ..kernels.html_extract import html_to_markdown
+
+    def gen(batches: Iterator["pd.DataFrame"]):  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            urls, mds = [], []
+            for url, html in zip(pdf["_url"], pdf["_html"]):
+                if html is None:
+                    md = ""
+                else:
+                    if isinstance(html, (bytes, bytearray)):
+                        html = bytes(html).decode("utf-8", errors="replace")
+                    md = html_to_markdown(html)
+                urls.append(url)
+                mds.append(md)
+            yield pd.DataFrame({"url": urls, "markdown": mds})
+
+    narrow = pages.select(
+        F.col(url_col).alias("_url"), F.col(html_col).alias("_html")
+    )
+    return narrow.mapInPandas(gen, schema="url string, markdown string")

@@ -193,3 +193,101 @@ def schedule_fetches(
         slot.cast("int").alias("slot"),
         (F.lit(epoch) + slot.cast("bigint") * F.lit(delay_sec)).alias("fetch_at"),
     )
+
+
+def parse_sitemap_directives(body: str) -> list[str]:
+    """``Sitemap:`` lines of a robots.txt, in file order.
+
+    Per RFC 9309 §2.3 / sitemaps.org these are GROUP-INDEPENDENT — they
+    apply regardless of any User-agent group they appear inside — so the
+    scan is a flat line pass: case-insensitive key, comments stripped,
+    values that aren't absolute http(s) urls skipped (relative sitemap
+    refs are invalid per the protocol), duplicates kept (order is
+    discovery signal)."""
+    out: list[str] = []
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if val.startswith(("http://", "https://")):
+            out.append(val)
+    return out
+
+
+def sitemap_directives(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, sitemap_url, pos int) — one row per Sitemap: directive per
+    robots.txt, in file order. Same Arrow-batch scan shape as
+    robots_rules: the parse runs on scan partitions, raw robots bodies
+    never shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, urls, poss = [], [], []
+            for host, body in zip(pdf["_host"], pdf["_body"]):
+                for i, u in enumerate(parse_sitemap_directives(body)):
+                    hosts.append(host)
+                    urls.append(u)
+                    poss.append(i)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls, "pos": poss})
+
+    narrow = df.select(
+        F.col(host_col).alias("_host"), F.col(body_col).alias("_body")
+    )
+    return narrow.mapInPandas(gen, schema="host string, sitemap_url string, pos int")
+
+
+def refresh_schedule(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    changed_col: str = "changed",
+    min_days: float = 0.25,
+    max_days: float = 30.0,
+) -> DataFrame:
+    """Adaptive re-crawl scheduling from fetch history (Cho &
+    Garcia-Molina 2003): per url, estimate the Poisson page-change rate
+    and derive the refresh interval a freshness-maximizing crawler
+    should use.
+
+    Input: one row per past fetch ``(url, fetch_ts, changed)`` where
+    ``changed`` says the fetch observed a different page than the
+    previous one. Output per url: ``(url, n_fetches, n_changed,
+    span_days double, lambda_per_day double, refresh_days double)``
+    using the bias-corrected estimator
+    ``λ̂ = -ln((n - X + 0.5) / (n + 0.5)) / mean_gap`` — finite even when
+    every fetch changed — and ``refresh = clamp(1/λ̂, min, max)``.
+
+    Scale shape: ONE hash-agg keyed by url (count/sum/min/max all share
+    it, partial agg map-side); the estimator math is pure JVM column
+    arithmetic on the aggregated row. Urls with a single fetch are
+    dropped (no interval to estimate).
+    """
+    agg = history.groupBy(F.col(url_col).alias("url")).agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.col(changed_col).cast("int")).alias("n_changed"),
+        F.unix_micros(F.min(ts_col).cast("timestamp")).alias("_t0"),
+        F.unix_micros(F.max(ts_col).cast("timestamp")).alias("_t1"),
+    ).where(F.col("n_fetches") >= 2)
+    day_us = 86400.0 * 1e6
+    span_days = (F.col("_t1") - F.col("_t0")) / F.lit(day_us)
+    mean_gap = span_days / (F.col("n_fetches") - 1)
+    lam = -F.log(
+        (F.col("n_fetches") - F.col("n_changed") + 0.5)
+        / (F.col("n_fetches") + 0.5)
+    ) / mean_gap
+    refresh = F.least(
+        F.greatest(F.lit(1.0) / lam, F.lit(float(min_days))),
+        F.lit(float(max_days)),
+    )
+    return agg.select(
+        "url", "n_fetches", "n_changed",
+        span_days.alias("span_days"),
+        lam.alias("lambda_per_day"),
+        refresh.alias("refresh_days"),
+    )
