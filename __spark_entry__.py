@@ -1806,6 +1806,49 @@ def _q_url_canon(spark, sf):
     )
 
 
+def _q_surt_trap(spark, sf):
+    """SURT index keys + crawl-trap signals over formulaic urls: four
+    shapes exercising www/default-port stripping, reversed-host
+    clustering, param sort + tracking removal, deep paths, repeated
+    path segments, query explosions, and the malformed-url quarantine.
+    The oracle replays every regex and list op in DuckDB — a wrong
+    reversal order, unsorted params, or an off-by-one depth all flip
+    the hash."""
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example.COM:80/A/b/"), sid,
+                F.lit("?b=2&utm_x=1&a=1#f"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://Deep.example.org/d1/d2/d3/d4/d5/d6/d7/d8/d9/"),
+                sid,
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("http://maze.example.net/a/b/a/b/a"),
+                F.lit("?p1=1&p2=2&p3=3&p4=4&p5=5&p6="), sid,
+            ),
+        )
+        .otherwise(F.concat(F.lit("not a url "), sid))
+    )
+    d = d.select("doc_id", raw.alias("raw_url"))
+    return d.select(
+        "doc_id",
+        URL.surt_key(F.col("raw_url")).alias("surt"),
+        *URL.trap_signals(F.col("raw_url")),
+    )
+
+
 def _q_normalize_text(spark, sf):
     # Mixed-encoding synth: combining sequences (e + U+0301), precomposed
     # (U+00E9), ragged whitespace, mixed case — the NFC + fold + squeeze
@@ -2151,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_routing": _q_strategy_routing,
         "ai_normalizer": _q_ai_normalizer,
         "url_canon": _q_url_canon,
+        "surt_trap": _q_surt_trap,
         "normalize_text": _q_normalize_text,
         "domain_stats": _q_domain_stats,
         "pii_redact": _q_pii_redact,
@@ -2667,6 +2711,59 @@ def _url_canon_oracle() -> str:
           host,
           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
         FROM comp3
+    """
+
+
+def _surt_trap_oracle() -> str:
+    """Replays functions/url.py surt_key + trap_signals list-op for
+    list-op (str_split/list_reverse/list_sort/list_distinct)."""
+    from unified_ocr_pipeline_spark.functions.url import TRACKING_PARAM_REGEX
+
+    return rf"""
+        WITH raw AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'HTTP://WWW.Example.COM:80/A/b/' || doc_id
+                          || '?b=2&utm_x=1&a=1#f'
+              WHEN 1 THEN 'https://Deep.example.org/d1/d2/d3/d4/d5/d6/d7/d8/d9/'
+                          || doc_id
+              WHEN 2 THEN 'http://maze.example.net/a/b/a/b/a'
+                          || '?p1=1&p2=2&p3=3&p4=4&p5=5&p6=' || doc_id
+              ELSE 'not a url ' || doc_id END AS raw_url
+          FROM documents),
+        c AS (SELECT doc_id, regexp_replace(raw_url, '#.*', '') AS nofrag FROM raw),
+        c2 AS (
+          SELECT doc_id,
+            lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(regexp_replace(lower(regexp_extract(nofrag,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', ''),
+                ':\d+$', '') AS host,
+            regexp_extract(nofrag,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+            regexp_extract(nofrag, '\?(.*)$', 1) AS q
+          FROM c),
+        c3 AS (
+          SELECT doc_id, scheme, path,
+            regexp_replace(host, '^www\.', '') AS shost,
+            list_sort(list_filter(str_split(q, '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_REGEX}')))
+              AS sparams,
+            list_filter(str_split(path, '/'), s -> s <> '') AS segs,
+            list_filter(str_split(q, '&'), p -> p <> '') AS allparams
+          FROM c2)
+        SELECT doc_id,
+          CASE WHEN scheme = '' OR shost = '' THEN '' ELSE
+            array_to_string(list_reverse(str_split(shost, '.')), ',') || ')'
+            || CASE WHEN lower(path) = '' THEN '/' ELSE lower(path) END
+            || CASE WHEN len(sparams) > 0
+                    THEN '?' || lower(array_to_string(sparams, '&')) ELSE '' END
+          END AS surt,
+          CAST(len(segs) AS INT) AS path_depth,
+          CAST(len(allparams) AS INT) AS n_params,
+          CAST(len(segs) - len(list_distinct(segs)) AS INT) AS dup_segments,
+          (len(segs) > 8 OR len(allparams) > 5
+           OR len(segs) - len(list_distinct(segs)) >= 2) AS is_trap
+        FROM c3
     """
 
 
@@ -3236,6 +3333,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "url_canon": _url_canon_oracle(),
+        "surt_trap": _surt_trap_oracle(),
         "normalize_text": """
             WITH raw AS (
               SELECT doc_id,

@@ -74,6 +74,78 @@ def test_canonicalize_is_idempotent(spark):
     assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
 
 
+SURT_CASES = [
+    # www + default port stripped, path lowered, params sorted, tracking out
+    ("http://www.Example.com:80/Path?b=2&utm_x=1&a=1", "com,example)/path?a=1&b=2"),
+    # subdomains cluster under the reversed registered domain
+    ("https://news.Sub.Example.org/A/B#frag", "org,example,sub,news)/a/b"),
+    # no path → '/'
+    ("http://h.io", "io,h)/"),
+    # param VALUES lower-cased too (SURT match-recall tradeoff)
+    ("http://h.io/?Q=Xyz", "io,h)/?q=xyz"),
+    ("not a url", ""),
+]
+
+
+def test_surt_key_golden(spark):
+    df = _one_col(spark, [c[0] for c in SURT_CASES], "u")
+    got = [r["s"] for r in df.select(URL.surt_key(F.col("u")).alias("s")).collect()]
+    for (raw, want), s in zip(SURT_CASES, got):
+        assert s == want, raw
+
+
+def test_surt_key_clusters_subdomains(spark):
+    # sort by surt ⇒ one host's subdomains form a contiguous range
+    urls = [
+        "http://a.example.com/1",
+        "http://zz.other.net/x",
+        "http://b.example.com/2",
+        "http://www.example.com/3",
+    ]
+    df = _one_col(spark, urls, "u")
+    ordered = [
+        r["u"]
+        for r in df.orderBy(URL.surt_key(F.col("u"))).collect()
+    ]
+    ex = [u for u in ordered if "example.com" in u]
+    assert ordered.index(ex[-1]) - ordered.index(ex[0]) == len(ex) - 1
+
+
+def test_trap_signals_golden(spark):
+    cases = [
+        ("http://h.io/a/b/c", (3, 0, 0, False)),
+        # repeated segments: /a/b/a/b/a → 5 segs, 2 distinct → dup 3
+        ("http://h.io/a/b/a/b/a", (5, 0, 3, True)),
+        # param explosion
+        ("http://h.io/p?a=1&b=2&c=3&d=4&e=5&f=6", (1, 6, 0, True)),
+        # deep path
+        ("http://h.io/1/2/3/4/5/6/7/8/9", (9, 0, 0, True)),
+        ("no url", (0, 0, 0, False)),
+    ]
+    df = _one_col(spark, [c[0] for c in cases], "u")
+    got = df.select(*URL.trap_signals(F.col("u"))).collect()
+    for (raw, want), row in zip(cases, got):
+        assert (
+            row["path_depth"], row["n_params"], row["dup_segments"], row["is_trap"]
+        ) == want, raw
+
+
+def test_crawl_trap_hosts(spark):
+    from unified_ocr_pipeline_spark.operators.robots import crawl_trap_hosts
+
+    rows = [("maze.com", f"http://maze.com/a/b/a/b/a/{i}") for i in range(6)]
+    rows += [("ok.com", f"http://ok.com/page/{i}") for i in range(6)]
+    rows += [("small.com", "http://small.com/a/b/a/b/a")]  # trappy but tiny
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r["host"]: r for r in crawl_trap_hosts(df, min_urls=5).collect()}
+    assert got["maze.com"]["is_trap_host"] is True
+    assert got["maze.com"]["n_trap_urls"] == 6
+    assert got["ok.com"]["is_trap_host"] is False
+    # below min_urls never flags, whatever the share
+    assert got["small.com"]["is_trap_host"] is False
+    assert got["small.com"]["trap_url_share"] == 1.0
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -1,5 +1,5 @@
 """robots.txt parser + admission tests: group selection, longest-match,
-allow-wins-ties, empty-Disallow, wildcard subset flagging, default
+allow-wins-ties, empty-Disallow, RFC 9309 wildcard rules, default
 allow.  The end-to-end golden check is the formula oracle in
 check_correctness (`robots_admission`)."""
 
@@ -27,16 +27,31 @@ Disallow: /end$
 
 def test_group_selection_exact_beats_star():
     rules, _ = parse_robots_body(BODY, agent="googlebot")
-    assert rules == [("/", False)]
+    assert rules == [("/", False, None)]
     # the shared-agent-run group governs both its named agent and *
     for agent in ("spark-crawler", "*", "SPARK-CRAWLER"):
-        rules, dropped = parse_robots_body(BODY, agent)
-        assert ("/private/", False) in rules
-        assert ("/private/public/", True) in rules
-        assert ("/tmp", False) in rules
-        assert dropped == 2  # /wild/* and /end$
+        rules, n_wild = parse_robots_body(BODY, agent)
+        plain = {(p, a) for p, a, rx in rules if rx is None}
+        assert ("/private/", False) in plain
+        assert ("/private/public/", True) in plain
+        assert ("/tmp", False) in plain
+        # /wild/* and /end$ are kept as compiled wildcard rules
+        wild = {(p, rx) for p, _, rx in rules if rx is not None}
+        assert wild == {("/wild/*", "^/wild/.*"), ("/end$", "^/end$")}
+        assert n_wild == 2
         # empty Allow dropped entirely
-        assert not any(p == "" for p, _ in rules)
+        assert not any(p == "" for p, _, _ in rules)
+
+
+def test_rule_to_regex():
+    from unified_ocr_pipeline_spark.operators.robots import rule_to_regex
+
+    assert rule_to_regex("/plain") is None
+    assert rule_to_regex("/a/*/b") == "^/a/.*/b"
+    assert rule_to_regex("/fish$") == "^/fish$"
+    assert rule_to_regex("/*.php$") == "^/.*\\.php$"
+    # $ not at the end is a literal octet, regex-escaped
+    assert rule_to_regex("/pa$th*") == "^/pa\\$th.*"
 
 
 def test_no_matching_group_is_unrestricted():
@@ -50,7 +65,7 @@ def test_rule_line_before_any_group_is_ignored_group_wise():
     # rules with no preceding user-agent form a group with no agents:
     # never selected
     rules, _ = parse_robots_body("Disallow: /x\nUser-agent: *\nAllow: /y\n", "*")
-    assert rules == [("/y", True)]
+    assert rules == [("/y", True, None)]
 
 
 def _admit(spark, body: str, urls):
@@ -96,6 +111,36 @@ def test_admit_prefix_semantics_and_rootless_url(spark):
     )
     r = ROB.robots_admit(u, rules, "url", "host").first()
     assert r["admitted"] is False and r["matched_rule"] == "/"
+
+
+def test_admit_wildcard_rules(spark):
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*.php$\n"
+        "Disallow: /cal/*/day\n"
+        "Allow: /cal/2024/day\n"
+        "Disallow: /exact$\n"
+    )
+    got = _admit(
+        spark,
+        body,
+        [
+            "/index.php",        # wildcard .php$ blocks
+            "/index.php?x=1",    # query stripped from path → still .php$
+            "/index.phpx",       # $ anchor → not blocked
+            "/cal/1999/day",     # wildcard disallow
+            "/cal/2024/day",     # longer literal Allow (14 octets > 12) wins
+            "/exact",            # $-anchored exact block
+            "/exactly",          # anchor → allowed
+        ],
+    )
+    assert got[0] == (False, "/*.php$")
+    assert got[1] == (False, "/*.php$")
+    assert got[2][0] is True
+    assert got[3] == (False, "/cal/*/day")
+    assert got[4] == (True, "/cal/2024/day")
+    assert got[5] == (False, "/exact$")
+    assert got[6][0] is True
 
 
 def test_admit_host_without_rules(spark):

@@ -101,3 +101,84 @@ def canonicalize_url(url: Column) -> Column:
             ).otherwise(F.lit("")),
         )
     )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    index key of web-archive CDX indexes (OpenWayback/pywb): host labels
+    reversed and comma-joined, ``)`` separator, then the lower-cased
+    path and the sorted surviving query params::
+
+        http://www.Example.com:80/Path?b=2&utm_x=1&a=1
+            → com,example)/path?a=1&b=2
+
+    Reversed-host ordering clusters a registered domain's subdomains
+    into one contiguous key range, which is exactly what a 100 TB crawl
+    index wants: per-domain scans become range scans, and a sort/bucket
+    by SURT co-locates each site's pages in the same partitions.
+
+    Rules (the pywb "default" canonicalizer subset): scheme dropped,
+    host lower-cased with leading ``www.`` and default ports stripped,
+    path lower-cased (SURT trades path case-sensitivity for match
+    recall), tracking params removed and the rest SORTED, fragment
+    dropped. Malformed urls (no scheme://host) key to ''. Pure JVM
+    expressions — regexp + array lambdas, whole-stage codegen.
+    """
+    scheme = scheme_of(url)
+    host = F.regexp_replace(host_of(url), r"^www\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.regexp_extract(strip_fragment(url), _PATH, 1))
+    params = F.array_sort(clean_query_params(url))
+    return F.when((scheme == "") | (host == ""), F.lit("")).otherwise(
+        F.concat(
+            rev_host,
+            F.lit(")"),
+            F.when(path == "", F.lit("/")).otherwise(path),
+            F.when(
+                F.size(params) > 0,
+                F.concat(F.lit("?"), F.lower(F.array_join(params, "&"))),
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
+def path_segments(url: Column) -> Column:
+    """array<string> of non-empty path segments of an absolute url."""
+    path = F.regexp_extract(strip_fragment(url), _PATH, 1)
+    return F.filter(F.split(path, "/"), lambda s: s != "")
+
+
+def trap_signals(url: Column, max_depth: int = 8, max_params: int = 5,
+                 max_dup_segments: int = 2) -> list[Column]:
+    """Crawl-trap feature Columns for one url: ``(path_depth int,
+    n_params int, dup_segments int, is_trap boolean)``.
+
+    Crawler traps — calendar pages, session-id mazes, faceted-search
+    explosions — produce unbounded url spaces under one host.  The three
+    classic per-url signals (Heydon & Najork, Mercator 1999): very deep
+    paths, repeated path segments (``/a/b/a/b/a`` — a cycle through a
+    relative-link maze), and query-parameter explosions.  ``dup_segments``
+    counts repeated occurrences (segments minus distinct segments);
+    ``is_trap`` fires when any signal crosses its threshold.  Pure array
+    expressions, no shuffle; host-level aggregation belongs to the
+    caller (see ``operators.robots.crawl_trap_hosts``).
+    """
+    segs = path_segments(url)
+    depth = F.size(segs)
+    n_params = F.size(
+        F.filter(
+            F.split(F.regexp_extract(strip_fragment(url), r"\?(.*)$", 1), "&"),
+            lambda p: p != "",
+        )
+    )
+    dup = depth - F.size(F.array_distinct(segs))
+    return [
+        depth.cast("int").alias("path_depth"),
+        n_params.cast("int").alias("n_params"),
+        dup.cast("int").alias("dup_segments"),
+        (
+            (depth > max_depth)
+            | (n_params > max_params)
+            | (dup >= max_dup_segments)
+        ).alias("is_trap"),
+    ]

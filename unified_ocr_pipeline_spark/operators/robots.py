@@ -11,12 +11,15 @@ real robots files:
 - group selection: the group whose user-agent token exactly matches the
   crawler (case-insensitive) wins over the ``*`` group; if neither
   exists the host is unrestricted;
-- rule matching: plain path-prefix rules with LONGEST-MATCH precedence,
-  ``Allow`` winning length ties (Google's documented tie-break); an
-  empty ``Disallow:`` means "allow everything" (per the RFC) and is
-  dropped at parse time; ``*``/``$`` wildcard rules are out of the
-  deterministic subset and are dropped with a counted flag so callers
-  can route those hosts to a fuller evaluator.
+- rule matching: path rules with LONGEST-MATCH precedence (most octets
+  in the rule, per RFC 9309 §2.2.2), ``Allow`` winning length ties
+  (Google's documented tie-break); an empty ``Disallow:`` means "allow
+  everything" (per the RFC) and is dropped at parse time;
+- full ``*`` / end-anchor ``$`` wildcard support (RFC 9309 §2.2.3):
+  ``*`` matches any run of characters, a trailing ``$`` anchors the rule
+  to the path end, a ``$`` anywhere else is literal.  Wildcard rules are
+  compiled to anchored Java regexes at parse time; plain prefix rules
+  keep the cheap ``startswith`` fast path.
 
 Spark shape: parsing is one narrow mapInPandas pass over the (tiny)
 robots bodies → a ``(host, rule_path, allow)`` relation; admission is a
@@ -34,8 +37,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def rule_to_regex(path: str) -> str | None:
+    """Anchored Java-regex for a wildcard rule, None for a plain prefix
+    rule (which matching keeps on the ``startswith`` fast path).
+
+    RFC 9309 §2.2.3: ``*`` matches any character run, ``$`` at the END
+    of the rule anchors it to the path end; a ``$`` anywhere else is a
+    literal octet.  Everything else is regex-escaped, so the emitted
+    pattern stays inside the Java∩RE2 dialect the rest of the repo uses.
+    """
+    import re as _re
+
+    if "*" not in path and not path.endswith("$"):
+        return None
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    pattern = ".*".join(_re.escape(part) for part in body.split("*"))
+    return "^" + pattern + ("$" if anchored else "")
+
+
 def parse_robots_body(body: str, agent: str = "*") -> tuple[list[tuple], int]:
-    """Pure-Python parse → ([(path, allow_bool)], n_wildcard_dropped).
+    """Pure-Python parse → ([(path, allow_bool, regex_or_None)],
+    n_wildcard) where ``regex`` is the compiled-at-parse-time anchored
+    pattern for wildcard rules (None → plain prefix rule) and
+    ``n_wildcard`` counts the wildcard rules in the returned group.
 
     Returns the rules of the best-matching group: exact ``agent`` match
     beats ``*``; within a group, later ``User-agent`` lines extend the
@@ -73,15 +98,15 @@ def parse_robots_body(body: str, agent: str = "*") -> tuple[list[tuple], int]:
         chosen.extend(rules)
 
     out: list[tuple] = []
-    dropped = 0
+    n_wildcard = 0
     for path, allow in chosen:
         if not path:
             continue  # empty Disallow == allow-all (and empty Allow is a no-op)
-        if "*" in path or path.endswith("$"):
-            dropped += 1
-            continue
-        out.append((path, allow))
-    return out, dropped
+        rx = rule_to_regex(path)
+        if rx is not None:
+            n_wildcard += 1
+        out.append((path, allow, rx))
+    return out, n_wildcard
 
 
 def robots_rules(
@@ -90,28 +115,30 @@ def robots_rules(
     body_col: str,
     agent: str = "*",
 ) -> DataFrame:
-    """(host, rule_path string, allow boolean, n_wildcard_dropped int)
-    — one row per prefix rule of the group governing ``agent``."""
+    """(host, rule_path string, allow boolean, rule_regex string) — one
+    row per rule of the group governing ``agent``; ``rule_regex`` is
+    NULL for plain prefix rules and the anchored pattern for wildcard
+    rules (see :func:`rule_to_regex`)."""
     host_type = df.schema[host_col].dataType.simpleString()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hosts, paths, allows, drops = [], [], [], []
+            hosts, paths, allows, regexes = [], [], [], []
             for host, body in zip(pdf[host_col], pdf[body_col]):
-                rules, dropped = parse_robots_body(
+                rules, _ = parse_robots_body(
                     body if body is not None else "", agent
                 )
-                for path, allow in rules:
+                for path, allow, rx in rules:
                     hosts.append(host)
                     paths.append(path)
                     allows.append(allow)
-                    drops.append(dropped)
+                    regexes.append(rx)
             yield pd.DataFrame(
                 {
                     host_col: pd.Series(hosts, dtype="object"),
                     "rule_path": pd.Series(paths, dtype="object"),
                     "allow": pd.Series(allows, dtype="bool"),
-                    "n_wildcard_dropped": pd.Series(drops, dtype="int32"),
+                    "rule_regex": pd.Series(regexes, dtype="object"),
                 }
             )
 
@@ -119,7 +146,7 @@ def robots_rules(
         gen,
         schema=(
             f"{host_col} {host_type}, rule_path string, allow boolean, "
-            "n_wildcard_dropped int"
+            "rule_regex string"
         ),
     )
 
@@ -134,9 +161,13 @@ def robots_admit(
     ``admitted boolean`` and the winning ``matched_rule`` (NULL when no
     rule matched — default-allow).
 
-    Longest-match precedence, Allow wins ties: ONE window ordered by
-    (prefix length desc, allow desc) after the host join + prefix
-    filter.  URLs whose host has no rules survive via the left join.
+    Longest-match precedence (most octets in the RULE, RFC 9309
+    §2.2.2 — wildcard rules count their literal text), Allow wins
+    ties: ONE window ordered by (rule length desc, allow desc) after
+    the host join + match filter.  Plain prefix rules match with
+    ``startswith`` (codegen fast path); wildcard rules match their
+    parse-time-compiled anchored regex via ``rlike``.  URLs whose host
+    has no rules survive via the left join.
     """
     path = F.coalesce(
         F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/[^#?]*)", 1), F.lit("")),
@@ -144,10 +175,17 @@ def robots_admit(
     )
     u = urls.withColumn("_path", path)
     r = rules.select(
-        F.col(host_col).alias("_rhost"), "rule_path", F.col("allow").alias("_allow")
+        F.col(host_col).alias("_rhost"),
+        "rule_path",
+        F.col("allow").alias("_allow"),
+        (F.col("rule_regex") if "rule_regex" in rules.columns else F.lit(None).cast("string")).alias("_rx"),
     )
     joined = u.join(r, u[host_col] == r["_rhost"], "left").withColumn(
-        "_hit", F.col("rule_path").isNotNull() & F.col("_path").startswith(F.col("rule_path"))
+        "_hit",
+        F.col("rule_path").isNotNull()
+        & F.when(
+            F.col("_rx").isNull(), F.col("_path").startswith(F.col("rule_path"))
+        ).otherwise(F.expr("_path rlike _rx")),
     )
     w = Window.partitionBy(*(u.columns)).orderBy(
         F.col("_hit").desc(),
@@ -192,6 +230,53 @@ def schedule_fetches(
         *urls.columns,
         slot.cast("int").alias("slot"),
         (F.lit(epoch) + slot.cast("bigint") * F.lit(delay_sec)).alias("fetch_at"),
+    )
+
+
+def crawl_trap_hosts(
+    urls: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    min_urls: int = 100,
+    trap_share: float = 0.5,
+) -> DataFrame:
+    """Host-level crawl-trap detection over per-url trap signals
+    (:func:`~unified_ocr_pipeline_spark.functions.url.trap_signals`):
+    ``(host, n_urls, n_trap_urls, trap_url_share double, avg_depth
+    double, avg_params double, is_trap_host boolean)``.
+
+    A trap host (calendar maze, session-id explosion) reveals itself in
+    aggregate: a large and growing url count where most urls carry trap
+    signals.  ``is_trap_host`` fires when the host has ≥ ``min_urls``
+    discovered urls AND the share of trap-flagged urls ≥ ``trap_share``.
+    Scale shape: the per-url signals are pure array expressions computed
+    map-side, then ONE hash-agg keyed by host (partial agg) — the url
+    table moves through exactly one exchange and frontier filtering
+    becomes a broadcast-anti of this (tiny) host list.
+    """
+    from ..functions.url import trap_signals
+
+    sig = urls.select(
+        F.col(host_col).alias("host"), *trap_signals(F.col(url_col))
+    )
+    agg = sig.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.col("is_trap").cast("long")).alias("n_trap_urls"),
+        F.avg("path_depth").alias("avg_depth"),
+        F.avg("n_params").alias("avg_params"),
+    )
+    share = F.col("n_trap_urls") / F.col("n_urls")
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_trap_urls",
+        share.alias("trap_url_share"),
+        "avg_depth",
+        "avg_params",
+        (
+            (F.col("n_urls") >= F.lit(int(min_urls)))
+            & (share >= F.lit(float(trap_share)))
+        ).alias("is_trap_host"),
     )
 
 
