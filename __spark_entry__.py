@@ -1125,6 +1125,61 @@ def _q_crawl_schedule(spark, sf):
     return out.select("doc_id", "host", "slot", "fetch_at")
 
 
+def _q_crawl_delay_schedule(spark, sf):
+    """Crawl-delay end-to-end: per-host robots bodies declare formulaic
+    Crawl-delay values (including a max-wins double declaration and a
+    no-delay default-fallback class), crawl_delays parses them, and
+    schedule_fetches spaces each host's queue by ITS OWN delay. The
+    oracle replays group selection, the max rule, the NULL fallback,
+    and the slot*delay floor arithmetic."""
+    from unified_ocr_pipeline_spark.operators import robots as ROB
+
+    d = _t(spark, sf, "documents")
+    k = F.col("k")
+    ks = k.cast("string")
+    robots = (
+        d.select((F.col("doc_id") % 10).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), ks, F.lit(".example.com")).alias("host"),
+            F.concat(
+                # exact-match group for another bot: never selected for *
+                F.lit("User-agent: googlebot\nCrawl-delay: 1\n\n"),
+                F.lit("User-agent: *\nDisallow: /x\n"),
+                F.when(
+                    k % 3 != 0,
+                    F.concat(F.lit("Crawl-delay: "), ks, F.lit(".5\n")),
+                ).otherwise(F.lit("")),
+                # second * group: max of the two declared delays wins
+                F.when(
+                    k % 3 == 2,
+                    F.concat(
+                        F.lit("\nUser-agent: *\nCrawl-delay: "),
+                        (F.lit(10) - k).cast("string"), F.lit("\n"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("body"),
+        )
+    )
+    delays = ROB.crawl_delays(robots, "host", "body", agent="*")
+    kk = (F.col("doc_id") % 10).cast("string")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), kk, F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("http://h"), kk, F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    out = ROB.schedule_fetches(
+        urls.join(delays, "host", "left"),
+        "host",
+        "url",
+        delay_sec=5,
+        epoch=1700000000,
+        delay_col="crawl_delay",
+    )
+    return out.select("doc_id", "host", "crawl_delay", "slot", "fetch_at")
+
+
 def _q_zipf(spark, sf):
     """Whole-corpus Zipf fit: OLS of log10(freq) on log10(rank) over
     the token-frequency distribution via the built-in regr_* aggregates
@@ -2244,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_admission": _q_robots,
         "charset_transcode": _q_charset,
         "crawl_schedule": _q_crawl_schedule,
+        "crawl_delay_schedule": _q_crawl_delay_schedule,
         "zipf_slope": _q_zipf,
         "dup_segments": _q_dup_segments,
         "pq_topk": _q_pq_topk,
@@ -4430,6 +4486,33 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n_chars DESC, url ASC) - 1) * 5
                         AS BIGINT) AS fetch_at
             FROM u
+        """,
+        # crawl_delay_schedule: replay group selection (exact googlebot
+        # group never selected for *), the max-wins double declaration,
+        # NULL fallback to the default 5s, and floor(slot*delay).
+        "crawl_delay_schedule": """
+            WITH delays AS (
+              SELECT k,
+                     CASE
+                       WHEN k % 3 = 0 THEN NULL
+                       WHEN k % 3 = 2 THEN greatest(k + 0.5, CAST(10 - k AS DOUBLE))
+                       ELSE k + 0.5
+                     END AS crawl_delay
+              FROM (SELECT DISTINCT doc_id % 10 AS k FROM documents)),
+            u AS (
+              SELECT doc_id, doc_id % 10 AS k,
+                     'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+                     'http://h' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT u.doc_id, u.host, d.crawl_delay,
+                   CAST(row_number() OVER (PARTITION BY u.host ORDER BY u.url ASC) - 1
+                        AS INT) AS slot,
+                   CAST(floor(1700000000
+                        + (row_number() OVER (PARTITION BY u.host ORDER BY u.url ASC) - 1)
+                          * coalesce(d.crawl_delay, 5.0))
+                        AS BIGINT) AS fetch_at
+            FROM u LEFT JOIN delays d ON u.k = d.k
         """,
         # zipf_slope: identical tokenization/rank tie-break, DuckDB's
         # own regr_* aggregates over the same log10 pairs.

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "cosine_near_dups",
     "url_canon",
+    "surt_trap",
     "pii_redact",
     "normalize_text",
     "repetition_collapse",
@@ -84,6 +85,7 @@ BENCH_QUERIES = [
     "robots_admission",
     "charset_transcode",
     "crawl_schedule",
+    "crawl_delay_schedule",
     "zipf_slope",
     "dup_segments",
     "extraction_f1",

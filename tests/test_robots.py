@@ -155,6 +155,54 @@ def test_admit_host_without_rules(spark):
     assert r["admitted"] is True and r["matched_rule"] is None
 
 
+def test_parse_crawl_delay():
+    from unified_ocr_pipeline_spark.operators.robots import parse_crawl_delay
+
+    # exact group beats *; delay lines close agent runs
+    assert parse_crawl_delay(BODY, "googlebot") is None
+    assert parse_crawl_delay(BODY, "*") == 5.0
+    # max over several selected groups (conservative politeness)
+    body = "User-agent: *\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 7.5\n"
+    assert parse_crawl_delay(body, "*") == 7.5
+    # malformed / negative ignored
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3\n") is None
+    assert parse_crawl_delay("", "*") is None
+    # a crawl-delay line closes the agent run: the next User-agent
+    # starts a NEW group, so bot2 does not inherit bot1's delay
+    body = "User-agent: bot1\nCrawl-delay: 9\nUser-agent: bot2\nDisallow: /x\n"
+    assert parse_crawl_delay(body, "bot1") == 9.0
+    assert parse_crawl_delay(body, "bot2") is None
+
+
+def test_crawl_delays_df_and_schedule_delay_col(spark):
+    from unified_ocr_pipeline_spark.operators import robots as ROB
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.com", "User-agent: *\nCrawl-delay: 10\n"),
+            ("fast.com", "User-agent: *\nDisallow: /x\n"),  # no delay
+        ],
+        "host string, body string",
+    )
+    delays = ROB.crawl_delays(robots, "host", "body")
+    got = {r["host"]: r["crawl_delay"] for r in delays.collect()}
+    assert got == {"slow.com": 10.0}
+
+    urls = spark.createDataFrame(
+        [(i, h, f"http://{h}/{i}") for i in range(2) for h in ("slow.com", "fast.com")],
+        "i long, host string, url string",
+    )
+    sched = ROB.schedule_fetches(
+        urls.join(delays, "host", "left"),
+        "host", "url", delay_sec=5, epoch=100, delay_col="crawl_delay",
+    )
+    out = {(r["host"], r["slot"]): r["fetch_at"] for r in sched.collect()}
+    assert out[("slow.com", 0)] == 100 and out[("slow.com", 1)] == 110
+    # NULL delay falls back to delay_sec
+    assert out[("fast.com", 0)] == 100 and out[("fast.com", 1)] == 105
+
+
 def test_schedule_fetches_per_host_queue(spark):
     rows = [
         (0, "a.com", "http://a.com/1", 10),

@@ -56,6 +56,51 @@ def rule_to_regex(path: str) -> str | None:
     return "^" + pattern + ("$" if anchored else "")
 
 
+def _parse_groups(body: str) -> list[tuple[list[str], list[tuple], float | None]]:
+    """Group-structured parse of a robots body: ``[(agents, [(path,
+    allow_bool)], crawl_delay_or_None)]`` per RFC 9309 grouping — later
+    ``User-agent`` lines extend the same group until the first rule line
+    (Allow/Disallow/Crawl-delay) closes the agent run."""
+    groups: list[tuple[list[str], list[tuple], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple] = []
+    cur_delay: float | None = None
+    in_agent_run = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run and (cur_agents or cur_rules or cur_delay is not None):
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
+            cur_agents.append(val.lower())
+            in_agent_run = True
+        elif key in ("allow", "disallow"):
+            in_agent_run = False
+            cur_rules.append((val, key == "allow"))
+        elif key == "crawl-delay":
+            in_agent_run = False
+            try:
+                cur_delay = float(val)
+            except ValueError:
+                pass  # malformed delay: ignored, line still closes the run
+    if cur_agents or cur_rules or cur_delay is not None:
+        groups.append((cur_agents, cur_rules, cur_delay))
+    return groups
+
+
+def _select_pool(groups, agent: str):
+    """RFC group selection: every group naming ``agent`` exactly, else
+    every ``*`` group."""
+    agent = agent.lower()
+    exact = [g for g in groups if agent in g[0]]
+    return exact if exact else [g for g in groups if "*" in g[0]]
+
+
 def parse_robots_body(body: str, agent: str = "*") -> tuple[list[tuple], int]:
     """Pure-Python parse → ([(path, allow_bool, regex_or_None)],
     n_wildcard) where ``regex`` is the compiled-at-parse-time anchored
@@ -66,35 +111,8 @@ def parse_robots_body(body: str, agent: str = "*") -> tuple[list[tuple], int]:
     beats ``*``; within a group, later ``User-agent`` lines extend the
     same group until the first rule line closes it (RFC 9309 grouping).
     """
-    agent = agent.lower()
-    groups: list[tuple[list[str], list[tuple]]] = []
-    cur_agents: list[str] = []
-    cur_rules: list[tuple] = []
-    in_agent_run = False
-    for raw in (body or "").splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        key, _, val = line.partition(":")
-        key = key.strip().lower()
-        val = val.strip()
-        if key == "user-agent":
-            if not in_agent_run and (cur_agents or cur_rules):
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
-            cur_agents.append(val.lower())
-            in_agent_run = True
-        elif key in ("allow", "disallow"):
-            in_agent_run = False
-            cur_rules.append((val, key == "allow"))
-    if cur_agents or cur_rules:
-        groups.append((cur_agents, cur_rules))
-
     chosen: list[tuple] = []
-    exact = [r for agents, r in groups if agent in agents]
-    star = [r for agents, r in groups if "*" in agents]
-    pool = exact if exact else star
-    for rules in pool:
+    for _, rules, _ in _select_pool(_parse_groups(body), agent):
         chosen.extend(rules)
 
     out: list[tuple] = []
@@ -107,6 +125,54 @@ def parse_robots_body(body: str, agent: str = "*") -> tuple[list[tuple], int]:
             n_wildcard += 1
         out.append((path, allow, rx))
     return out, n_wildcard
+
+
+def parse_crawl_delay(body: str, agent: str = "*") -> float | None:
+    """Crawl-delay (seconds) of the group governing ``agent``, or None.
+
+    Crawl-delay is non-standard but honored by Bing/Yandex and present
+    in a large share of real robots files.  When several selected
+    groups declare one, the MAXIMUM wins — the most conservative
+    politeness reading.  Negative values are ignored as malformed.
+    """
+    delays = [
+        d for _, _, d in _select_pool(_parse_groups(body), agent)
+        if d is not None and d >= 0
+    ]
+    return max(delays) if delays else None
+
+
+def crawl_delays(
+    df: DataFrame,
+    host_col: str,
+    body_col: str,
+    agent: str = "*",
+) -> DataFrame:
+    """(host, crawl_delay double) — one row per host whose robots.txt
+    declares a Crawl-delay for the group governing ``agent``.  Same
+    Arrow-batch scan shape as :func:`robots_rules`; join the result to a
+    frontier and pass it to :func:`schedule_fetches` via ``delay_col``.
+    """
+    host_type = df.schema[host_col].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, delays = [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                d = parse_crawl_delay(body if body is not None else "", agent)
+                if d is not None:
+                    hosts.append(host)
+                    delays.append(d)
+            yield pd.DataFrame(
+                {
+                    host_col: pd.Series(hosts, dtype="object"),
+                    "crawl_delay": pd.Series(delays, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        gen, schema=f"{host_col} {host_type}, crawl_delay double"
+    )
 
 
 def robots_rules(
@@ -207,15 +273,19 @@ def schedule_fetches(
     delay_sec: int = 5,
     epoch: int = 0,
     priority_col: str | None = None,
+    delay_col: str | None = None,
 ) -> DataFrame:
     """Per-host politeness schedule: all of ``urls``'s columns plus
     ``slot int`` (0-based position in the host's fetch queue) and
-    ``fetch_at bigint`` (``epoch + slot * delay_sec`` seconds).
+    ``fetch_at bigint`` (``epoch + slot * delay`` seconds, floored).
 
-    One fetch per host per ``delay_sec`` is the standard courtesy rule
-    (and what Crawl-delay asks for); the schedule is ONE window
-    partitioned by host — exactly the parallelism a fetch fleet has,
-    since requests to different hosts never contend.  Queue order is
+    One fetch per host per delay is the standard courtesy rule (and
+    what Crawl-delay asks for); the schedule is ONE window partitioned
+    by host — exactly the parallelism a fetch fleet has, since requests
+    to different hosts never contend.  The per-fetch delay is
+    ``delay_col`` when given (e.g. the host's declared Crawl-delay from
+    :func:`crawl_delays`, joined upstream; NULLs fall back to
+    ``delay_sec``), else the constant ``delay_sec``.  Queue order is
     ``priority_col`` descending when given (e.g. a pagerank prior),
     ties and the default both by ``url_col`` for determinism.
     """
@@ -226,10 +296,17 @@ def schedule_fetches(
     )
     w = Window.partitionBy(host_col).orderBy(*order)
     slot = F.row_number().over(w) - F.lit(1)
+    delay = (
+        F.coalesce(F.col(delay_col).cast("double"), F.lit(float(delay_sec)))
+        if delay_col
+        else F.lit(float(delay_sec))
+    )
     return urls.select(
         *urls.columns,
         slot.cast("int").alias("slot"),
-        (F.lit(epoch) + slot.cast("bigint") * F.lit(delay_sec)).alias("fetch_at"),
+        F.floor(F.lit(epoch) + slot.cast("double") * delay)
+        .cast("bigint")
+        .alias("fetch_at"),
     )
 
 
