@@ -1180,6 +1180,114 @@ def _q_crawl_delay_schedule(spark, sf):
     return out.select("doc_id", "host", "crawl_delay", "slot", "fetch_at")
 
 
+def _q_cdx_revisit(spark, sf):
+    """CDX web-archive index with revisit dedup: 50 pages × ~10 captures
+    each, content version bumping every second capture, urls carrying
+    www/case noise the SURT key must collapse. The oracle derives the
+    surt, digest grouping, capture ordinals, and response/revisit
+    classification straight from the synthesis formula — a wrong
+    reversal, tie-break, or window key flips the hash."""
+    from unified_ocr_pipeline_spark.operators import cdx as CDX
+
+    d = _t(spark, sf, "documents")
+    cap = d.select(
+        F.concat(
+            F.lit("http://www.Site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/Page/"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        F.col("doc_id").cast("bigint").alias("warc_ts"),
+        F.concat(
+            F.lit("v"), F.expr("doc_id div 100").cast("string"),
+            F.lit("-page"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("html"),
+    )
+    return CDX.cdx_index(cap)
+
+
+def _q_cdx_savings(spark, sf):
+    """Per-host rollup of the revisit dedup over the same capture
+    synthesis — the storage-savings metric an archive operator tracks."""
+    from unified_ocr_pipeline_spark.operators import cdx as CDX
+
+    d = _t(spark, sf, "documents")
+    cap = d.select(
+        F.concat(
+            F.lit("http://www.Site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/Page/"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        F.col("doc_id").cast("bigint").alias("warc_ts"),
+        F.concat(
+            F.lit("v"), F.expr("doc_id div 100").cast("string"),
+            F.lit("-page"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("html"),
+    )
+    return CDX.storage_savings(CDX.cdx_index(cap))
+
+
+def _q_cdx_incremental(spark, sf):
+    """Continuous-crawl CDX merge: captures before ts 250 form the
+    stored index; the rest arrive as a new batch classified against it
+    (stored-response revisits, fresh responses, within-batch revisits)
+    without recomputing history. The oracle replays the split, the
+    stored-prior lookup, and the batch-local window."""
+    from unified_ocr_pipeline_spark.operators import cdx as CDX
+
+    d = _t(spark, sf, "documents")
+    cap = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://www.Site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/Page/"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        F.col("doc_id").cast("bigint").alias("warc_ts"),
+        F.concat(
+            F.lit("v"), F.expr("doc_id div 100").cast("string"),
+            F.lit("-page"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("html"),
+    )
+    stored = CDX.cdx_index(cap.where(F.col("doc_id") < 250))
+    return CDX.cdx_merge(stored, cap.where(F.col("doc_id") >= 250))
+
+
+def _q_jsonld(spark, sf):
+    """JSON-LD structured-data mining, fully JVM-side: every page embeds
+    an Article block (with attribute noise on the script tag) and even
+    pages add a Product block; regexp_extract_all + get_json_object pull
+    type/name/date. The oracle predicts the rows from the formula
+    without any regex — an extraction miss or order flip changes it."""
+    from unified_ocr_pipeline_spark.functions import html as HTML
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    day = ((F.col("doc_id") % 9) + 1).cast("string")
+    page = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type":"Article","name":"Doc '),
+        sid,
+        F.lit('","datePublished":"2024-01-0'), day, F.lit('"}</script>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<script async type="application/ld+json">'
+                      '{"@type":"Product","name":"P'),
+                sid, F.lit('"}</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    blocks = d.select(
+        "doc_id",
+        F.posexplode(HTML.jsonld_blocks(page)).alias("pos", "block"),
+    )
+    return blocks.select(
+        "doc_id",
+        "pos",
+        HTML.jsonld_field(F.col("block"), "@type").alias("ld_type"),
+        HTML.jsonld_field(F.col("block"), "name").alias("name"),
+        HTML.jsonld_field(F.col("block"), "datePublished").alias("published"),
+    )
+
+
 def _q_zipf(spark, sf):
     """Whole-corpus Zipf fit: OLS of log10(freq) on log10(rank) over
     the token-frequency distribution via the built-in regr_* aggregates
@@ -1366,6 +1474,40 @@ def _q_lm_perplexity(spark, sf):
     d = _t(spark, sf, "documents")
     model, meta = LM.lm_train(d, "text", "doc_id", sample_mod=4, vocab_size=512)
     return LM.lm_score(d, model, meta, "text", "doc_id")
+
+
+def _q_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing: the trained-LM score from
+    lm_perplexity ntile'd into quartiles (bucket 1 = most fluent). The
+    oracle replays train+score+ntile with the identical tie-break."""
+    from unified_ocr_pipeline_spark.operators import lm as LM
+
+    d = _t(spark, sf, "documents")
+    return LM.lm_perplexity_gate(
+        d, "text", "doc_id", sample_mod=4, vocab_size=512, n_buckets=4
+    )
+
+
+def _q_meta_robots(spark, sf):
+    """Page-level robots directives: five formulaic meta-tag shapes
+    (noindex, nofollow, none-implies-both, upper-case directives with
+    attribute noise, and a no-tag page) through the JVM regex/array
+    extractor. The oracle predicts every row from the formula."""
+    from unified_ocr_pipeline_spark.functions import html as HTML
+
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 5
+    page = F.concat(
+        F.lit("<html><head>"),
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(m == 1, F.lit('<meta charset="utf-8">'
+                            '<meta name="robots" content="index, nofollow" data-x="1">'))
+        .when(m == 2, F.lit('<meta name="robots" content="none">'))
+        .when(m == 3, F.lit('<META name="robots" content="INDEX, FOLLOW">'))
+        .otherwise(F.lit("<title>plain</title>")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    return d.select("doc_id", *HTML.meta_robots(page))
 
 
 def _q_funnel(spark, sf):
@@ -2300,6 +2442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_transcode": _q_charset,
         "crawl_schedule": _q_crawl_schedule,
         "crawl_delay_schedule": _q_crawl_delay_schedule,
+        "cdx_revisit": _q_cdx_revisit,
+        "cdx_savings": _q_cdx_savings,
+        "jsonld_extract": _q_jsonld,
+        "cdx_incremental": _q_cdx_incremental,
+        "ppl_buckets": _q_ppl_buckets,
+        "meta_robots": _q_meta_robots,
         "zipf_slope": _q_zipf,
         "dup_segments": _q_dup_segments,
         "pq_topk": _q_pq_topk,
@@ -4289,6 +4437,80 @@ def oracle_sql() -> dict[str, str]:
                    -avg(logp) AS nll
             FROM scored GROUP BY doc_id
         """,
+        # cdx_incremental: replay the stored/new split, the stored-
+        # response prior lookup, and the batch-local dup window.
+        "cdx_incremental": """
+            WITH cap AS (
+              SELECT doc_id,
+                'http://www.Site' || (doc_id % 5) || '.example.com/Page/'
+                  || (doc_id % 50) AS url,
+                CAST(doc_id AS BIGINT) AS ts,
+                md5('v' || (doc_id // 100) || '-page' || (doc_id % 50)) AS digest,
+                'com,example,site' || (doc_id % 5) || ')/page/'
+                  || (doc_id % 50) AS surt
+              FROM documents),
+            prior AS (
+              SELECT surt, digest, min(ts) AS prior_ts
+              FROM cap WHERE doc_id < 250 GROUP BY surt, digest),
+            new AS (SELECT * FROM cap WHERE doc_id >= 250)
+            SELECT n.surt, n.ts, n.url, n.digest,
+              CASE WHEN p.prior_ts IS NOT NULL
+                     OR row_number() OVER (PARTITION BY n.surt, n.digest
+                                           ORDER BY n.ts, n.url) > 1
+                   THEN 'revisit' ELSE 'response' END AS record_type,
+              coalesce(p.prior_ts,
+                       min(n.ts) OVER (PARTITION BY n.surt, n.digest))
+                AS response_ts
+            FROM new n LEFT JOIN prior p USING (surt, digest)
+        """,
+        # ppl_buckets: the lm_perplexity replay + the identical
+        # ntile(4) window with (nll, doc_id) tie-break.
+        "ppl_buckets": r"""
+            WITH samp AS (
+              SELECT text FROM documents
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 4 = 0),
+            tok AS (
+              SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+              FROM samp),
+            cnt AS (SELECT tok, count(*) AS c FROM tok
+                    WHERE tok <> '' GROUP BY tok),
+            tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cnt),
+            vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 512),
+            vsz AS (SELECT count(*) AS v FROM vocab),
+            lm AS (SELECT tok, ln((c + 1.0) / (n + v + 1.0)) AS logp
+                   FROM vocab, tot, vsz),
+            dt AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+              FROM documents),
+            dt2 AS (SELECT doc_id, tok FROM dt WHERE tok <> ''),
+            scored AS (
+              SELECT d.doc_id,
+                     coalesce(lm.logp, ln(1.0 / (n + v + 1.0))) AS logp
+              FROM dt2 d LEFT JOIN lm USING (tok), tot, vsz),
+            per_doc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                     -avg(logp) AS nll
+              FROM scored GROUP BY doc_id)
+            SELECT doc_id, n_tok, nll,
+                   CAST(ntile(4) OVER (ORDER BY nll, doc_id) AS INT)
+                     AS ppl_bucket
+            FROM per_doc
+        """,
+        # meta_robots: rows predicted from the five-shape formula.
+        "meta_robots": """
+            SELECT doc_id,
+              CASE doc_id % 5
+                WHEN 0 THEN 'noindex, follow'
+                WHEN 1 THEN 'index, nofollow'
+                WHEN 2 THEN 'none'
+                WHEN 3 THEN 'INDEX, FOLLOW'
+                ELSE '' END AS robots_content,
+              doc_id % 5 IN (0, 2) AS noindex,
+              doc_id % 5 IN (1, 2) AS nofollow
+            FROM documents
+        """,
         # containment: same shingle space as ngram_jaccard (word
         # trigrams, DISTINCT per doc), directed score = inter/|src|,
         # both directions emitted from each undirected intersection,
@@ -4513,6 +4735,63 @@ def oracle_sql() -> dict[str, str]:
                           * coalesce(d.crawl_delay, 5.0))
                         AS BIGINT) AS fetch_at
             FROM u LEFT JOIN delays d ON u.k = d.k
+        """,
+        # cdx_revisit: surt/digest/ordinals/classification all derived
+        # from the capture-synthesis formula, not from the engine's code.
+        "cdx_revisit": """
+            WITH cap AS (
+              SELECT doc_id,
+                'http://www.Site' || (doc_id % 5) || '.example.com/Page/'
+                  || (doc_id % 50) AS url,
+                CAST(doc_id AS BIGINT) AS ts,
+                md5('v' || (doc_id // 100) || '-page' || (doc_id % 50)) AS digest,
+                'com,example,site' || (doc_id % 5) || ')/page/'
+                  || (doc_id % 50) AS surt
+              FROM documents)
+            SELECT surt, ts, url, digest,
+              CAST(row_number() OVER (PARTITION BY surt
+                                      ORDER BY ts, url, digest) - 1
+                   AS INT) AS capture_no,
+              CASE WHEN row_number() OVER (PARTITION BY surt, digest
+                                           ORDER BY ts, url) = 1
+                   THEN 'response' ELSE 'revisit' END AS record_type,
+              min(ts) OVER (PARTITION BY surt, digest) AS response_ts
+            FROM cap
+        """,
+        "cdx_savings": """
+            WITH cap AS (
+              SELECT doc_id,
+                md5('v' || (doc_id // 100) || '-page' || (doc_id % 50)) AS digest,
+                'com,example,site' || (doc_id % 5) AS host,
+                'com,example,site' || (doc_id % 5) || ')/page/'
+                  || (doc_id % 50) AS surt,
+                CAST(doc_id AS BIGINT) AS ts,
+                'http://www.Site' || (doc_id % 5) || '.example.com/Page/'
+                  || (doc_id % 50) AS url
+              FROM documents),
+            cls AS (
+              SELECT host,
+                CASE WHEN row_number() OVER (PARTITION BY surt, digest
+                                             ORDER BY ts, url) = 1
+                     THEN 0 ELSE 1 END AS is_rev
+              FROM cap)
+            SELECT host,
+                   count(*) AS n_captures,
+                   sum(is_rev) AS n_revisits,
+                   sum(is_rev) * 1.0 / count(*) AS revisit_share
+            FROM cls GROUP BY host
+        """,
+        # jsonld_extract: rows predicted purely from the page-synthesis
+        # formula — no regex or JSON parsing on the oracle side.
+        "jsonld_extract": """
+            SELECT doc_id, 0 AS pos, 'Article' AS ld_type,
+                   'Doc ' || doc_id AS name,
+                   '2024-01-0' || (doc_id % 9 + 1) AS published
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1 AS pos, 'Product' AS ld_type,
+                   'P' || doc_id AS name, NULL AS published
+            FROM documents WHERE doc_id % 2 = 0
         """,
         # zipf_slope: identical tokenization/rank tie-break, DuckDB's
         # own regr_* aggregates over the same log10 pairs.

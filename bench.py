@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "charset_transcode",
     "crawl_schedule",
     "crawl_delay_schedule",
+    "cdx_revisit",
+    "cdx_savings",
+    "cdx_incremental",
+    "jsonld_extract",
+    "ppl_buckets",
+    "meta_robots",
     "zipf_slope",
     "dup_segments",
     "extraction_f1",

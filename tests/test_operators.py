@@ -1205,3 +1205,31 @@ def test_host_reciprocity_empty_and_no_backlinks(spark):
     rows = {r["src_host"]: r for r in host_reciprocity(edges).collect()}
     assert all(r["n_reciprocal"] == 0 for r in rows.values())
     assert all(r["reciprocity"] == 0.0 for r in rows.values())
+
+
+def test_lsh_plan_knee_tracks_threshold():
+    # pure driver-side math: higher thresholds demand more rows per
+    # band (sharper, right-shifted S-curve), and the chosen plan puts
+    # the curve's 50% point near the threshold.
+    from unified_ocr_pipeline_spark.operators.dedup import (
+        lsh_collision_prob,
+        lsh_plan,
+    )
+
+    b_lo, r_lo = lsh_plan(0.3, num_hashes=64)
+    b_hi, r_hi = lsh_plan(0.9, num_hashes=64)
+    assert b_lo * r_lo == 64 and b_hi * r_hi == 64
+    assert r_hi > r_lo  # high threshold → longer bands
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        b, r = lsh_plan(thr, num_hashes=64)
+        # the knee (p = 0.5) sits within 0.2 of the target
+        knee = (1 - 0.5 ** (1 / b)) ** (1 / r)
+        assert abs(knee - thr) < 0.2, (thr, b, r, knee)
+        # and the curve is usefully steep around it
+        assert lsh_collision_prob(min(thr + 0.15, 0.999), b, r) > 0.5
+    # recall bias: weighting false negatives shifts the knee DOWN
+    b_w, r_w = lsh_plan(0.7, num_hashes=64, fn_weight=4.0)
+    knee_w = (1 - 0.5 ** (1 / b_w)) ** (1 / r_w)
+    b_u, r_u = lsh_plan(0.7, num_hashes=64, fn_weight=1.0)
+    knee_u = (1 - 0.5 ** (1 / b_u)) ** (1 / r_u)
+    assert knee_w <= knee_u

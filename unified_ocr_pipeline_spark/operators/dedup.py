@@ -243,6 +243,53 @@ def minhash_signatures(
     return in_df.mapInPandas(gen, schema=f"id {id_type}, sig array<bigint>")
 
 
+def lsh_collision_prob(similarity: float, num_bands: int, rows_per_band: int) -> float:
+    """P(candidate) for a pair at Jaccard ``similarity`` under (b, r)
+    banding: ``1 - (1 - s^r)^b`` — the standard S-curve (Mining of
+    Massive Datasets §3.4)."""
+    return 1.0 - (1.0 - similarity ** rows_per_band) ** num_bands
+
+
+def lsh_plan(
+    threshold: float,
+    num_hashes: int = 64,
+    fn_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Pick (num_bands, rows_per_band) for :func:`minhash_lsh_pairs` so
+    the banding S-curve's knee sits at ``threshold``.
+
+    Enumerates every exact factorization b*r = num_hashes (there are
+    ~d(num_hashes) of them — driver-side arithmetic, not a data op) and
+    minimizes estimated error mass: the integral of the miss rate above
+    the threshold (false negatives, weighted ``fn_weight``) plus the
+    collision rate below it (false positives — wasted verify work, not
+    wrong answers, hence weight 1).  Trapezoid on a fixed 101-point
+    grid keeps the choice deterministic across platforms.
+
+    At 100 TB the tradeoff is asymmetric: a false positive costs one
+    verification join row, a false negative silently keeps a duplicate
+    — raise ``fn_weight`` to bias toward recall.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    grid = [i / 100.0 for i in range(101)]
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        err = 0.0
+        for lo, hi in zip(grid, grid[1:]):
+            mid = (lo + hi) / 2.0
+            p = lsh_collision_prob(mid, b, r)
+            err += 0.01 * (fn_weight * (1.0 - p) if mid >= threshold else p)
+        key = (err, b, r)
+        if best is None or key < best:
+            best = key
+    assert best is not None
+    return best[1], best[2]
+
+
 def _band_explode(sigs: DataFrame, num_hashes: int, num_bands: int) -> DataFrame:
     """(id, sig, band, bh): one row per signature band, bh = 64-bit hash of
     the band's signature slice. Shared by the self-join and the
