@@ -286,3 +286,38 @@ def test_substring_dup_single_gram_shuffle(spark):
     n_h = len(_re.findall(r"hashpartitioning\(h#", plan))
     assert n_h == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cdx_index_single_exchange(spark):
+    # all three windows (per-surt ordinal, per-(surt,digest) dup rank,
+    # response-ts backref) must share ONE hash(surt) exchange — the
+    # subset rule lets the (surt, digest) windows reuse it.
+    from unified_ocr_pipeline_spark.operators import cdx as CDX
+
+    df = spark.createDataFrame(
+        [("http://a.com/x", 1, "v")], "url string, warc_ts long, html string"
+    )
+    import re
+
+    plan = plan_of(CDX.cdx_index(df))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3, plan
+
+
+def test_cdx_merge_stored_side_is_key_projection(spark):
+    # the stored index must collapse to (surt, digest, min ts) BEFORE
+    # the join: the merge plan carries a partial/final aggregate on the
+    # stored branch and no stored payload columns cross the join.
+    from unified_ocr_pipeline_spark.operators import cdx as CDX
+
+    caps = spark.createDataFrame(
+        [("http://a.com/x", 1, "v")], "url string, warc_ts long, html string"
+    )
+    stored = CDX.cdx_index(caps)
+    import re
+
+    plan = plan_of(CDX.cdx_merge(stored, caps))
+    assert "HashAggregate" in plan, plan
+    # new side needs one exchange for its window + the join keyed the
+    # same way; stored side aggregates then joins — no extra shuffles
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
