@@ -1488,6 +1488,26 @@ def _q_ppl_buckets(spark, sf):
     )
 
 
+def _q_block_gate(spark, sf):
+    """RefinedWeb-style URL/wordlist blocking: four formulaic doc
+    shapes — url-substring hit, token-density hit, a single banned
+    token below the 2-hit floor, and clean — through the JVM signal
+    exprs. The oracle predicts every signal from the formula."""
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    url = F.when(
+        m == 0, F.concat(F.lit("http://h.example.com/casino/"), sid)
+    ).otherwise(F.concat(F.lit("http://h.example.com/page/"), sid))
+    text = (
+        F.when(m == 1, F.concat(F.lit("casino jackpot casino win big now "), sid))
+        .when(m == 2, F.concat(F.lit("one casino mention in a long clean text "
+                                     "about spark pipelines "), sid))
+        .otherwise(F.concat(F.lit("perfectly ordinary document text "), sid))
+    )
+    return d.select("doc_id", *TX.block_signals(url, text))
+
+
 def _q_meta_robots(spark, sf):
     """Page-level robots directives: five formulaic meta-tag shapes
     (noindex, nofollow, none-implies-both, upper-case directives with
@@ -2448,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_incremental": _q_cdx_incremental,
         "ppl_buckets": _q_ppl_buckets,
         "meta_robots": _q_meta_robots,
+        "block_gate": _q_block_gate,
         "zipf_slope": _q_zipf,
         "dup_segments": _q_dup_segments,
         "pq_topk": _q_pq_topk,
@@ -4497,6 +4518,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (ORDER BY nll, doc_id) AS INT)
                      AS ppl_bucket
             FROM per_doc
+        """,
+        # block_gate: signals predicted from the four-shape formula
+        # (token counts computed by hand from the literal texts).
+        "block_gate": """
+            SELECT doc_id,
+              doc_id % 4 = 0 AS url_block,
+              CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+                   AS INT) AS n_block_tokens,
+              CASE doc_id % 4
+                WHEN 1 THEN round(3.0 / 7.0, 6)
+                WHEN 2 THEN round(1.0 / 12.0, 6)
+                ELSE 0.0 END AS block_token_ratio,
+              doc_id % 4 IN (0, 1) AS is_blocked
+            FROM documents
         """,
         # meta_robots: rows predicted from the five-shape formula.
         "meta_robots": """

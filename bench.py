@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "jsonld_extract",
     "ppl_buckets",
     "meta_robots",
+    "block_gate",
     "zipf_slope",
     "dup_segments",
     "extraction_f1",

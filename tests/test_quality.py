@@ -273,3 +273,30 @@ def test_dup_segment_empty_and_single(spark):
         TX.dup_para_fraction(F.col("text")).alias("pf"),
     ).collect()
     assert all(r["lf"] == 0.0 and r["pf"] == 0.0 for r in rows)
+
+
+def test_block_signals_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from unified_ocr_pipeline_spark.functions import text as TX
+
+    rows = [
+        ("http://h.com/casino/1", "clean text here"),          # url hit
+        ("http://h.com/p", "casino jackpot casino win"),       # density
+        ("http://h.com/p", "a single casino word in ten tokens pad pad pad"),
+        ("http://h.com/p", "nothing wrong at all"),
+        ("http://h.com/p", ""),                                # empty text
+        ("http://h.com/XXX-zone", "fine"),                     # case-folded url
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = df.select(*TX.block_signals(F.col("url"), F.col("text"))).collect()
+    assert [r["is_blocked"] for r in got] == [True, True, False, False, False, True]
+    assert got[1]["n_block_tokens"] == 3
+    assert got[2]["n_block_tokens"] == 1   # below the 2-hit floor
+    assert got[4]["block_token_ratio"] == 0.0
+    # token matching is exact, not substring: "scunthorpe" never trips
+    clean = spark.createDataFrame(
+        [("http://h.com/p", "scunthorpe problem casinos")],
+        "url string, text string",
+    ).select(*TX.block_signals(F.col("url"), F.col("text"))).first()
+    assert clean["n_block_tokens"] == 0 and clean["is_blocked"] is False

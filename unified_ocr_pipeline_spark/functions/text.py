@@ -414,3 +414,52 @@ def c4_line_counts(text: Column) -> list[Column]:
         F.size(lines).alias("n_lines"),
         F.size(F.filter(lines, _c4_line_keep)).alias("n_kept_lines"),
     ]
+
+
+# --- URL + wordlist blocking (RefinedWeb/FineWeb-style "URL filtering") ---
+# The first stage of the standard CC curation recipe blocks documents by
+# (a) domain blocklist (done elsewhere: domain_stats' broadcast anti-join),
+# (b) url substring categories, (c) banned-token density in the text.
+# Tiny frozen lists stand in for the production UT1 categories — the seam
+# and the plan shape (pure JVM exprs, no shuffle) are what carry to 100 TB,
+# where the real lists broadcast exactly the same way.
+
+BLOCK_URL_SUBSTRINGS = ("/casino/", "/adult/", "bet-now", "xxx")
+BLOCK_TOKENS = ("casino", "jackpot", "viagra", "xxx", "porn")
+
+
+def block_signals(
+    url: Column,
+    text: Column,
+    max_token_ratio: float = 0.02,
+) -> list[Column]:
+    """URL/wordlist blocking signals: ``(url_block boolean, n_block_tokens
+    int, block_token_ratio double, is_blocked boolean)``.
+
+    ``url_block`` fires on any frozen substring in the lower-cased url;
+    token hits are counted against the lower-cased whitespace tokens
+    (exact matches — substring matching on tokens is the classic
+    "Scunthorpe" false-positive trap); a document is blocked by url hit
+    OR token density above ``max_token_ratio`` with at least 2 hits.
+    """
+    u = F.lower(url)
+    url_block = None
+    for s in BLOCK_URL_SUBSTRINGS:
+        c = u.contains(s)
+        url_block = c if url_block is None else (url_block | c)
+    w = words_of(F.lower(text))
+    blocked = F.array(*[F.lit(b) for b in BLOCK_TOKENS])
+    hits = F.size(F.filter(w, lambda t: F.array_contains(blocked, t)))
+    n = F.size(w)
+    ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(hits / n.cast("double"), 6)
+    )
+    return [
+        url_block.alias("url_block"),
+        hits.cast("int").alias("n_block_tokens"),
+        ratio.alias("block_token_ratio"),
+        (
+            url_block
+            | ((hits >= 2) & (ratio > F.lit(float(max_token_ratio))))
+        ).alias("is_blocked"),
+    ]
