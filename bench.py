@@ -158,11 +158,25 @@ def regression_check(out: dict, baseline: dict) -> dict:
     pin = baseline["docs_per_sec_calm"]
     thresh = baseline.get("regression_threshold", 0.25)
     ratio = out["docs_per_sec"] / pin if pin else float("nan")
-    return {
+    res = {
         "baseline_docs_per_sec": pin,
         "vs_baseline": round(ratio, 3),
         "regression_flag": bool(ratio < 1.0 - thresh),
     }
+    # Noise-aware form: when both the run and the pin carry delivered-CPU
+    # spin probes, also compare docs-per-delivered-Mops; the flag then
+    # trips only if BOTH raw and normalized fall below threshold (raw
+    # alone routinely flags this host's noise, normalized catches real
+    # code regressions even inside a noisy window).
+    pin_spin = baseline.get("spin_mops_calm")
+    run_spin = (out.get("spin_mops_before", 0) + out.get("spin_mops_after", 0)) / 2.0
+    if pin_spin and run_spin:
+        norm_ratio = (out["docs_per_sec"] / run_spin) / (pin / pin_spin)
+        res["vs_baseline_norm"] = round(norm_ratio, 3)
+        res["regression_flag"] = bool(
+            ratio < 1.0 - thresh and norm_ratio < 1.0 - thresh
+        )
+    return res
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -171,6 +185,32 @@ def _sf_from_dir(sf_dir: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return 0.1
+
+
+def _spin_probe_mops(n_procs: int, seconds: float = 2.0) -> float:
+    """Delivered-CPU probe: total Mops/s of ``n_procs`` spinning
+    processes. This shared VM's delivered CPU swings 2-4× on a minutes
+    timescale (documented in BENCH/BASELINE.md); embedding the probe in
+    the bench JSON lets any single-window reading be normalized against
+    what the host actually delivered during it."""
+    import multiprocessing as mp
+
+    def spin(q):
+        t0 = time.perf_counter()
+        x = n = 0
+        while time.perf_counter() - t0 < seconds:
+            for _ in range(100_000):
+                x += 1
+            n += 100_000
+        q.put(n / (time.perf_counter() - t0))
+
+    q: "mp.Queue" = mp.Queue()
+    procs = [mp.Process(target=spin, args=(q,)) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return round(sum(q.get() for _ in procs) / 1e6, 2)
 
 
 def main() -> None:
@@ -198,6 +238,7 @@ def main() -> None:
         for f in os.listdir(pages_path)
     )
 
+    spin_before = _spin_probe_mops(cpus)
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
 
@@ -247,12 +288,21 @@ def main() -> None:
         "docs_per_sec": round(res.rows_written / e2e_sec, 2),
         "input_mb_per_sec": round(input_bytes / 1e6 / e2e_sec, 2),
     }
+    spark.stop()
+    spin_after = _spin_probe_mops(cpus)
+    out["spin_mops_before"] = spin_before
+    out["spin_mops_after"] = spin_after
+    # calm-window reference for this VM at 32 procs is ~700-730 Mops
+    # (see BENCH/BASELINE.md); docs_per_spin_mops is the noise-adjusted
+    # throughput figure to compare across windows.
+    out["docs_per_spin_mops"] = round(
+        out["docs_per_sec"] / max((spin_before + spin_after) / 2.0, 1e-9), 2
+    )
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE-ENGINE.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             out.update(regression_check(out, json.load(fh)))
-    spark.stop()
     print(json.dumps(out))
 
 

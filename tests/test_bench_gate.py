@@ -46,3 +46,31 @@ def test_gate_skips_mismatched_scale():
     b = _baseline()
     assert bench.regression_check({"sf": 0.01, "cpus": 32, "docs_per_sec": 1.0}, b) == {}
     assert bench.regression_check({"sf": 0.1, "cpus": 8, "docs_per_sec": 1.0}, b) == {}
+
+
+def test_gate_noise_aware_normalization():
+    b = _baseline()
+    pin, spin_pin = b["docs_per_sec_calm"], b["spin_mops_calm"]
+    # storm window: raw halves BUT delivered CPU also halved → normalized
+    # ≈ 1.0 → not a regression
+    storm = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.5,
+         "spin_mops_before": spin_pin * 0.5, "spin_mops_after": spin_pin * 0.5},
+        b,
+    )
+    assert storm["vs_baseline_norm"] == 1.0
+    assert storm["regression_flag"] is False
+    # real regression: raw halves while the host delivered full CPU
+    real = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.5,
+         "spin_mops_before": spin_pin, "spin_mops_after": spin_pin},
+        b,
+    )
+    assert real["vs_baseline_norm"] == 0.5
+    assert real["regression_flag"] is True
+    # no probes in the run → falls back to the raw-only flag
+    raw_only = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.5}, b
+    )
+    assert "vs_baseline_norm" not in raw_only
+    assert raw_only["regression_flag"] is True
