@@ -262,3 +262,58 @@ def test_parse_sitemap_directives_edge_cases():
     ]
     assert parse_sitemap_directives("") == []
     assert parse_sitemap_directives(None) == []
+
+
+def test_rule_to_regex_differential_hypothesis():
+    """Differential: matching a wildcard rule via the compiled regex
+    (Python re — same semantics as Java/RE2 for this .*-and-anchor
+    subset) must agree with a straightforward interpreter of RFC 9309
+    §2.2.3 wildcard semantics on random rule/path pairs."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unified_ocr_pipeline_spark.operators.robots import rule_to_regex
+
+    def interp_match(rule: str, path: str) -> bool:
+        anchored = rule.endswith("$")
+        body = rule[:-1] if anchored else rule
+        parts = body.split("*")
+        pos = 0
+        # first part must match at the start
+        if not path.startswith(parts[0]):
+            return False
+        pos = len(parts[0])
+        for part in parts[1:-1] if len(parts) > 1 else []:
+            i = path.find(part, pos)
+            if i < 0:
+                return False
+            pos = i + len(part)
+        if len(parts) > 1:
+            last = parts[-1]
+            if anchored:
+                return path.endswith(last) and (
+                    len(path) - len(last) >= pos
+                )
+            i = path.find(last, pos)
+            return i >= 0
+        return path == body if anchored else True
+
+    alphabet = "ab/*.$%"
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, min_size=1, max_size=12),
+        st.text(alphabet="ab/.$%", min_size=0, max_size=16),
+    )
+    def check(rule, path):
+        rx = rule_to_regex(rule)
+        if rx is None:
+            # plain prefix rule: engine matches via startswith
+            assert "*" not in rule and not rule.endswith("$")
+            return
+        got = re.search(rx, path) is not None
+        want = interp_match(rule, path)
+        assert got == want, (rule, path, rx)
+
+    check()
