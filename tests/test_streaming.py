@@ -197,3 +197,72 @@ def test_read_extracted_latest_across_epochs(spark, tmp_path):
            latest.select("url", "warc_ts").collect()}
     for u in recrawled:
         assert got[u] == 2025                   # newest epoch won
+
+
+def test_streaming_revisits_state_across_microbatches(spark, tmp_path):
+    """Streaming CDX classification: per-surt last-digest state persists
+    across micro-batches; unchanged content → revisit, changed → response
+    (A→B→A is all responses — last-capture semantics, not the batch
+    index's any-prior grouping)."""
+    import datetime as dt
+
+    from unified_ocr_pipeline_spark.streaming.incremental import PAGES_SCHEMA
+    from unified_ocr_pipeline_spark.streaming.stateful import streaming_revisits
+
+    pages_dir = tmp_path / "cpages"
+    pages_dir.mkdir()
+
+    def row(url, minute, body):
+        return {
+            "url": url,
+            "warc_ts": dt.datetime(2024, 1, 1, 0, minute, 0),
+            "html": body.encode(),
+            "text": None,
+            "lang": "en",
+        }
+
+    import os
+
+    # batch 0: page X v1 (response), page Y v1 (response)
+    _write_batch(pages_dir, [
+        row("http://a.com/x", 0, "v1"), row("http://a.com/y", 1, "w1"),
+    ], "b0")
+    # batch 1: X v1 again (revisit — state crossed the micro-batch),
+    # Y v2 (response)
+    _write_batch(pages_dir, [
+        row("http://www.A.com/x", 2, "v1"), row("http://a.com/y", 3, "w2"),
+    ], "b1")
+    # batch 2: Y back to w1 → RESPONSE under last-capture semantics
+    _write_batch(pages_dir, [row("http://a.com/y", 4, "w1")], "b2")
+    # the file source orders micro-batches by modification time: pin
+    # strictly increasing mtimes so b0 < b1 < b2 deterministically
+    for i, name in enumerate(["b0", "b1", "b2"]):
+        os.utime(pages_dir / f"{name}.parquet", (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pages_dir))
+    )
+    q = (
+        streaming_revisits(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rev_t")
+        .option("checkpointLocation", str(tmp_path / "rckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["surt"], r["ts"]): r["record_type"]
+        for r in spark.sql("SELECT * FROM rev_t").collect()
+    }
+    ms = lambda minute: int(dt.datetime(2024, 1, 1, 0, minute, 0,
+                                        tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert got[("com,a)/x", ms(0))] == "response"
+    assert got[("com,a)/x", ms(2))] == "revisit"     # www variant, same surt
+    assert got[("com,a)/y", ms(1))] == "response"
+    assert got[("com,a)/y", ms(3))] == "response"    # changed
+    assert got[("com,a)/y", ms(4))] == "response"    # A→B→A: changed again

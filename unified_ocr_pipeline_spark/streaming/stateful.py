@@ -160,3 +160,81 @@ def run_host_session_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming CDX revisit classification -------------------------------
+
+REVISIT_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_digest", T.StringType())]
+)
+
+REVISIT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("surt", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("record_type", T.StringType()),
+    ]
+)
+
+
+def _revisit_fold(
+    key: Tuple[str],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (last,) = state.get if state.exists else (None,)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values(["ms", "url"], kind="mergesort")
+    kinds = []
+    for dig in rows["digest"]:
+        kinds.append("revisit" if dig == last else "response")
+        last = dig
+    state.update((last,))
+    yield pd.DataFrame(
+        {
+            "surt": [key[0]] * len(rows),
+            "ts": rows["ms"].astype("int64").values,
+            "url": rows["url"].values,
+            "digest": rows["digest"].values,
+            "record_type": kinds,
+        }
+    )
+
+
+def streaming_revisits(captures_stream: DataFrame) -> DataFrame:
+    """Streaming CDX revisit classification: state per surt is ONE
+    digest (the page's last seen content), a capture is a ``revisit``
+    when its digest equals the previous capture's.
+
+    This is the streaming rendering of ``operators/cdx.cdx_index`` with
+    LAST-capture semantics (the archive's incremental behavior and the
+    ``changed`` signal refresh_schedule consumes) rather than the batch
+    index's any-prior-(surt,digest) grouping — an A→B→A history is
+    response/response/response here, revisit only while unchanged.
+    State is O(#pages) × one digest; append mode — each capture emits
+    exactly one immutable row, so any sink works.
+
+    ``captures_stream``: streaming (url, warc_ts, html) — the engine's
+    canonical pages shape.
+    """
+    from ..functions.url import surt_key
+    from ..operators.cdx import payload_digest
+
+    prepped = captures_stream.select(
+        surt_key(F.col("url")).alias("surt"),
+        F.col("url"),
+        F.unix_millis(F.col("warc_ts").cast("timestamp")).alias("ms"),
+        payload_digest(F.col("html")).alias("digest"),
+    ).where(F.col("ms").isNotNull())
+
+    return prepped.groupBy("surt").applyInPandasWithState(
+        _revisit_fold,
+        outputStructType=REVISIT_OUTPUT_SCHEMA,
+        stateStructType=REVISIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
