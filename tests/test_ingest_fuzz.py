@@ -29,15 +29,46 @@ def test_warc_parse_never_raises(blob):
             assert rec[4] == len(rec[5])
 
 
-@settings(max_examples=200, deadline=None)
-@given(st.text(max_size=2048), st.text(max_size=20))
-def test_robots_parse_never_raises(body, agent):
-    rules, dropped = parse_robots_body(body, agent or "*")
-    assert dropped >= 0
-    for path, allow in rules:
+_ROBOTS_LINE = st.one_of(
+    st.text(max_size=60),  # arbitrary junk lines
+    st.builds(
+        lambda k, v: f"{k}: {v}",
+        st.sampled_from(
+            ["User-agent", "user-AGENT", "Allow", "Disallow", "Crawl-delay",
+             "Sitemap", "Host", "Noindex"]
+        ),
+        st.text(alphabet="ab/*.$% \t0-9", max_size=20),
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_ROBOTS_LINE, max_size=20), st.text(max_size=20))
+def test_robots_parse_never_raises(lines, agent):
+    # structured generation: a healthy share of inputs form real groups,
+    # rules, wildcards, and delays — not just unparseable noise
+    body = "\n".join(lines)
+    rules, n_wild = parse_robots_body(body, agent or "*")
+    assert n_wild >= 0
+    import re as _re
+
+    for path, allow, rx in rules:
         assert path  # empty rules are filtered
         assert isinstance(allow, bool)
-        assert "*" not in path and not path.endswith("$")
+        if rx is None:
+            assert "*" not in path and not path.endswith("$")
+        else:
+            _re.compile(rx)  # every emitted wildcard pattern compiles
+            assert rx.startswith("^")
+    from unified_ocr_pipeline_spark.operators.robots import (
+        parse_crawl_delay,
+        parse_sitemap_directives,
+    )
+
+    d = parse_crawl_delay(body, agent or "*")
+    assert d is None or d >= 0
+    for u in parse_sitemap_directives(body):
+        assert u.startswith(("http://", "https://"))
 
 
 @settings(max_examples=200, deadline=None)
