@@ -101,6 +101,49 @@ def test_no_python_udfs_in_driver_queries(spark):
         assert "PythonUDF" not in plan, name
 
 
+# Queries whose plan legitimately carries a product join: documented
+# exact baselines (brute-force ANN over broadcast queries) and one-row
+# normalizer broadcasts (HITS/PageRank L1 scalars, LM totals) — every
+# other product join in any driver query is a scale bug.
+_PRODUCT_JOIN_OK = {
+    "embedding_topk",      # documented exact brute-force baseline
+    "cosine_near_dups",    # LSH candidates verified vs broadcast queries
+    "hits_scores",         # one-row L1 normalizer cross joins
+    "pagerank",            # one-row dangling-mass scalar
+    "lm_perplexity",       # one-row (N, V) totals
+    "ppl_buckets",         # same totals under the ntile
+    "dsir_weights",        # one-row (nt, nr) totals
+    "zipf_slope",          # one-row OLS moments
+    "decontaminate",       # bounded benchmark n-gram broadcast
+    "extraction_f1",       # one-row vocab totals
+    "quality_gate",        # one-row quantile cutpoint
+    "dedup_clusters",      # one-row convergence scalar per CC round
+    "semantic_dedup",      # seeded-centroid broadcast (bounded cells)
+    "ivf_topk",            # centroid broadcast (bounded cells)
+    "pq_topk",             # codebook broadcast (bounded m×k)
+    "incremental_dedup",   # bounded colliding-band broadcast
+    "tfidf_topk",          # one-row corpus-size (N docs) scalar
+    "bm25_topk",           # one-row avgdl scalar
+    "approx_distinct",     # one-row sketch-union scalar
+    "hll_distinct",        # one-row register-merge scalar
+}
+
+
+def test_no_unexpected_product_joins_in_driver_queries(spark):
+    """Global scale guard: no CartesianProduct anywhere, and
+    BroadcastNestedLoopJoin only in the whitelisted queries whose
+    broadcast side is provably bounded (one-row scalars, seeded
+    codebooks, documented exact baselines)."""
+    offenders = []
+    for name in E.oracle_sql():
+        plan = plan_of(E.queries()[name](spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _PRODUCT_JOIN_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert offenders == [], offenders
+
+
 def test_asof_join_single_exchange(spark):
     """The as-of join's union-window plan must shuffle exactly once (on the
     key), not once per side — the property that makes it beat a range-join
