@@ -176,6 +176,20 @@ def regression_check(out: dict, baseline: dict) -> dict:
         res["regression_flag"] = bool(
             ratio < 1.0 - thresh and norm_ratio < 1.0 - thresh
         )
+    # Bandwidth-aware form: the ALU spin probe is blind to the host's
+    # depressed-DRAM windows (BENCH/BASELINE.md's "ninth batch" regime:
+    # calm spin, 2x-slow trials). When the pin carries a calm-window
+    # bandwidth reading, normalize against delivered GB/s too; the flag
+    # then requires raw AND spin-norm AND bw-norm all below threshold —
+    # any one probe reading calm while docs/s collapsed still flags.
+    pin_bw = baseline.get("bw_gbs_calm")
+    run_bw = (out.get("bw_gbs_before", 0) + out.get("bw_gbs_after", 0)) / 2.0
+    if pin_bw and run_bw:
+        bw_ratio = (out["docs_per_sec"] / run_bw) / (pin / pin_bw)
+        res["vs_baseline_bw_norm"] = round(bw_ratio, 3)
+        res["regression_flag"] = bool(
+            res["regression_flag"] and bw_ratio < 1.0 - thresh
+        )
     return res
 
 
@@ -213,6 +227,44 @@ def _spin_probe_mops(n_procs: int, seconds: float = 2.0) -> float:
     return round(sum(q.get() for _ in procs) / 1e6, 2)
 
 
+def _bw_probe_gbs(n_procs: int, seconds: float = 2.0,
+                  elems: int = 8_000_000) -> float:
+    """Delivered-MEMORY-BANDWIDTH probe: aggregate GB/s of ``n_procs``
+    processes each streaming a triad (c = a + b) over 64 MB float64
+    arrays — far past LLC, so it measures DRAM bandwidth, not cache.
+    BENCH/BASELINE.md documents windows where the integer spin probe
+    reads calm but every Spark trial runs 2× slow (bandwidth/steal
+    depression the ALU probe cannot see); this probe makes that regime
+    visible in the bench JSON. Extraction at sf0.1 moves ~GBs of Arrow
+    batches + shuffle blocks, so docs/s tracks delivered bandwidth more
+    closely than delivered integer throughput."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def stream(q):
+        a = np.ones(elems)
+        b = np.ones(elems)
+        c = np.empty(elems)
+        np.add(a, b, out=c)  # untimed warm-up: first-touch page faults
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < seconds:
+            np.add(a, b, out=c)
+            n += 1
+        # 3 arrays × 8 bytes touched per element per triad pass
+        q.put(n * elems * 3 * 8 / (time.perf_counter() - t0))
+
+    q: "mp.Queue" = mp.Queue()
+    procs = [mp.Process(target=stream, args=(q,)) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return round(total / 1e9, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -239,6 +291,7 @@ def main() -> None:
     )
 
     spin_before = _spin_probe_mops(cpus)
+    bw_before = _bw_probe_gbs(cpus)
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
 
@@ -290,8 +343,11 @@ def main() -> None:
     }
     spark.stop()
     spin_after = _spin_probe_mops(cpus)
+    bw_after = _bw_probe_gbs(cpus)
     out["spin_mops_before"] = spin_before
     out["spin_mops_after"] = spin_after
+    out["bw_gbs_before"] = bw_before
+    out["bw_gbs_after"] = bw_after
     # calm-window reference for this VM at 32 procs is ~700-730 Mops
     # (see BENCH/BASELINE.md); docs_per_spin_mops is the noise-adjusted
     # throughput figure to compare across windows.

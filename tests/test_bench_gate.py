@@ -74,3 +74,29 @@ def test_gate_noise_aware_normalization():
     )
     assert "vs_baseline_norm" not in raw_only
     assert raw_only["regression_flag"] is True
+
+
+def test_gate_bandwidth_normalization():
+    """The spin-blind regime (BENCH/BASELINE.md ninth batch): ALU probe
+    reads calm while DRAM delivery halved and docs/s halved with it —
+    the bw-norm must clear the flag; a true regression (all probes calm,
+    docs/s down) must keep it."""
+    b = _baseline()
+    pin, spin_pin = b["docs_per_sec_calm"], b["spin_mops_calm"]
+    bw_pin = b["bw_gbs_calm"]
+    depressed_bw = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.5,
+         "spin_mops_before": spin_pin, "spin_mops_after": spin_pin,
+         "bw_gbs_before": bw_pin * 0.5, "bw_gbs_after": bw_pin * 0.5},
+        b,
+    )
+    assert depressed_bw["vs_baseline_bw_norm"] == 1.0
+    assert depressed_bw["regression_flag"] is False
+    real = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.5,
+         "spin_mops_before": spin_pin, "spin_mops_after": spin_pin,
+         "bw_gbs_before": bw_pin, "bw_gbs_after": bw_pin},
+        b,
+    )
+    assert real["vs_baseline_bw_norm"] == 0.5
+    assert real["regression_flag"] is True
