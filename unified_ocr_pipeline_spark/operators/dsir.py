@@ -33,11 +33,21 @@ from pyspark.sql import functions as F
 from .sampling import md5_60
 
 
-def _gram_array(text_col: Column) -> Column:
-    """Unigrams + space-joined bigrams of lower(text) split on \\s+.
-    Guarded so single-token and empty docs produce no bigrams (Spark's
+def _tokens(text_col: Column) -> Column:
+    """lower(text) split on \\s+, empties dropped."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+
+
+def _gram_array(t: Column) -> Column:
+    """Unigrams + space-joined bigrams from a MATERIALIZED token-array
+    column. Pass a bound attribute (a projected column), NOT the raw
+    ``_tokens(text)`` expression: Catalyst inlines the subtree into every
+    ``element_at`` lambda with no CSE inside higher-order functions, so
+    the document would be re-tokenized once per bigram index — O(tokens ×
+    text-length) per row (the trap ``curation._ngrams_of`` documents; it
+    made this operator ~20× slower than the tokenize itself). Guarded so
+    single-token and empty docs produce no bigrams (Spark's
     sequence(1, 0) would otherwise count DOWN)."""
-    t = F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
     bi = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -61,9 +71,12 @@ def dsir_features(
     ``(id_col, _t boolean, bucket int, cnt bigint)``. ``is_target`` marks
     the trusted rows (default: none)."""
     flag = is_target if is_target is not None else F.lit(False)
+    # two-step projection: _toks is referenced many times by _gram_array,
+    # which blocks CollapseProject from re-inlining the tokenize
     ex = df.select(
-        F.col(id_col), flag.alias("_t"),
-        F.explode(_gram_array(F.col(text_col))).alias("gram"),
+        F.col(id_col), flag.alias("_t"), _tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col, "_t", F.explode(_gram_array(F.col("_toks"))).alias("gram")
     )
     return (
         ex.select(
