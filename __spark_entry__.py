@@ -653,13 +653,22 @@ def _q_gopher_quality(spark, sf):
     pre-training corpus filters, as JVM Column expressions."""
     d = _t(spark, sf, "documents")
     t = F.col("text")
-    return d.select(
+    # two-step: gate on the PROJECTED signals (gopher_keep_of) — inlining
+    # gopher_keep(t) here re-evaluates all four signal expressions with no
+    # CSE (top_word_coverage's sort+fold dominates), ~1.7x this query
+    sig = d.select(
         "doc_id",
         TX.dup_word_fraction(t).alias("dup_frac"),
         TX.top_word_coverage(t).alias("top_cov"),
         TX.mean_word_length(t).alias("mean_wlen"),
         TX.symbol_word_ratio(t).alias("sym_ratio"),
-        TX.gopher_keep(t).alias("keep"),
+    )
+    return sig.select(
+        "doc_id", "dup_frac", "top_cov", "mean_wlen", "sym_ratio",
+        TX.gopher_keep_of(
+            F.col("dup_frac"), F.col("top_cov"),
+            F.col("mean_wlen"), F.col("sym_ratio"),
+        ).alias("keep"),
     )
 
 

@@ -185,15 +185,33 @@ def symbol_word_ratio(text: Column) -> Column:
     )
 
 
+def gopher_keep_of(dup_frac: Column, top_cov: Column, mean_wlen: Column,
+                   sym_ratio: Column, max_dup_frac: float = 0.3,
+                   max_top_cov: float = 0.2, min_mwl: float = 2.0,
+                   max_mwl: float = 12.0,
+                   max_sym_ratio: float = 0.3) -> Column:
+    """The composite keep/drop gate over ALREADY-COMPUTED shape signals.
+    When a query projects the four signals anyway, gate on the projected
+    columns: Catalyst does not CSE the signal expressions between the
+    standalone projection and a second copy inside the gate, so
+    re-deriving them from text doubles the work (top_word_coverage's
+    sort+fold dominates)."""
+    return (
+        (dup_frac <= max_dup_frac)
+        & (top_cov <= max_top_cov)
+        & mean_wlen.between(min_mwl, max_mwl)
+        & (sym_ratio <= max_sym_ratio)
+    )
+
+
 def gopher_keep(text: Column, max_dup_frac: float = 0.3,
                 max_top_cov: float = 0.2, min_mwl: float = 2.0,
                 max_mwl: float = 12.0, max_sym_ratio: float = 0.3) -> Column:
     """The composite keep/drop gate over the shape signals."""
-    return (
-        (dup_word_fraction(text) <= max_dup_frac)
-        & (top_word_coverage(text) <= max_top_cov)
-        & mean_word_length(text).between(min_mwl, max_mwl)
-        & (symbol_word_ratio(text) <= max_sym_ratio)
+    return gopher_keep_of(
+        dup_word_fraction(text), top_word_coverage(text),
+        mean_word_length(text), symbol_word_ratio(text),
+        max_dup_frac, max_top_cov, min_mwl, max_mwl, max_sym_ratio,
     )
 
 
