@@ -1452,10 +1452,12 @@ def _q_quality_lr(spark, sf):
     Column expression, one codegen'd projection."""
     d = _t(spark, sf, "documents")
     t = F.col("text")
+    # gate on the projected score: quality_lr_keep(t) would re-derive the
+    # whole signal set (no CSE with the aliased copy), ~2x this query
     return d.select(
-        "doc_id",
-        TX.quality_lr_score(t).alias("lr_score"),
-        TX.quality_lr_keep(t).alias("keep"),
+        "doc_id", TX.quality_lr_score(t).alias("lr_score")
+    ).select(
+        "doc_id", "lr_score", (F.col("lr_score") >= 0.5).alias("keep")
     )
 
 
