@@ -190,6 +190,21 @@ def regression_check(out: dict, baseline: dict) -> dict:
         res["regression_flag"] = bool(
             res["regression_flag"] and bw_ratio < 1.0 - thresh
         )
+    # Reference-job form — the strongest normalizer: a frozen Spark job
+    # (constant code, see _ref_job_sec) timed in the same window measures
+    # delivered Spark-stack throughput directly, catching the
+    # depressed-delivery windows BOTH microbenchmark probes miss. The
+    # engine's docs/s × ref_job_sec is window-invariant for unchanged
+    # code; a drop means the ENGINE got slower relative to a job that
+    # cannot have.
+    pin_ref = baseline.get("ref_job_sec_calm")
+    run_ref = out.get("ref_job_sec")
+    if pin_ref and run_ref:
+        ref_ratio = (out["docs_per_sec"] * run_ref) / (pin * pin_ref)
+        res["vs_baseline_ref_norm"] = round(ref_ratio, 3)
+        res["regression_flag"] = bool(
+            res["regression_flag"] and ref_ratio < 1.0 - thresh
+        )
     return res
 
 
@@ -265,6 +280,30 @@ def _bw_probe_gbs(n_procs: int, seconds: float = 2.0,
     return round(total / 1e9, 2)
 
 
+def _ref_job_sec(spark, pages_path: str) -> float:
+    """FROZEN reference job: full scan of the bench fixture's payload
+    column + one cheap hash-agg, best of 2. This code never changes, so
+    its wall time measures the host's delivered Spark-stack throughput
+    (JVM, parquet IO, codegen, scheduler) in THIS window — the most
+    direct normalizer for the shared VM's depressed-delivery windows,
+    which the ALU spin probe misses entirely and the DRAM probe only
+    partially captures (observed: same-binary extraction 8,092 → 1,025
+    docs/s twenty minutes apart while spin read within 12% of calm).
+    docs/s per 1/ref_job_sec is window-invariant for unchanged code and
+    still moves when the ENGINE's code regresses (the reference job
+    doesn't run engine code)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):  # first rep pays JIT + page-cache warm-up (~2x)
+        t0 = time.perf_counter()
+        spark.read.parquet(pages_path).agg(
+            F.sum(F.length("html")), F.count("*")
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -300,6 +339,7 @@ def main() -> None:
     # the first run additionally pays Python-worker pool startup.
     # num_buckets=None → the cluster-derived default (4× cores) — bench the
     # engine at its real defaults, preflight included
+    ref_sec = _ref_job_sec(spark, pages_path)
     e2e_sec = float("inf")
     for rep in range(2):
         out_dir = f"/tmp/bench_out_{int(time.time() * 1000)}_{rep}"
@@ -348,6 +388,7 @@ def main() -> None:
     out["spin_mops_after"] = spin_after
     out["bw_gbs_before"] = bw_before
     out["bw_gbs_after"] = bw_after
+    out["ref_job_sec"] = ref_sec
     # calm-window reference for this VM at 32 procs is ~700-730 Mops
     # (see BENCH/BASELINE.md); docs_per_spin_mops is the noise-adjusted
     # throughput figure to compare across windows.

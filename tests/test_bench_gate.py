@@ -100,3 +100,34 @@ def test_gate_bandwidth_normalization():
     )
     assert real["vs_baseline_bw_norm"] == 0.5
     assert real["regression_flag"] is True
+
+
+def test_gate_reference_job_normalization():
+    """The frozen-reference-job normalizer: when the whole Spark stack
+    runs 4x slow (ref job 4x its pin) and docs/s dropped 4x with it, the
+    engine is unchanged — no flag. When the ref job runs at pin speed
+    but docs/s halved, the engine regressed — flag (all probes calm)."""
+    b = _baseline()
+    pin, spin_pin = b["docs_per_sec_calm"], b["spin_mops_calm"]
+    bw_pin, ref_pin = b["bw_gbs_calm"], b["ref_job_sec_calm"]
+    calm_probes = {
+        "spin_mops_before": spin_pin, "spin_mops_after": spin_pin,
+        "bw_gbs_before": bw_pin, "bw_gbs_after": bw_pin,
+    }
+    depressed_stack = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.25,
+         "ref_job_sec": ref_pin * 4.0, **calm_probes}, b)
+    assert depressed_stack["vs_baseline_ref_norm"] == 1.0
+    assert depressed_stack["regression_flag"] is False
+    real = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin * 0.5,
+         "ref_job_sec": ref_pin, **calm_probes}, b)
+    assert real["vs_baseline_ref_norm"] == 0.5
+    assert real["regression_flag"] is True
+    # pin-run replay: everything at pin values → all ratios exactly 1.0
+    replay = bench.regression_check(
+        {"sf": 0.1, "cpus": 32, "docs_per_sec": pin,
+         "ref_job_sec": ref_pin, **calm_probes}, b)
+    assert replay["vs_baseline"] == 1.0
+    assert replay["vs_baseline_ref_norm"] == 1.0
+    assert replay["regression_flag"] is False
