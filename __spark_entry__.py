@@ -1452,8 +1452,10 @@ def _q_quality_lr(spark, sf):
     Column expression, one codegen'd projection."""
     d = _t(spark, sf, "documents")
     t = F.col("text")
-    # gate on the projected score: quality_lr_keep(t) would re-derive the
-    # whole signal set (no CSE with the aliased copy), ~2x this query
+    # gate on the projected score rather than quality_lr_keep(t): measured
+    # neutral (CSE catches the exact-duplicate score subtree here), but it
+    # stops relying on CSE — the gopher gate showed HOF-heavy duplicates
+    # can miss elimination when lambda-variable ids differ
     return d.select(
         "doc_id", TX.quality_lr_score(t).alias("lr_score")
     ).select(

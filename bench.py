@@ -282,7 +282,7 @@ def _bw_probe_gbs(n_procs: int, seconds: float = 2.0,
 
 def _ref_job_sec(spark, pages_path: str) -> float:
     """FROZEN reference job: full scan of the bench fixture's payload
-    column + one cheap hash-agg, best of 2. This code never changes, so
+    column + one cheap hash-agg, best of 3. This code never changes, so
     its wall time measures the host's delivered Spark-stack throughput
     (JVM, parquet IO, codegen, scheduler) in THIS window — the most
     direct normalizer for the shared VM's depressed-delivery windows,
