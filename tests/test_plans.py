@@ -329,6 +329,11 @@ def test_substring_dup_single_gram_shuffle(spark):
     n_h = len(_re.findall(r"hashpartitioning\(h#", plan))
     assert n_h == 1, plan
     assert "BatchEvalPython" not in plan
+    # coverage is an interval-union window over the unique (id, start)
+    # rows — no k-way position explode, no count_distinct Expand
+    assert "Expand" not in plan, plan
+    n_gen = len(_re.findall(r"\(\d+\) Generate", plan))
+    assert n_gen == 1, plan  # only the gram posexplode
 
 
 def test_cdx_index_single_exchange(spark):

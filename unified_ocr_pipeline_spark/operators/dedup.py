@@ -771,9 +771,11 @@ def substring_dup_stats(
     runs ONCE and there is no join-back against a corpus-sized dup set
     (the original agg+join form recomputed the fold per branch and paid
     two extra gram-scale exchanges; this form measured 1.5x faster at
-    sf0.1, 8.3 -> 5.6 s fully materialized). Coverage and gram counts then come from ONE aggregation
-    keyed by doc (count_distinct over the <= k exploded positions and
-    over the start offsets). ``max_gram_df`` (distinct-doc cap, skips
+    sf0.1, 8.3 -> 5.6 s fully materialized). Coverage and gram counts
+    then come from ONE doc-keyed window+agg over the dup starts: since
+    (id, start) is unique, covered tokens is the interval-union length
+    sum(min(k, gap-to-next-start)) — no k-way position explode, no
+    count_distinct Expand. ``max_gram_df`` (distinct-doc cap, skips
     boilerplate floods — same guard family as line_dedup /
     ngram_jaccard) needs a per-hash distinct count, which the window
     form can't express, so that path keeps the agg+join plan.
@@ -811,18 +813,22 @@ def substring_dup_stats(
         )
         dup_starts = g.join(dups, "h").select("id", "start")
 
+    # Coverage = |union of [start, start+k-1] intervals|. (id, start) is
+    # unique in dup_starts (posexplode emits each position once; both the
+    # window filter and the dups semi-join only drop rows), so with starts
+    # sorted the union length is sum(min(k, next_start - start)) with k for
+    # the last interval — ONE window pass over m rows instead of exploding
+    # m*k position rows and paying a double count_distinct Expand (2m*k
+    # rows into the final exchange; 16x fewer rows at the default k=8).
+    w_doc = Window.partitionBy("id").orderBy("start")
+    gap = F.lead("start").over(w_doc) - F.col("start")
+    seg = F.when(gap.isNull(), F.lit(k)).otherwise(F.least(F.lit(k), gap))
     per_doc = (
-        dup_starts.select(
-            "id",
-            "start",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
-            ).alias("pos"),
-        )
+        dup_starts.withColumn("_seg", seg)
         .groupBy("id")
         .agg(
-            F.count_distinct("pos").alias("covered_tokens"),
-            F.count_distinct("start").alias("n_dup_grams"),
+            F.sum("_seg").alias("covered_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
         )
     )
     return (
