@@ -1189,17 +1189,13 @@ def _q_crawl_delay_schedule(spark, sf):
     return out.select("doc_id", "host", "crawl_delay", "slot", "fetch_at")
 
 
-def _q_cdx_revisit(spark, sf):
-    """CDX web-archive index with revisit dedup: 50 pages × ~10 captures
-    each, content version bumping every second capture, urls carrying
-    www/case noise the SURT key must collapse. The oracle derives the
-    surt, digest grouping, capture ordinals, and response/revisit
-    classification straight from the synthesis formula — a wrong
-    reversal, tie-break, or window key flips the hash."""
-    from unified_ocr_pipeline_spark.operators import cdx as CDX
-
-    d = _t(spark, sf, "documents")
-    cap = d.select(
+def _synthetic_captures(d: DataFrame, keep_doc_id: bool = False) -> DataFrame:
+    """The shared CDX capture synthesis: 50 pages × ~10 captures each,
+    content version bumping every 100 doc_ids, urls carrying www/case
+    noise the SURT key must collapse. One definition — the three CDX
+    queries and their three oracle SQL blocks all replay this formula,
+    so a change here must be mirrored in the oracles (and vice versa)."""
+    cols = [
         F.concat(
             F.lit("http://www.Site"), (F.col("doc_id") % 5).cast("string"),
             F.lit(".example.com/Page/"), (F.col("doc_id") % 50).cast("string"),
@@ -1209,8 +1205,22 @@ def _q_cdx_revisit(spark, sf):
             F.lit("v"), F.expr("doc_id div 100").cast("string"),
             F.lit("-page"), (F.col("doc_id") % 50).cast("string"),
         ).alias("html"),
-    )
-    return CDX.cdx_index(cap)
+    ]
+    if keep_doc_id:
+        cols.insert(0, F.col("doc_id"))
+    return d.select(*cols)
+
+
+def _q_cdx_revisit(spark, sf):
+    """CDX web-archive index with revisit dedup over the shared capture
+    synthesis (:func:`_synthetic_captures`). The oracle derives the
+    surt, digest grouping, capture ordinals, and response/revisit
+    classification straight from the synthesis formula — a wrong
+    reversal, tie-break, or window key flips the hash."""
+    from unified_ocr_pipeline_spark.operators import cdx as CDX
+
+    d = _t(spark, sf, "documents")
+    return CDX.cdx_index(_synthetic_captures(d))
 
 
 def _q_cdx_savings(spark, sf):
@@ -1219,18 +1229,7 @@ def _q_cdx_savings(spark, sf):
     from unified_ocr_pipeline_spark.operators import cdx as CDX
 
     d = _t(spark, sf, "documents")
-    cap = d.select(
-        F.concat(
-            F.lit("http://www.Site"), (F.col("doc_id") % 5).cast("string"),
-            F.lit(".example.com/Page/"), (F.col("doc_id") % 50).cast("string"),
-        ).alias("url"),
-        F.col("doc_id").cast("bigint").alias("warc_ts"),
-        F.concat(
-            F.lit("v"), F.expr("doc_id div 100").cast("string"),
-            F.lit("-page"), (F.col("doc_id") % 50).cast("string"),
-        ).alias("html"),
-    )
-    return CDX.storage_savings(CDX.cdx_index(cap))
+    return CDX.storage_savings(CDX.cdx_index(_synthetic_captures(d)))
 
 
 def _q_cdx_incremental(spark, sf):
@@ -1242,18 +1241,7 @@ def _q_cdx_incremental(spark, sf):
     from unified_ocr_pipeline_spark.operators import cdx as CDX
 
     d = _t(spark, sf, "documents")
-    cap = d.select(
-        "doc_id",
-        F.concat(
-            F.lit("http://www.Site"), (F.col("doc_id") % 5).cast("string"),
-            F.lit(".example.com/Page/"), (F.col("doc_id") % 50).cast("string"),
-        ).alias("url"),
-        F.col("doc_id").cast("bigint").alias("warc_ts"),
-        F.concat(
-            F.lit("v"), F.expr("doc_id div 100").cast("string"),
-            F.lit("-page"), (F.col("doc_id") % 50).cast("string"),
-        ).alias("html"),
-    )
+    cap = _synthetic_captures(d, keep_doc_id=True)
     stored = CDX.cdx_index(cap.where(F.col("doc_id") < 250))
     return CDX.cdx_merge(stored, cap.where(F.col("doc_id") >= 250))
 
@@ -1336,8 +1324,9 @@ def _q_charset(spark, sf):
 
 def _q_robots(spark, sf):
     """robots.txt end-to-end: synthesize a formulaic robots body per
-    host (agent groups, comments, empty-Allow no-op, a wildcard rule the
-    deterministic subset drops), parse it with the real parser, and
+    host (agent groups, comments, empty-Allow no-op, a compiled wildcard
+    rule that never matches the synthesized paths), parse it with the
+    real parser, and
     admit one URL per document through longest-match/allow-wins
     evaluation. The oracle predicts every decision from the formula — a
     wrong group pick, prefix-vs-path bug, or tie-break flip all change
@@ -1811,16 +1800,20 @@ def _q_html_markdown(spark, sf):
 def _q_refresh_schedule(spark, sf):
     """Adaptive re-crawl scheduling (Cho & Garcia-Molina): the events
     table becomes a fetch history (url = event_id % 200, changed =
-    event_id % 3 == 0) and each url gets a Poisson change-rate estimate
-    and a clamped refresh interval. The oracle replays aggregation and
-    estimator arithmetic in the same operation order."""
+    event_id % 3 == 0 — except urls u0/u1, pinned never-changed so the
+    λ=0 → refresh=max_days guard is on the oracle contract, not just
+    unit-tested) and each url gets a Poisson change-rate estimate and a
+    clamped refresh interval. The oracle replays aggregation, guards,
+    and estimator arithmetic in the same operation order."""
     from unified_ocr_pipeline_spark.operators import robots as RB
 
     e = _t(spark, sf, "events")
     hist = e.select(
         F.concat(F.lit("u"), (F.col("event_id") % 200).cast("string")).alias("url"),
         F.col("ts").alias("fetch_ts"),
-        (F.col("event_id") % 3 == 0).alias("changed"),
+        ((F.col("event_id") % 3 == 0) & (F.col("event_id") % 200 >= 2)).alias(
+            "changed"
+        ),
     )
     return RB.refresh_schedule(hist)
 
@@ -1906,10 +1899,15 @@ def _q_soft404(spark, sf):
         .when(m == 1, F.lit("error 404 and this page does not exist"))
         .otherwise(F.lit("w")),
     )
-    return d.select(
+    proj = d.select(
         "doc_id",
         TX.soft404_hits(body).alias("n_soft404_hits"),
-        TX.is_soft404(body).alias("soft404"),
+        TX.ws_token_count(body).alias("_toks"),
+    )
+    return proj.select(
+        "doc_id",
+        "n_soft404_hits",
+        TX.soft404_of(F.col("n_soft404_hits"), F.col("_toks")).alias("soft404"),
     )
 
 
@@ -2983,8 +2981,9 @@ def _surt_trap_oracle() -> str:
         c3 AS (
           SELECT doc_id, scheme, path,
             regexp_replace(host, '^www\.', '') AS shost,
-            list_sort(list_filter(str_split(q, '&'),
-                p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_REGEX}')))
+            list_sort(list_transform(list_filter(str_split(q, '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_REGEX}')),
+                p -> lower(p)))
               AS sparams,
             list_filter(str_split(path, '/'), s -> s <> '') AS segs,
             list_filter(str_split(q, '&'), p -> p <> '') AS allparams
@@ -2994,7 +2993,7 @@ def _surt_trap_oracle() -> str:
             array_to_string(list_reverse(str_split(shost, '.')), ',') || ')'
             || CASE WHEN lower(path) = '' THEN '/' ELSE lower(path) END
             || CASE WHEN len(sparams) > 0
-                    THEN '?' || lower(array_to_string(sparams, '&')) ELSE '' END
+                    THEN '?' || array_to_string(sparams, '&') ELSE '' END
           END AS surt,
           CAST(len(segs) AS INT) AS path_depth,
           CAST(len(allparams) AS INT) AS n_params,
@@ -3854,12 +3853,15 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         # refresh_schedule: replay the Cho–Garcia-Molina estimator with
-        # the identical nesting — λ = -ln((n-X+0.5)/(n+0.5)) /
-        # ((t1-t0)/day_us/(n-1)), refresh = clamp(1/λ, 0.25, 30).
+        # the identical nesting and guards — λ = -ln((n-X+0.5)/(n+0.5))
+        # / ((t1-t0)/day_us/(n-1)) when changes and span are observed,
+        # 0 for never-changed urls (refresh = max 30d), NULL for
+        # zero-span changed histories (refresh = min 0.25d).
         "refresh_schedule": """
             WITH h AS (
               SELECT 'u' || CAST(event_id % 200 AS VARCHAR) AS url, ts,
-                     CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS chg
+                     CASE WHEN event_id % 3 = 0 AND event_id % 200 >= 2
+                          THEN 1 ELSE 0 END AS chg
               FROM events),
             a AS (
               SELECT url, COUNT(*) AS n_fetches, SUM(chg) AS n_changed,
@@ -3869,13 +3871,19 @@ def oracle_sql() -> dict[str, str]:
             l AS (
               SELECT url, n_fetches, CAST(n_changed AS BIGINT) AS n_changed,
                      (t1 - t0) / 86400000000.0 AS span_days,
-                     -ln((n_fetches - n_changed + 0.5) / (n_fetches + 0.5))
-                       / ((t1 - t0) / 86400000000.0 / (n_fetches - 1))
-                       AS lambda_per_day
+                     CASE
+                       WHEN n_changed > 0 AND t1 > t0 THEN
+                         -ln((n_fetches - n_changed + 0.5) / (n_fetches + 0.5))
+                           / ((t1 - t0) / 86400000000.0 / (n_fetches - 1))
+                       WHEN n_changed = 0 THEN 0.0
+                       ELSE NULL END AS lambda_per_day
               FROM a)
             SELECT url, n_fetches, n_changed, span_days, lambda_per_day,
-                   LEAST(GREATEST(1.0 / lambda_per_day, 0.25), 30.0)
-                     AS refresh_days
+                   CASE
+                     WHEN lambda_per_day > 0 THEN
+                       LEAST(GREATEST(1.0 / lambda_per_day, 0.25), 30.0)
+                     WHEN lambda_per_day IS NULL THEN 0.25
+                     ELSE 30.0 END AS refresh_days
             FROM l
         """,
         # sitemap_discovery: predict the surviving Sitemap: urls per

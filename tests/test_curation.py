@@ -83,6 +83,10 @@ SURT_CASES = [
     ("http://h.io", "io,h)/"),
     # param VALUES lower-cased too (SURT match-recall tradeoff)
     ("http://h.io/?Q=Xyz", "io,h)/?q=xyz"),
+    # lower-cased BEFORE sorting: case variants share one key, and the
+    # emitted params really are in sorted order ('B' < 'a' in bytes)
+    ("http://h.io/?B=2&a=1", "io,h)/?a=1&b=2"),
+    ("http://h.io/?b=2&a=1", "io,h)/?a=1&b=2"),
     ("not a url", ""),
 ]
 

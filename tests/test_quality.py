@@ -300,3 +300,28 @@ def test_block_signals_shapes(spark):
         "url string, text string",
     ).select(*TX.block_signals(F.col("url"), F.col("text"))).first()
     assert clean["n_block_tokens"] == 0 and clean["is_blocked"] is False
+
+
+def test_block_signals_null_inputs_are_not_block_signals(spark):
+    """NULL url / NULL text must yield is_blocked=false, not NULL — a
+    NULL verdict makes where(~is_blocked) silently drop the document."""
+    from pyspark.sql import functions as F
+
+    from unified_ocr_pipeline_spark.functions import text as TX
+
+    rows = [
+        (None, "clean text here"),
+        ("http://h.com/p", None),
+        (None, None),
+        (None, "casino jackpot casino"),  # token density still fires
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = df.select(*TX.block_signals(F.col("url"), F.col("text"))).collect()
+    assert [r["is_blocked"] for r in got] == [False, False, False, True]
+    assert all(r["url_block"] is False for r in got)
+    assert got[1]["n_block_tokens"] == 0
+    assert got[1]["block_token_ratio"] == 0.0
+    kept = df.select(
+        "url", *TX.block_signals(F.col("url"), F.col("text"))
+    ).where(~F.col("is_blocked"))
+    assert kept.count() == 3

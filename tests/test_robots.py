@@ -129,7 +129,7 @@ def test_admit_wildcard_rules(spark):
             "/index.php?x=1",    # query stripped from path → still .php$
             "/index.phpx",       # $ anchor → not blocked
             "/cal/1999/day",     # wildcard disallow
-            "/cal/2024/day",     # longer literal Allow (14 octets > 12) wins
+            "/cal/2024/day",     # longer Allow (13 octets > 10) wins
             "/exact",            # $-anchored exact block
             "/exactly",          # anchor → allowed
         ],
@@ -317,3 +317,41 @@ def test_rule_to_regex_differential_hypothesis():
         assert got == want, (rule, path, rx)
 
     check()
+
+
+def test_refresh_schedule_degenerate_histories(spark):
+    """Guards: never-changed url -> lambda 0 / refresh max_days; zero-span
+    changed url -> lambda NULL / refresh min_days; no ANSI DIVIDE_BY_ZERO
+    on either (Spark 4 runs ANSI mode by default)."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        # u_never: 3 fetches over 2 days, no change observed
+        ("u_never", t, False),
+        ("u_never", t + dt.timedelta(days=1), False),
+        ("u_never", t + dt.timedelta(days=2), False),
+        # u_same_ts: 2 fetches at one instant, changed
+        ("u_same_ts", t, True),
+        ("u_same_ts", t, True),
+        # u_normal: changes once over 2 days
+        ("u_normal", t, False),
+        ("u_normal", t + dt.timedelta(days=1), True),
+        ("u_normal", t + dt.timedelta(days=2), False),
+        # u_single: one fetch only -> dropped
+        ("u_single", t, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts timestamp, changed boolean"
+    )
+    out = {r["url"]: r for r in ROB.refresh_schedule(df).collect()}
+    assert set(out) == {"u_never", "u_same_ts", "u_normal"}
+    assert out["u_never"]["lambda_per_day"] == 0.0
+    assert out["u_never"]["refresh_days"] == 30.0
+    assert out["u_same_ts"]["lambda_per_day"] is None
+    assert out["u_same_ts"]["refresh_days"] == 0.25
+    lam = out["u_normal"]["lambda_per_day"]
+    import math
+
+    assert lam is not None and abs(lam - (-math.log(2.5 / 3.5))) < 1e-9
+    assert abs(out["u_normal"]["refresh_days"] - 1.0 / lam) < 1e-9

@@ -354,14 +354,23 @@ def soft404_hits(text: Column) -> Column:
     )
 
 
+def soft404_of(hits: Column, n_tokens: Column, max_tokens: int = 120) -> Column:
+    """Soft-404 verdict from ALREADY-PROJECTED signal columns — callers
+    that also project ``soft404_hits`` should gate on that column via
+    this helper instead of calling :func:`is_soft404` beside it:
+    Catalyst does not CSE the duplicated phrase-scan subtrees between
+    two projected columns, so the side-by-side form scans the body
+    twice (same rationale as ``gopher_keep_of``)."""
+    return ((hits >= 1) & (n_tokens <= max_tokens)) | (hits >= 2)
+
+
 def is_soft404(text: Column, max_tokens: int = 120) -> Column:
     """Soft-404 verdict: any marker phrase on a SHORT page (error bodies
     are near-empty), or 2+ distinct phrases regardless of length (long
     templated error pages). Real crawls filter these before dedup so an
     identical error body served by thousands of urls never floods the
     near-dup buckets."""
-    hits = soft404_hits(text)
-    return ((hits >= 1) & (ws_token_count(text) <= max_tokens)) | (hits >= 2)
+    return soft404_of(soft404_hits(text), ws_token_count(text), max_tokens)
 
 
 # Sentence terminator runs followed by whitespace or end-of-text. No
@@ -408,7 +417,7 @@ def _c4_line_keep(line: Column) -> Column:
     t = ws_trim(line)
     lo = F.lower(t)
     return (
-        (F.size(F.split(t, r"\s+")) >= C4_MIN_LINE_WORDS)
+        (ws_token_count(line) >= C4_MIN_LINE_WORDS)
         & t.rlike("[.!?\"']$")
         & ~F.contains(lo, F.lit("javascript"))
         & ~F.contains(lo, F.lit("lorem ipsum"))
@@ -459,13 +468,19 @@ def block_signals(
     (exact matches — substring matching on tokens is the classic
     "Scunthorpe" false-positive trap); a document is blocked by url hit
     OR token density above ``max_token_ratio`` with at least 2 hits.
+
+    NULL url / NULL text contribute NO block signal (coalesced to
+    false/0 before the verdict): without the coalesce, a NULL url makes
+    ``is_blocked`` NULL and the canonical keep-side filter
+    ``where(~is_blocked)`` silently drops the clean document.
     """
     u = F.lower(url)
     url_block = None
     for s in BLOCK_URL_SUBSTRINGS:
         c = u.contains(s)
         url_block = c if url_block is None else (url_block | c)
-    w = words_of(F.lower(text))
+    url_block = F.coalesce(url_block, F.lit(False))
+    w = words_of(F.lower(F.coalesce(text, F.lit(""))))
     blocked = F.array(*[F.lit(b) for b in BLOCK_TOKENS])
     hits = F.size(F.filter(w, lambda t: F.array_contains(blocked, t)))
     n = F.size(w)

@@ -128,7 +128,11 @@ def surt_key(url: Column) -> Column:
     host = F.regexp_replace(host_of(url), r"^www\.", "")
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     path = F.lower(F.regexp_extract(strip_fragment(url), _PATH, 1))
-    params = F.array_sort(clean_query_params(url))
+    # lower BEFORE sorting: SURT lowercases params for match recall, so
+    # ?B=2&a=1 and ?b=2&a=1 must emit the same key — sorting the
+    # original-case strings would order them differently ('B' < 'a')
+    # and split one page's captures across two keys
+    params = F.array_sort(F.transform(clean_query_params(url), F.lower))
     return F.when((scheme == "") | (host == ""), F.lit("")).otherwise(
         F.concat(
             rev_host,
@@ -136,7 +140,7 @@ def surt_key(url: Column) -> Column:
             F.when(path == "", F.lit("/")).otherwise(path),
             F.when(
                 F.size(params) > 0,
-                F.concat(F.lit("?"), F.lower(F.array_join(params, "&"))),
+                F.concat(F.lit("?"), F.array_join(params, "&")),
             ).otherwise(F.lit("")),
         )
     )

@@ -228,8 +228,11 @@ def robots_admit(
     rule matched — default-allow).
 
     Longest-match precedence (most octets in the RULE, RFC 9309
-    §2.2.2 — wildcard rules count their literal text), Allow wins
-    ties: ONE window ordered by (rule length desc, allow desc) after
+    §2.2.2 — the FULL pattern length including ``*`` and ``$``, the
+    same specificity measure as Google's reference robots.txt parser;
+    the RFC itself does not say whether metacharacters count), Allow
+    wins ties: ONE window ordered by (rule length desc, allow desc,
+    rule text asc for determinism) after
     the host join + match filter.  Plain prefix rules match with
     ``startswith`` (codegen fast path); wildcard rules match their
     parse-time-compiled anchored regex via ``rlike``.  URLs whose host
@@ -257,6 +260,7 @@ def robots_admit(
         F.col("_hit").desc(),
         F.length("rule_path").desc(),
         F.col("_allow").desc(),
+        F.col("rule_path").asc(),
     )
     ranked = joined.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
     return ranked.select(
@@ -425,6 +429,13 @@ def refresh_schedule(
     ``λ̂ = -ln((n - X + 0.5) / (n + 0.5)) / mean_gap`` — finite even when
     every fetch changed — and ``refresh = clamp(1/λ̂, min, max)``.
 
+    Degenerate histories are defined, not ANSI-crash (Spark 4 runs ANSI
+    mode, so an unguarded 1/λ̂ throws DIVIDE_BY_ZERO): a url whose
+    fetches never observed a change has λ̂ = 0 and refreshes at
+    ``max_days`` (the slowest cadence); a url whose fetches all share
+    one timestamp but DID change has no observable rate — λ̂ is NULL and
+    it refreshes at ``min_days`` (changes faster than we can see).
+
     Scale shape: ONE hash-agg keyed by url (count/sum/min/max all share
     it, partial agg map-side); the estimator math is pure JVM column
     arithmetic on the aggregated row. Urls with a single fetch are
@@ -439,13 +450,30 @@ def refresh_schedule(
     day_us = 86400.0 * 1e6
     span_days = (F.col("_t1") - F.col("_t0")) / F.lit(day_us)
     mean_gap = span_days / (F.col("n_fetches") - 1)
-    lam = -F.log(
-        (F.col("n_fetches") - F.col("n_changed") + 0.5)
-        / (F.col("n_fetches") + 0.5)
-    ) / mean_gap
-    refresh = F.least(
-        F.greatest(F.lit(1.0) / lam, F.lit(float(min_days))),
-        F.lit(float(max_days)),
+    # Branch order matters: the division only runs where its guard holds
+    # (If evaluates one branch per row, so ANSI mode never sees a 0
+    # divisor). n_changed = 0 → λ = 0; zero span with changes → NULL.
+    lam = (
+        F.when(
+            (mean_gap > 0) & (F.col("n_changed") > 0),
+            -F.log(
+                (F.col("n_fetches") - F.col("n_changed") + 0.5)
+                / (F.col("n_fetches") + 0.5)
+            ) / mean_gap,
+        )
+        .when(F.col("n_changed") == 0, F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    refresh = (
+        F.when(
+            lam > 0,
+            F.least(
+                F.greatest(F.lit(1.0) / lam, F.lit(float(min_days))),
+                F.lit(float(max_days)),
+            ),
+        )
+        .when(lam.isNull(), F.lit(float(min_days)))
+        .otherwise(F.lit(float(max_days)))
     )
     return agg.select(
         "url", "n_fetches", "n_changed",
