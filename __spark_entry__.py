@@ -838,18 +838,24 @@ def _q_tfidf_topk(spark, sf):
     )
 
 
-def _synthetic_link_pages(d):
+def _synthetic_link_pages(d, anchor_text=None):
     """Pages with a deterministic link formula (doc_id % 4 anchors, dst
     host h{(doc_id*7+i) % 20}.example.com) built entirely JVM-side, so a
     SQL oracle can replay the formula while the Spark side reparses the
-    real HTML."""
+    real HTML. ``anchor_text`` (optional ``i -> Column``) supplies the
+    anchor's inner text — default literal ``x``; the pagerank/hits/
+    outlink AND anchor-text oracles all replay this one formula, so a
+    change here must be mirrored in those SQL blocks."""
     n = F.pmod(F.col("doc_id"), F.lit(4))
+    text_of = anchor_text or (lambda i: F.lit("x"))
     link = lambda i: F.concat(  # noqa: E731
         F.lit('<a href="http://h'),
         F.pmod(F.col("doc_id") * 7 + i, F.lit(20)).cast("string"),
         F.lit(".example.com/p"),
         i.cast("string"),
-        F.lit('">x</a>'),
+        F.lit('">'),
+        text_of(i),
+        F.lit("</a>"),
     )
     links = F.when(n == 0, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), link)
@@ -960,31 +966,14 @@ def _synthetic_anchor_pages(d):
     """Link pages whose anchors also carry formulaic anchor TEXT
     (t{(doc_id + 3i) % 5}), so the SQL oracle can replay the per-host
     anchor-text consensus while the Spark side re-parses the real HTML
-    through the stdlib anchor collector."""
-    n = F.pmod(F.col("doc_id"), F.lit(4))
-    link = lambda i: F.concat(  # noqa: E731
-        F.lit('<a href="http://h'),
-        F.pmod(F.col("doc_id") * 7 + i, F.lit(20)).cast("string"),
-        F.lit(".example.com/p"),
-        i.cast("string"),
-        F.lit('">t'),
-        F.pmod(F.col("doc_id") + 3 * i, F.lit(5)).cast("string"),
-        F.lit("</a>"),
-    )
-    links = F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), link)
-    )
-    return d.select(
-        F.concat(
-            F.lit("http://src"), F.col("doc_id"), F.lit(".example.com/page")
-        ).alias("url"),
-        F.concat(
-            F.lit("<html><body><p>"),
-            F.coalesce(F.col("text"), F.lit("")),
-            F.lit("</p>"),
-            F.array_join(links, ""),
-            F.lit("</body></html>"),
-        ).alias("html"),
+    through the stdlib anchor collector. Same page/link scaffolding as
+    :func:`_synthetic_link_pages` — one definition, not two copies."""
+    return _synthetic_link_pages(
+        d,
+        anchor_text=lambda i: F.concat(
+            F.lit("t"),
+            F.pmod(F.col("doc_id") + 3 * i, F.lit(5)).cast("string"),
+        ),
     )
 
 

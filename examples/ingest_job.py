@@ -76,8 +76,11 @@ def main() -> None:
 
     blobs = spark.read.parquet(src) if src else synth_warc(spark)
 
-    # 1. segment
-    recs = WARC.parse_warc_records(blobs, "blob", "file_id")
+    # 1. segment — persist: the Python-heavy WARC parse feeds both the
+    # quarantine count and the whole downstream chain, and the summary
+    # at the end fires several actions; without the cache each one
+    # re-runs segmentation + transcoding end to end
+    recs = WARC.parse_warc_records(blobs, "blob", "file_id").persist()
     ok = recs.where(F.col("warc_type") == "response")
     bad = recs.where(F.col("warc_type") != "response")
 
@@ -117,6 +120,7 @@ def main() -> None:
         F.lit("en").alias("lang"),
         "charset", "slot", "fetch_at",
     )
+    out = out.persist()
     n_all = recs.count()
     n_bad = bad.count()
     n_admit = out.count()

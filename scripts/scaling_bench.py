@@ -105,33 +105,55 @@ class LevelRunner:
             buckets=buckets, max_bytes=MAX_BYTES,
         )
         self.cores = cores
+        # bufsize=0 + raw os.read: select() watches the FD, so any
+        # Python-level buffering between the fd and the reader can hide a
+        # complete line (two lines coalesced into one pipe chunk → first
+        # readline() buffers both, pipe is now empty, select() blocks on
+        # the already-received answer → spurious 900 s TimeoutError).
+        # Reading the raw fd into our own byte buffer closes that race.
         self.proc = subprocess.Popen(
             [sys.executable, "-c", code],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+            stderr=subprocess.DEVNULL, bufsize=0,
         )
+        self._buf = b""
+
+    def _readline(self, deadline: float) -> str:
+        import os
+        import select
+
+        while True:
+            i = self._buf.find(b"\n")
+            if i >= 0:
+                line, self._buf = self._buf[: i + 1], self._buf[i + 1 :]
+                return line.decode("utf-8", "replace")
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError("deadline")
+            ready, _, _ = select.select(
+                [self.proc.stdout], [], [], min(remaining, 30)
+            )
+            if not ready:
+                continue
+            chunk = os.read(self.proc.stdout.fileno(), 65536)
+            if not chunk:
+                raise RuntimeError(f"runner local[{self.cores}] died")
+            self._buf += chunk
 
     def _read_until(self, prefix: str, timeout_sec: float = 900.0) -> str:
         # A blocking readline once hung a whole batch for an hour: the
         # runner's py4j call never returned (JVM alive but idle — the
         # wedged worker observed 2026-08-17). select() + deadline makes a
         # dead round cost 15 min instead of the session.
-        import select
-
         deadline = time.monotonic() + timeout_sec
         while True:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
+            try:
+                line = self._readline(deadline)
+            except TimeoutError:
                 raise TimeoutError(
                     f"runner local[{self.cores}] gave no '{prefix}' within "
                     f"{timeout_sec:.0f}s — wedged; caller should respawn"
-                )
-            ready, _, _ = select.select([self.proc.stdout], [], [], min(remaining, 30))
-            if not ready:
-                continue
-            line = self.proc.stdout.readline()
-            if not line:
-                raise RuntimeError(f"runner local[{self.cores}] died")
+                ) from None
             if line.startswith(prefix):
                 return line[len(prefix):].strip()
 
@@ -139,7 +161,7 @@ class LevelRunner:
         self._read_until("READY")
 
     def trial(self, tag: str) -> dict:
-        self.proc.stdin.write(tag + "\n")
+        self.proc.stdin.write((tag + "\n").encode())
         self.proc.stdin.flush()
         r = json.loads(self._read_until("TRIAL "))
         print(f"  local[{self.cores}] TRIAL {json.dumps(r)}", file=sys.stderr)
@@ -153,7 +175,7 @@ class LevelRunner:
 
     def quit(self) -> None:
         try:
-            self.proc.stdin.write("QUIT\n")
+            self.proc.stdin.write(b"QUIT\n")
             self.proc.stdin.flush()
             self.proc.wait(timeout=60)
         except Exception:

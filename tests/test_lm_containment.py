@@ -115,6 +115,31 @@ def test_lm_perplexity_gate_buckets(spark):
     assert max(by_bucket[1]) <= min(by_bucket[2])
 
 
+def test_lm_perplexity_gate_approx_scale_path(spark):
+    """exact=False: percentile_approx cutpoints instead of a global
+    ntile — buckets still order by nll (every bucket-1 nll <= every
+    bucket-2 nll) and the plan carries NO single-partition sort window."""
+    _, df = _corpus(spark)
+    out_df = LM.lm_perplexity_gate(
+        df, "text", "doc_id", sample_mod=1, vocab_size=64, n_buckets=2,
+        exact=False,
+    )
+    out = out_df.collect()
+    assert {r["ppl_bucket"] for r in out} <= {1, 2}
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["nll"])
+    if len(by_bucket) == 2:
+        assert max(by_bucket[1]) <= min(by_bucket[2])
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out_df.explain("formatted")
+    assert "Window" not in buf.getvalue()
+
+
 def test_containment_floods_broadcast_anti(spark):
     # same contract as ngram_jaccard: the only explicit broadcast is the
     # over-threshold flood set on a LEFT ANTI — never the corpus-sized

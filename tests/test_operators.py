@@ -1063,6 +1063,17 @@ def test_pagerank_empty_edges(spark):
     assert LG.pagerank(e, "s", "d").count() == 0
 
 
+def test_hits_zero_iterations_returns_initial_state(spark):
+    # iterations=0 must return (h=1, a=0) per node like
+    # pagerank(iterations=0) returns its initial vector — not crash
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "s string, d string")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in LG.hits(e, "s", "d", iterations=0).collect()}
+    assert got == {"a": (1.0, 0.0), "b": (1.0, 0.0), "c": (1.0, 0.0)}
+
+
 def test_linear_count_distinct_accuracy_and_shape(spark):
     from unified_ocr_pipeline_spark.operators import sampling as SAMP
 

@@ -355,3 +355,20 @@ def test_refresh_schedule_degenerate_histories(spark):
 
     assert lam is not None and abs(lam - (-math.log(2.5 / 3.5))) < 1e-9
     assert abs(out["u_normal"]["refresh_days"] - 1.0 / lam) < 1e-9
+
+
+def test_admit_preserves_duplicate_rows(spark):
+    """Two identical discovered urls must yield two admitted rows — the
+    window key is a per-row id, not the full column set."""
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    )
+    rules = ROB.robots_rules(robots, "host", "body")
+    u = spark.createDataFrame(
+        [("h.com", "http://h.com/x")] * 2 + [("h.com", "http://h.com/private/x")],
+        "host string, url string",
+    )
+    out = ROB.robots_admit(u, rules, "url", "host")
+    assert out.count() == 3
+    assert out.where("admitted").count() == 2

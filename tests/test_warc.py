@@ -60,6 +60,17 @@ def test_parse_blob_bad_content_length_is_truncated():
     assert rows == [(0, "truncated", "http://x/", None, None, None)]
 
 
+def test_parse_blob_negative_content_length_terminates():
+    """Content-Length: -100 must yield a truncated row, not move the
+    cursor backward and re-parse the same record forever."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/\r\nContent-Length: -100\r\n\r\nbody"
+    )
+    rows = _parse_blob(bad)
+    assert rows == [(0, "truncated", "http://x/", None, -100, None)]
+
+
 def test_parse_blob_payload_containing_warc_magic():
     # a payload that embeds the record head must not be split:
     # Content-Length governs, not the magic

@@ -166,7 +166,9 @@ def hits(
         .distinct()
     )
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
-    auth = None
+    # iterations=0 returns the initial state (h=1, a=0) like
+    # pagerank(iterations=0) returns its initial rank vector
+    auth = nodes.select("node", F.lit(0.0).alias("auth"))
     for it in range(iterations):
         a_raw = (
             e.join(hub, e["src"] == hub["node"])

@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 
 from .sampling import md5_60
 
-_WS = re.compile(r"\s+")
+# ASCII-pinned: Spark's Java \s+ and the DuckDB oracle's RE2 \s+ are
+# ASCII-only, so the Python side must not additionally split on Unicode
+# whitespace (U+00A0 etc.) or train/score tokenize the same doc
+# differently (same pin as operators/dedup.py _WS)
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def lm_train(
@@ -144,18 +148,43 @@ def lm_perplexity_gate(
     sample_mod: int = 4,
     vocab_size: int = 4096,
     n_buckets: int = 4,
+    exact: bool = True,
 ) -> DataFrame:
-    """Train-and-score convenience: NTILE-bucket documents by nll.
+    """Train-and-score convenience: bucket documents by nll.
 
     Returns ``(id_col, n_tok, nll, ppl_bucket int)`` where bucket 1 is
     the most-fluent quartile (CCNet keeps head/middle buckets for
-    training mixes).  The ntile is a single window over the scored
-    relation — at 100 TB, swap for approx quantile cutpoints if the
-    exact global ranking isn't required.
+    training mixes).
+
+    ``exact=True`` (default, the oracle-replayable form) ranks with ONE
+    global ntile window — a single-reducer sort, fine at fixture scale,
+    wrong at 100 TB.  ``exact=False`` is the scale path (same
+    exact-vs-rate split as mixture_sample/mixture_rate): one
+    ``percentile_approx`` aggregate computes the n_buckets-1 nll
+    cutpoints in-plan, broadcast-cross-joined back, and each row buckets
+    by comparison — all map-side after one partial-aggregated pass, no
+    global sort, at the cost of approximate (not exactly equal-count)
+    bucket boundaries.
     """
     from pyspark.sql import Window
 
     lm, meta = lm_train(df, text_col, id_col, sample_mod, vocab_size)
     scored = lm_score(df, lm, meta, text_col, id_col)
-    w = Window.orderBy(F.col("nll").asc(), F.col(id_col).asc())
-    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    if exact:
+        w = Window.orderBy(F.col("nll").asc(), F.col(id_col).asc())
+        return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.agg(
+        F.percentile_approx("nll", F.array(*[F.lit(q) for q in qs]), 10_000)
+        .alias("_cuts")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (
+            F.col("nll") > F.element_at(F.col("_cuts"), i + 1)
+        ).cast("int")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn("ppl_bucket", bucket)
+        .drop("_cuts")
+    )

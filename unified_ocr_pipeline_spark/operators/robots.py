@@ -242,7 +242,13 @@ def robots_admit(
         F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/[^#?]*)", 1), F.lit("")),
         F.lit("/"),
     )
-    u = urls.withColumn("_path", path)
+    # per-row window key: partitioning by *urls.columns would (a) collapse
+    # duplicate input rows to one output row and (b) hash/sort every
+    # payload column (document bodies riding through the admission gate)
+    # as exchange keys
+    u = urls.withColumn("_path", path).withColumn(
+        "_row", F.monotonically_increasing_id()
+    )
     r = rules.select(
         F.col(host_col).alias("_rhost"),
         "rule_path",
@@ -256,7 +262,7 @@ def robots_admit(
             F.col("_rx").isNull(), F.col("_path").startswith(F.col("rule_path"))
         ).otherwise(F.expr("_path rlike _rx")),
     )
-    w = Window.partitionBy(*(u.columns)).orderBy(
+    w = Window.partitionBy("_row").orderBy(
         F.col("_hit").desc(),
         F.length("rule_path").desc(),
         F.col("_allow").desc(),

@@ -65,7 +65,11 @@ def _parse_blob(blob: bytes) -> list[tuple]:
         except ValueError:
             clen = None
         body_start = hdr_end + 4
-        if clen is None or body_start + clen > n:
+        # clen < 0 would move the cursor BACKWARD (pos = body_start + clen
+        # lands before this record's magic), re-finding the same record
+        # forever — a corrupt 'Content-Length: -100' must be a truncated
+        # row, not a non-terminating task
+        if clen is None or clen < 0 or body_start + clen > n:
             out.append(
                 (
                     idx,
