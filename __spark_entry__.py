@@ -1401,6 +1401,77 @@ def _q_warc_segment(spark, sf):
     )
 
 
+def _q_http_parse(spark, sf):
+    """HTTP response-layer round trip: synthesize full HTTP messages
+    from the documents table (status/Content-Type/Location by doc_id
+    formula, body = the document's text bytes), then split them back
+    with the pure-JVM response parser (functions/http.py — no Python
+    worker, whole-stage codegen). The oracle predicts every field from
+    the generative formula: status digits, mime lowercasing + parameter
+    strip, quoted-charset extraction, Location passthrough, declared
+    Content-Length, and a byte-exact body md5."""
+    from unified_ocr_pipeline_spark.functions import http as HTTP
+
+    d = _t(spark, sf, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    status = (
+        F.when(m == 0, 200).when(m == 1, 301).when(m == 2, 404)
+        .when(m == 3, 200).otherwise(204)
+    )
+    reason = (
+        F.when(m == 0, "OK").when(m == 1, "Moved Permanently")
+        .when(m == 2, "Not Found").when(m == 3, "OK")
+        .otherwise("No Content")
+    )
+    # m=3 exercises mime lowercasing + quoted-charset param parsing
+    ctype = F.when(
+        m == 3, F.lit('text/Plain; charset="Latin-1"')
+    ).otherwise(F.lit("text/html; charset=UTF-8"))
+    loc = F.when(
+        m == 1,
+        F.concat(
+            F.lit("https://next"), F.col("doc_id").cast("string"),
+            F.lit(".example.com/"),
+        ),
+    )
+    body = F.when(m == 4, F.lit(b"")).otherwise(
+        F.coalesce(F.col("text"), F.lit("")).cast("binary")
+    )
+    payload = HTTP.http_response_bytes(status, reason, ctype, loc, body)
+    parsed = d.select("doc_id", payload.alias("payload")).select(
+        "doc_id", *HTTP.parse_http_response(F.col("payload"))
+    )
+    return parsed.select(
+        "doc_id", "http_version", "status", "mime", "charset", "location",
+        "declared_length",
+        F.md5("body").alias("body_md5"),
+        F.octet_length("body").alias("body_len"),
+    )
+
+
+def _q_redirect_chains(spark, sf):
+    """Redirect-chain resolution by pointer doubling (operators/
+    redirects.py, log2(cap) self-joins instead of cap shuffle rounds):
+    formulaic hop edges from the documents table — chains u{4k}→…→
+    u{4k+3}, and every tail with doc_id%40==3 closed back into a
+    4-cycle — resolved at an 8-hop cap. The oracle replays the walk as
+    a DuckDB recursive CTE capped at the same hop count and classifies
+    cycles by the same 'final node still has an outgoing edge' rule."""
+    from unified_ocr_pipeline_spark.operators import redirects as RED
+
+    d = _t(spark, sf, "documents")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    m4 = F.pmod(F.col("doc_id"), F.lit(4))
+    m40 = F.pmod(F.col("doc_id"), F.lit(40))
+    edges = d.select(
+        u(F.col("doc_id")).alias("src"),
+        F.when(m4 != 3, u(F.col("doc_id") + 1))
+        .when(m40 == 3, u(F.col("doc_id") - 3))
+        .alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return RED.resolve_redirects(edges, "src", "dst", max_hops=8)
+
+
 def _q_hits(spark, sf):
     """Fixed-2-iteration HITS hubs/authorities over the same parsed link
     graph as pagerank (L1-normalized per half-step). The oracle replays
@@ -2458,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr": _q_quality_lr,
         "hits_scores": _q_hits,
         "warc_segment": _q_warc_segment,
+        "http_parse": _q_http_parse,
+        "redirect_chains": _q_redirect_chains,
         "robots_admission": _q_robots,
         "charset_transcode": _q_charset,
         "crawl_schedule": _q_crawl_schedule,
@@ -4697,6 +4770,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(clen AS BIGINT) AS content_length,
                    payload_md5
             FROM base
+        """,
+        # http_parse: the oracle PREDICTS every parsed field from the
+        # generative formula — the Spark side builds real HTTP message
+        # bytes and re-splits them with the JVM parser, so a wrong byte
+        # offset, a case-sensitive header match, or a charset touching
+        # the body all change the md5.
+        "http_parse": """
+            WITH base AS (
+              SELECT doc_id, doc_id % 5 AS m,
+                     octet_length(encode(coalesce(text, ''))) AS tlen,
+                     md5(coalesce(text, '')) AS tmd5
+              FROM documents)
+            SELECT doc_id,
+                   '1.1' AS http_version,
+                   CASE m WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404
+                          WHEN 3 THEN 200 ELSE 204 END AS status,
+                   CASE WHEN m = 3 THEN 'text/plain'
+                        ELSE 'text/html' END AS mime,
+                   CASE WHEN m = 3 THEN 'latin-1'
+                        ELSE 'utf-8' END AS charset,
+                   CASE WHEN m = 1 THEN 'https://next'
+                        || CAST(doc_id AS VARCHAR) || '.example.com/'
+                   END AS location,
+                   CAST(CASE WHEN m = 4 THEN 0 ELSE tlen END AS BIGINT)
+                     AS declared_length,
+                   CASE WHEN m = 4 THEN md5('') ELSE tmd5 END AS body_md5,
+                   CAST(CASE WHEN m = 4 THEN 0 ELSE tlen END AS INTEGER)
+                     AS body_len
+            FROM base
+        """,
+        # redirect_chains: recursive CTE walks the same formula edges
+        # one hop at a time capped at the same max_hops=8; the furthest
+        # row per src (arg_max by hops — unique, the graph is
+        # functional) is the final cursor, unresolved iff it still has
+        # an outgoing edge (cycle or over-cap chain).
+        "redirect_chains": """
+            WITH RECURSIVE edges AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                     CASE WHEN doc_id % 4 <> 3
+                            THEN 'u' || CAST(doc_id + 1 AS VARCHAR)
+                          WHEN doc_id % 40 = 3
+                            THEN 'u' || CAST(doc_id - 3 AS VARCHAR)
+                     END AS dst
+              FROM documents
+              WHERE doc_id % 4 <> 3 OR doc_id % 40 = 3),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON e.src = w.cur
+              WHERE w.hops < 8),
+            fin AS (
+              SELECT src, arg_max(cur, hops) AS cur, max(hops) AS hops
+              FROM walk GROUP BY src)
+            SELECT f.src,
+                   CASE WHEN e.src IS NULL THEN f.cur END AS final_url,
+                   CAST(CASE WHEN e.src IS NULL THEN f.hops END AS INTEGER)
+                     AS hops,
+                   e.src IS NULL AS resolved
+            FROM fin f
+            LEFT JOIN (SELECT DISTINCT src FROM edges) e ON e.src = f.cur
         """,
         # robots_admission: the oracle predicts the longest-match /
         # allow-wins decision straight from the URL + body formulas —

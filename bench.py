@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "quality_lr",
     "hits_scores",
     "warc_segment",
+    "http_parse",
+    "redirect_chains",
     "robots_admission",
     "charset_transcode",
     "crawl_schedule",
