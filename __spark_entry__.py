@@ -1639,6 +1639,30 @@ def _q_bloom_anti_join(spark, sf):
     return DD.bloom_anti_join(new, corpus, "text", num_bits=1 << 16).select("doc_id")
 
 
+def _q_bloom_membership(spark, sf):
+    """DataFrame-native Bloom filter, bitmap math oracle-checked BIT-FOR-
+    BIT (unlike bloom_anti_join, whose oracle only certifies the exact
+    final result): fold the corpus keys (doc_id % 3 != 0) into packed
+    32-bit words, probe EVERY key pure-JVM, and report the membership
+    verdict next to ground truth — false positives (maybe_present on a
+    non-member) are deterministic given md5, so the oracle sees the
+    identical ones."""
+    d = _t(spark, sf, "documents")
+    keys = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("key")
+    )
+    members = d.where(F.col("doc_id") % 3 != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("key")
+    )
+    bloom = SAMP.bloom_build(members, "key", m_bits=1 << 16, k=3)
+    probed = SAMP.bloom_probe(bloom, keys, "key", m_bits=1 << 16, k=3)
+    return probed.select(
+        F.substring("key", 2, 19).cast("long").alias("doc_id"),
+        "maybe_present",
+        (F.substring("key", 2, 19).cast("long") % 3 != 0).alias("is_member"),
+    )
+
+
 def _q_split_assign(spark, sf):
     """Deterministic hash-based train/val/test assignment (80/10/10)."""
     d = _t(spark, sf, "documents").select("doc_id")
@@ -2513,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup": _q_substring_dup,
         "tfidf_topk": _q_tfidf_topk,
         "bloom_anti_join": _q_bloom_anti_join,
+        "bloom_membership": _q_bloom_membership,
         "cms_freq": _q_cms_freq,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4260,6 +4285,36 @@ def oracle_sql() -> dict[str, str]:
                    END AS estimate,
                    (SELECT count(DISTINCT fp) FROM keyed) AS exact_distinct
             FROM occ
+        """,
+        # bloom_membership: replay the Bloom bitmap bit-for-bit — k=3
+        # positions are disjoint 16-bit slices of md5-60('u'||doc_id),
+        # packed into 32-bit words by bit_or, probed by bool_and over
+        # the k word/mask tests (left join + 0 floor = absent word is
+        # all-clear, matching the Spark side).
+        "bloom_membership": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(
+                       md5('u' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h
+              FROM documents),
+            pos AS (
+              SELECT doc_id, ((h >> (j * 16)) & 65535) AS pos
+              FROM h CROSS JOIN (VALUES (0), (1), (2)) t(j)),
+            words AS (
+              SELECT CAST(pos >> 5 AS INTEGER) AS word,
+                     bit_or(CAST(1 AS BIGINT)
+                            << CAST(pos & 31 AS INTEGER)) AS bits
+              FROM pos WHERE doc_id % 3 <> 0 GROUP BY word)
+            SELECT p.doc_id,
+                   bool_and(
+                     (coalesce(w.bits, 0)
+                      & (CAST(1 AS BIGINT) << CAST(p.pos & 31 AS INTEGER)))
+                     <> 0) AS maybe_present,
+                   p.doc_id % 3 <> 0 AS is_member
+            FROM pos p
+            LEFT JOIN words w ON w.word = CAST(p.pos >> 5 AS INTEGER)
+            GROUP BY p.doc_id
         """,
         # cms_freq: replay the count-min math — ONE md5-60 per token,
         # row d's bucket = bit-slice d of the hash ((h >> 4d) & 15 at

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "substring_dup",
     "tfidf_topk",
     "bloom_anti_join",
+    "bloom_membership",
     "cms_freq",
     "quantize_embeddings",
     "bm25_topk",

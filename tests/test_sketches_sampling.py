@@ -249,3 +249,75 @@ def test_frontier_bfs_depth_zero_and_no_edges(spark):
     seeds = spark.createDataFrame([("s",)], "node string")
     got = LG.frontier_bfs(edges, "src", "dst", seeds, max_depth=2).collect()
     assert [(r["node"], r["depth"]) for r in got] == [("s", 0)]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = _keys(spark, 2000)
+    bloom = SAMP.bloom_build(keys, "key", m_bits=1 << 15, k=3)
+    out = SAMP.bloom_probe(bloom, keys, "key", m_bits=1 << 15, k=3)
+    assert out.count() == 2000
+    assert out.where(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_fpr_within_budget(spark):
+    n = 2000
+    members = _keys(spark, n, prefix="in")
+    others = _keys(spark, n, prefix="out")
+    m = 1 << 15
+    bloom = SAMP.bloom_build(members, "key", m_bits=m, k=3)
+    fp = (
+        SAMP.bloom_probe(bloom, others, "key", m_bits=m, k=3)
+        .where(F.col("maybe_present"))
+        .count()
+    )
+    # theory: (1 - e^(-k*n/m))^k ~ 0.47% here; allow generous slack —
+    # the point is "rare", the bit-exact check is the DuckDB oracle
+    theory = (1 - math.exp(-3 * n / m)) ** 3
+    assert fp / n < 4 * theory + 0.002
+
+
+def test_bloom_duplicate_invariance(spark):
+    base = _keys(spark, 500)
+    a = SAMP.bloom_build(base, "key", m_bits=1 << 12, k=3)
+    b = SAMP.bloom_build(base.union(base), "key", m_bits=1 << 12, k=3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bloom_words_bounded_and_32bit(spark):
+    m = 1 << 12
+    bloom = SAMP.bloom_build(_keys(spark, 5000), "key", m_bits=m, k=3)
+    rows = bloom.collect()
+    assert len(rows) <= m // 32
+    for r in rows:
+        assert 0 <= r.word < m // 32
+        assert 0 < r.bits < (1 << 32)  # 32-bit packing stays non-negative
+
+
+def test_bloom_null_keys_ignored(spark):
+    df = spark.sql("SELECT * FROM VALUES ('a'), (CAST(NULL AS STRING)) t(key)")
+    bloom = SAMP.bloom_build(df, "key", m_bits=1 << 12, k=3)
+    probed = SAMP.bloom_probe(bloom, df, "key", m_bits=1 << 12, k=3)
+    assert probed.count() == 1  # the null probe row is dropped, not guessed
+
+
+def test_bloom_param_validation(spark):
+    with pytest.raises(AssertionError):
+        SAMP.bloom_build(_keys(spark, 1), "key", m_bits=1000, k=3)
+    with pytest.raises(AssertionError):
+        SAMP.bloom_build(_keys(spark, 1), "key", m_bits=1 << 30, k=3)
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    keys = _keys(spark, 100)
+    bloom = SAMP.bloom_build(keys, "key", m_bits=1 << 12, k=3)
+    plan = (
+        SAMP.bloom_probe(bloom, keys, "key", m_bits=1 << 12, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

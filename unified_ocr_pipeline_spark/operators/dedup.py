@@ -932,6 +932,11 @@ def bloom_anti_join(
 
     Null keys never match an anti-join on either engine, so they pass
     through whichever path they take. Returns ``new_df``'s columns.
+
+    Sibling: ``operators/sampling.bloom_build``/``bloom_probe`` keep the
+    filter as a DataFrame of packed words (persistable, driver-free,
+    SQL-bit-replayable) for callers who want the membership report
+    itself rather than an exact anti-join.
     """
     import numpy as np
     import pandas as pd

@@ -465,6 +465,124 @@ def cms_estimate(
     )
 
 
+def _bloom_params(m_bits: int, k: int) -> int:
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    b = m_bits.bit_length() - 1
+    assert k * b <= 60, "k*log2(m_bits) must fit in the 60-bit hash"
+    return b
+
+
+def _bloom_positions(b: int, k: int, m_bits: int) -> list[Column]:
+    """Bit positions j=0..k-1: disjoint b-bit slices of the 60-bit hash
+    column ``h`` — same partitioned-hash trick as the count-min sketch
+    (one md5 per key, pure integer shifts, bit-replayable in SQL)."""
+    return [
+        F.shiftright(F.col("h"), j * b).bitwiseAND(F.lit(m_bits - 1))
+        for j in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Fold ``df[key_col]`` into a Bloom filter (Bloom 1970): each key
+    sets ``k`` bits of an ``m_bits``-wide bitmap; membership probes
+    (``bloom_probe``) answer "definitely absent" or "maybe present"
+    (false-positive rate ≈ (1 - e^(-k*n/m))^k, zero false negatives).
+    THE classic crawl primitive: 10^10 seen-url strings don't fit
+    anywhere, but their 2 GB bitmap broadcasts to every executor.
+
+    Representation: packed 32-bit words as rows ``(word int, bits
+    bigint)`` — word = pos >> 5, OR of 1 << (pos & 31) — at most
+    m_bits/32 rows regardless of corpus size, absent words implicitly
+    zero. 32-bit packing (not 64) keeps every mask and OR-sum
+    non-negative, so the SQL oracle replays the words without BIGINT
+    sign gymnastics.
+
+    Sibling: ``operators/dedup.bloom_anti_join`` folds its bitmap
+    through the driver (NumPy bytes, xxhash64 double hashing) and uses
+    it only as a prefilter whose RESULT is exact. This pair instead
+    keeps the filter AS A DATAFRAME — persistable to parquet and probed
+    next batch without refolding, never materialized on the driver, and
+    bit-replayable in SQL so the bitmap math itself is oracle-checked.
+
+    Scale shape: each key fans out to k (word, mask) pairs MAP-SIDE and
+    the hash-agg's partial bit_or collapses every task to <= m_bits/32
+    rows before the exchange — shuffle is O(tasks * m/32), never
+    O(rows). Null keys set no bits (SQL semantics, matching the probe's
+    null handling).
+    """
+    b = _bloom_params(m_bits, k)
+    hashed = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .where(F.col("key").isNotNull())
+        .select(md5_60(F.col("key")).alias("h"))
+    )
+    pos = hashed.select(
+        F.explode(F.array(*_bloom_positions(b, k, m_bits))).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("pos"), 5).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Membership-probe a Bloom filter built by ``bloom_build`` with the
+    same ``(m_bits, k)``: for each distinct non-null key, ``maybe_present
+    = true`` iff ALL k of its bit positions are set. False => definitely
+    never inserted; true => present or a hash collision (the caller
+    chooses m/k for the false-positive budget: m = -n*ln(p)/ln(2)^2,
+    k = (m/n)*ln(2)).
+
+    Scale shape: the filter (<= m_bits/32 rows) is BROADCAST; the probe
+    side is a map-side explode + broadcast join + one bool_and agg keyed
+    by the key — no corpus-scale shuffle, which is the entire point of
+    probing a bitmap instead of anti-joining the raw key set.
+
+    Returns (key string, maybe_present boolean).
+    """
+    b = _bloom_params(m_bits, k)
+    probe = (
+        keys.select(F.col(key_col).cast("string").alias("key"))
+        .where(F.col("key").isNotNull())
+        .distinct()
+        .select("key", md5_60(F.col("key")).alias("h"))
+        .select(
+            "key",
+            F.explode(F.array(*_bloom_positions(b, k, m_bits))).alias("pos"),
+        )
+        .select(
+            "key",
+            F.shiftright(F.col("pos"), 5).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))").alias(
+                "mask"
+            ),
+        )
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+    ).alias("hit")
+    return (
+        probe.join(F.broadcast(bloom), ["word"], "left")
+        .select("key", hit)
+        .groupBy("key")
+        .agg(F.bool_and("hit").alias("maybe_present"))
+    )
+
+
 def linear_count_distinct(
     df: DataFrame, key_col: str, m: int = 4096
 ) -> DataFrame:
