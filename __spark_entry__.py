@@ -1472,6 +1472,82 @@ def _q_redirect_chains(spark, sf):
     return RED.resolve_redirects(edges, "src", "dst", max_hops=8)
 
 
+def _q_wet_wat(spark, sf):
+    """The Common Crawl WET/WAT derivation end-to-end (sources/
+    derivatives.py): formulaic full HTTP messages (plain utf-8 /
+    latin-1 / real HTML with title+nav links / a 301 / a PDF) wrapped
+    into WARC blobs of 8 JVM-side, then segmented, HTTP-split, charset-
+    detected, and main-content/title/outlink extracted in one Arrow
+    pass. The oracle predicts every field from the generative formula —
+    the HTML class relies on the block scorer emitting the <p> text
+    byte-exactly (fixture text is pre-normalized) and dropping <nav>."""
+    from unified_ocr_pipeline_spark.functions import http as HTTP
+    from unified_ocr_pipeline_spark.sources import derivatives as DER
+    from unified_ocr_pipeline_spark.sources import warc as WARC
+
+    d = _t(spark, sf, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    ids = F.col("doc_id").cast("string")
+    one_link = F.lit('<a href="http://l0.example.com/">a</a>')
+    two_links = F.concat(
+        one_link, F.lit('<a href="https://l1.example.com/">b</a>')
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), ids,
+        F.lit("</title></head><body><p>"), t, F.lit("</p><nav>"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, two_links)
+        .otherwise(one_link),
+        F.lit("</nav></body></html>"),
+    )
+    status = F.when(m == 3, 301).otherwise(200)
+    reason = F.when(m == 3, "Moved Permanently").otherwise(F.lit("OK"))
+    ctype = (
+        F.when(m == 0, "text/plain; charset=UTF-8")
+        .when(m == 1, "text/plain")
+        .when(m == 2, "text/html; charset=UTF-8")
+        .when(m == 3, "text/html")
+        .otherwise(F.lit("application/pdf"))
+    )
+    loc = F.when(
+        m == 3,
+        F.concat(F.lit("https://next"), ids, F.lit(".example.com/")),
+    )
+    body = (
+        F.when(m == 0, F.encode(F.concat(t, F.lit("☃")), "UTF-8"))
+        .when(m == 1, F.concat(F.encode(t, "ISO-8859-1"), F.lit(b"\xe9")))
+        .when(m == 2, F.encode(html, "UTF-8"))
+        .when(m == 3, F.lit(b""))
+        .otherwise(F.encode(t, "UTF-8"))
+    )
+    rec = WARC.warc_record_bytes(
+        F.lit("response"),
+        F.concat(F.lit("http://doc"), ids, F.lit(".example.com/")),
+        F.lit("2024-01-01T00:00:00Z"),
+        HTTP.http_response_bytes(status, reason, ctype, loc, body),
+    )
+    blobs = (
+        d.select(
+            (F.col("doc_id") % 8).alias("file_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "file_id",
+            F.aggregate(
+                "arr", F.lit(b""), lambda acc, x: F.concat(acc, x["rec"])
+            ).alias("blob"),
+        )
+    )
+    out = DER.derive_wet_wat(blobs, "blob", "file_id")
+    return out.select(
+        "target_uri", "status", "mime", "kind", "charset", "location",
+        "title", "n_links",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+
+
 def _q_hits(spark, sf):
     """Fixed-2-iteration HITS hubs/authorities over the same parsed link
     graph as pagerank (L1-normalized per half-step). The oracle replays
@@ -2555,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "warc_segment": _q_warc_segment,
         "http_parse": _q_http_parse,
+        "wet_wat_derive": _q_wet_wat,
         "redirect_chains": _q_redirect_chains,
         "robots_admission": _q_robots,
         "charset_transcode": _q_charset,
@@ -4853,6 +4930,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN m = 4 THEN md5('') ELSE tmd5 END AS body_md5,
                    CAST(CASE WHEN m = 4 THEN 0 ELSE tlen END AS INTEGER)
                      AS body_len
+            FROM base
+        """,
+        # wet_wat_derive: the oracle predicts every WET/WAT field from
+        # the generative formula — mime from the Content-Type the
+        # formula set, kind from (status, mime), charset from the
+        # detection ladder the body bytes force (☃ → utf-8, bare 0xE9 →
+        # latin-1, pure-ascii HTML → ascii), text md5 from the decoded
+        # body (HTML class: the <p> payload byte-exact, <nav> dropped),
+        # title/links from the synthesized head/nav.
+        "wet_wat_derive": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t, doc_id % 5 AS m
+              FROM documents)
+            SELECT 'http://doc' || CAST(doc_id AS VARCHAR)
+                     || '.example.com/' AS target_uri,
+                   CAST(CASE WHEN m = 3 THEN 301 ELSE 200 END AS INTEGER)
+                     AS status,
+                   CASE WHEN m IN (0, 1) THEN 'text/plain'
+                        WHEN m IN (2, 3) THEN 'text/html'
+                        ELSE 'application/pdf' END AS mime,
+                   CASE WHEN m IN (0, 1, 2) THEN 'text'
+                        WHEN m = 3 THEN 'redirect'
+                        ELSE 'binary' END AS kind,
+                   CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'latin-1'
+                          WHEN 2 THEN 'ascii' END AS charset,
+                   CASE WHEN m = 3 THEN 'https://next'
+                        || CAST(doc_id AS VARCHAR) || '.example.com/'
+                   END AS location,
+                   CASE WHEN m = 2
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                   END AS title,
+                   CAST(CASE WHEN m = 2 THEN
+                          CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                        END AS INTEGER) AS n_links,
+                   CASE m WHEN 0 THEN md5(t || '☃')
+                          WHEN 1 THEN md5(t || 'é')
+                          WHEN 2 THEN md5(t)
+                   END AS text_md5
             FROM base
         """,
         # redirect_chains: recursive CTE walks the same formula edges

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "hits_scores",
     "warc_segment",
     "http_parse",
+    "wet_wat_derive",
     "redirect_chains",
     "robots_admission",
     "charset_transcode",
