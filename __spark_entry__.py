@@ -1715,6 +1715,43 @@ def _q_bloom_anti_join(spark, sf):
     return DD.bloom_anti_join(new, corpus, "text", num_bits=1 << 16).select("doc_id")
 
 
+# Fixed BPE merge table for the bpe_tokenize query (rank = position).
+# Learning itself is iterative-argmax (pytest-differential, operators/
+# bpe.py); APPLYING a merge table is the corpus-scale pass, and with the
+# table fixed it is SQL-replayable: each rank is one left-to-right
+# non-overlapping replace on the chr(31)-joined symbol string — SQL
+# replace() and the kernel's merge loop have identical semantics.
+_BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("table", "</w>"), ("s", "c"), ("sc", "a"), ("a", "l"),
+]
+
+
+def _bpe_replace_chain(col: str = "s") -> str:
+    """Nested DuckDB replace() expression applying _BPE_MERGES in rank
+    order to a chr(31)-joined symbol string."""
+    expr = col
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '{a}' || chr(31) || '{b}', '{a}{b}')"
+    return expr
+
+
+def _q_bpe_tokenize(spark, sf):
+    """BPE tokenization of the documents corpus under the fixed
+     8-merge table (operators/bpe.py bpe_apply: one Arrow pass, per-batch
+    word cache so the merge loop runs per type, not per token). The
+    oracle replays the merge chain as 8 nested replaces per word."""
+    from unified_ocr_pipeline_spark.operators import bpe as BPE
+
+    d = _t(spark, sf, "documents")
+    out = BPE.bpe_apply(d, "doc_id", "text", _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("tokens_md5"),
+    )
+
+
 def _q_bloom_membership(spark, sf):
     """DataFrame-native Bloom filter, bitmap math oracle-checked BIT-FOR-
     BIT (unlike bloom_anti_join, whose oracle only certifies the exact
@@ -2614,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "bloom_anti_join": _q_bloom_anti_join,
         "bloom_membership": _q_bloom_membership,
+        "bpe_tokenize": _q_bpe_tokenize,
         "cms_freq": _q_cms_freq,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4362,6 +4400,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS estimate,
                    (SELECT count(DISTINCT fp) FROM keyed) AS exact_distinct
             FROM occ
+        """,
+        # bpe_tokenize: replay the fixed BPE merge table — per word,
+        # symbols joined by chr(31) with the </w> sentinel, then one
+        # replace per merge IN RANK ORDER (SQL replace is left-to-right
+        # non-overlapping, exactly the BPE replacement rule); token
+        # count and the space-joined token stream md5 must match the
+        # Arrow kernel byte-for-byte.
+        "bpe_tokenize": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(coalesce(text, '')), ' '))
+                       AS word,
+                     unnest(range(1, len(string_split(
+                       trim(coalesce(text, '')), ' ')) + 1)) AS pos
+              FROM documents),
+            enc AS (
+              SELECT doc_id, pos, {_bpe_replace_chain()} AS s
+              FROM (
+                SELECT doc_id, pos,
+                       array_to_string(string_split(word, ''), chr(31))
+                         || chr(31) || '</w>' AS s
+                FROM words WHERE word <> '') base)
+            SELECT d.doc_id,
+                   CAST(coalesce(
+                     sum(len(string_split(e.s, chr(31)))), 0) AS INT)
+                     AS n_tokens,
+                   md5(coalesce(
+                     string_agg(replace(e.s, chr(31), ' '),
+                                ' ' ORDER BY e.pos), '')) AS tokens_md5
+            FROM documents d LEFT JOIN enc e USING (doc_id)
+            GROUP BY d.doc_id
         """,
         # bloom_membership: replay the Bloom bitmap bit-for-bit — k=3
         # positions are disjoint 16-bit slices of md5-60('u'||doc_id),

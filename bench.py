@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "bloom_anti_join",
     "bloom_membership",
+    "bpe_tokenize",
     "cms_freq",
     "quantize_embeddings",
     "bm25_topk",
