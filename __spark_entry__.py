@@ -1821,6 +1821,44 @@ def _q_media_decode_real(spark, sf):
     return MM.extract_media_metadata(_synthetic_media(d), real=True)
 
 
+def _synthetic_audio(d: DataFrame) -> DataFrame:
+    """Per-doc RIFF/WAV clips generated deterministically from doc_id:
+    interleaved sample j = ((doc_id*31 + j*17) % 4001) - 2000 over
+    n = 50 + doc_id % 200 frames, channels = 1 + doc_id % 2 (so both the
+    mono and stereo decode paths run), rate = 8000 + (doc_id % 4) * 4000.
+    Encoded with kernels/audiocodec.encode_wav — the bytes that hit the
+    decoder are a real RIFF container, not a pre-parsed array."""
+    import numpy as np
+    import pandas as pd
+
+    from unified_ocr_pipeline_spark.kernels import audiocodec as AC
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "media": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 200
+                ch = 1 + did % 2
+                rate = 8000 + (did % 4) * 4000
+                j = np.arange(n * ch, dtype=np.int64)
+                v = ((did * 31 + j * 17) % 4001) - 2000
+                out["media_id"].append(did)
+                out["media"].append(AC.encode_wav(v.reshape(n, ch), rate, bits=16))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(gen, schema="media_id long, media binary")
+
+
+def _q_audio_decode_real(spark, sf):
+    """REAL audio decode end-to-end: synthetic per-doc WAVs parsed back
+    with the pure-stdlib RIFF codec (kernels/audiocodec.py); every feature
+    is integer-exact, so the DuckDB oracle replays the generative formula
+    — a wrong chunk walk, sample width, or stat breaks the value hash."""
+    d = _t(spark, sf, "documents")
+    return MM.extract_audio_metadata(_synthetic_audio(d))
+
+
 def _synthetic_meta_pages(d):
     """Pages whose <head> metadata follows a formula over doc_id % 5, so
     the DuckDB oracle can predict every extracted field while the Spark
@@ -2634,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pipeline_yield": _q_pages_pipeline_yield,
         "multimodal_meta": _q_multimodal_meta,
         "media_decode_real": _q_media_decode_real,
+        "audio_decode_real": _q_audio_decode_real,
         "image_dhash_dups": _q_image_dhash_dups,
         "page_metadata": _q_page_metadata,
         "canonical_collapse": _q_canonical_collapse,
@@ -3941,6 +3980,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w*h AS BIGINT) AS n_pixels,
                    CAST(px_sum AS BIGINT) AS px_sum
             FROM g JOIN px USING (doc_id)
+        """,
+        # audio_decode_real: the engine ENCODES a real RIFF/WAV per doc
+        # (interleaved sample j = (doc_id*31 + j*17) % 4001 - 2000, frames/
+        # channels/rate from doc_id) and DECODES it with the pure-stdlib
+        # chunk walker; the oracle replays the generative formula, so any
+        # container-parse or feature-math error breaks the value hash.
+        # Zero crossings use the kernel's fixed class boundary (v < 0).
+        "audio_decode_real": """
+            WITH g AS (
+              SELECT doc_id, 50 + doc_id % 200 AS n,
+                     8000 + (doc_id % 4) * 4000 AS rate,
+                     1 + doc_id % 2 AS ch
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, j.j AS j,
+                     ((doc_id * 31 + j.j * 17) % 4001) - 2000 AS v
+              FROM g, LATERAL unnest(generate_series(0, n * ch - 1)) AS j(j)
+            ),
+            w AS (
+              SELECT doc_id, v,
+                     LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+              FROM s
+            ),
+            f AS (
+              SELECT doc_id,
+                     MAX(ABS(v)) AS peak_abs,
+                     SUM(ABS(v)) AS abs_sum,
+                     SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+                         THEN 1 ELSE 0 END) AS zc
+              FROM w GROUP BY doc_id
+            )
+            SELECT g.doc_id AS media_id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(ch AS INT) AS channels,
+                   CAST(16 AS INT) AS bits,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(peak_abs AS BIGINT) AS peak_abs,
+                   CAST(abs_sum AS BIGINT) AS abs_sum,
+                   CAST(zc AS BIGINT) AS zero_crossings
+            FROM g JOIN f USING (doc_id)
         """,
         # image_dhash_dups: replay the whole perceptual-hash pipeline in
         # SQL — pixel i = (doc_id + i) % 256 on a (h, w) grid, block of a

@@ -6,9 +6,12 @@ PNG/BMP/PPM bytes with the pure-stdlib codecs in ``kernels/imagecodec.py``
 (zlib inflate, scanline unfiltering, BMP stride/BGR handling) and reports
 true dimensions plus pixel statistics, and ``enhance_for_ocr`` reproduces
 the reference's preprocess chain (ref scripts/unified_ocr_pipeline.py:
-643-699). Audio/video codecs are not in this container, so ``decode_media``
-remains the deterministic pseudo-metadata stand-in for those (its math is
-replayable in the DuckDB oracle).
+643-699). The AUDIO path is also fully real: ``extract_audio_metadata``
+parses RIFF/WAV containers with ``kernels/audiocodec.py`` (chunk-list
+walk, PCM 8/16-bit, integer-exact features). Only VIDEO keeps the
+deterministic pseudo-metadata stand-in (``decode_media`` /
+``sample_frames``) — no video codec exists in this container; its math is
+replayable in the DuckDB oracle.
 
 Pattern: ``mapInPandas`` with an iterator of batches — same Arrow-batched
 shape as the text-extraction stage, so the decoders inherit the engine's
@@ -136,6 +139,57 @@ def extract_media_metadata(df: DataFrame, real: bool = False) -> DataFrame:
     if real:
         return pruned.mapInPandas(_decode_batches_real, schema=REAL_META_SCHEMA)
     return pruned.mapInPandas(_decode_batches, schema=MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode (RIFF/WAV via kernels/audiocodec.py)
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("abs_sum", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def extract_audio_metadata(df: DataFrame) -> DataFrame:
+    """df(media_id long, media binary) → real decoded audio metadata.
+
+    The WAV container is parsed for real (chunk walk, fmt validation) and
+    every feature is integer-exact (kernels/audiocodec.py), so the DuckDB
+    oracle can replay the numbers from the fixture's generative formula.
+    Same scale posture as the image path: decode + featurize in ONE
+    column-pruned mapInPandas pass — raw media bytes never enter an
+    exchange, only fixed-width stat rows leave the Python stage.
+    """
+    from unified_ocr_pipeline_spark.kernels import audiocodec as AC
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_META_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                samples, rate, bits = AC.decode_wav(bytes(payload))
+                feats = AC.audio_features(samples, rate)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["channels"].append(samples.shape[1])
+                out["bits"].append(bits)
+                out["n_frames"].append(feats["n_frames"])
+                out["duration_ms"].append(feats["duration_ms"])
+                out["peak_abs"].append(feats["peak_abs"])
+                out["abs_sum"].append(feats["abs_sum"])
+                out["zero_crossings"].append(feats["zero_crossings"])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "media").mapInPandas(gen, schema=AUDIO_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
