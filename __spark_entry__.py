@@ -1859,6 +1859,47 @@ def _q_audio_decode_real(spark, sf):
     return MM.extract_audio_metadata(_synthetic_audio(d))
 
 
+def _synthetic_video(d: DataFrame) -> DataFrame:
+    """Per-doc AVI clips generated deterministically from doc_id: frame f
+    pixel i (row-major) = (doc_id + 7f + 3i) % 256 on a (h, w) grid with
+    w = 4 + doc_id % 9, h = 4 + (doc_id*5) % 9, n_frames = 2 + doc_id % 6,
+    fps = 10 + doc_id % 15. Encoded with kernels/videocodec.encode_avi —
+    the bytes that hit the decoder are a real AVI container (nested LISTs,
+    bottom-up padded DIB rows), not a pre-parsed array."""
+    import numpy as np
+    import pandas as pd
+
+    from unified_ocr_pipeline_spark.kernels import videocodec as VC
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "media": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 9, 4 + (did * 5) % 9
+                nf, fps = 2 + did % 6, 10 + did % 15
+                i = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((did + 7 * f + 3 * i) % 256).astype(np.uint8).reshape(h, w)
+                    for f in range(nf)
+                ]
+                out["media_id"].append(did)
+                out["media"].append(VC.encode_avi(frames, fps=fps))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(gen, schema="media_id long, media binary")
+
+
+def _q_video_decode_real(spark, sf):
+    """REAL video decode end-to-end: synthetic per-doc AVIs parsed back
+    with the pure-stdlib container walker (kernels/videocodec.py), frame
+    stats sampled at stride 2; every statistic is integer-exact, so the
+    DuckDB oracle replays the generative formula — a wrong chunk walk,
+    DIB unflip, stride pad, or motion diff breaks the value hash."""
+    d = _t(spark, sf, "documents")
+    return MM.extract_video_metadata(_synthetic_video(d), frame_stride=2)
+
+
 def _synthetic_meta_pages(d):
     """Pages whose <head> metadata follows a formula over doc_id % 5, so
     the DuckDB oracle can predict every extracted field while the Spark
@@ -2673,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "media_decode_real": _q_media_decode_real,
         "audio_decode_real": _q_audio_decode_real,
+        "video_decode_real": _q_video_decode_real,
         "image_dhash_dups": _q_image_dhash_dups,
         "page_metadata": _q_page_metadata,
         "canonical_collapse": _q_canonical_collapse,
@@ -4022,6 +4064,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs_sum AS BIGINT) AS abs_sum,
                    CAST(zc AS BIGINT) AS zero_crossings
             FROM g JOIN f USING (doc_id)
+        """,
+        # video_decode_real: the engine ENCODES a real AVI per doc (frame f
+        # pixel i = (doc_id + 7f + 3i) % 256, dims/frames/fps from doc_id)
+        # and DECODES it with the pure-stdlib container walker at frame
+        # stride 2; the oracle replays the formula. Sampled frames are
+        # 0,2,…,<nf (generate_series step 2 up to nf-1); motion pairs are
+        # (f, f+2) for f up to nf-3.
+        "video_decode_real": """
+            WITH g AS (
+              SELECT doc_id, 4 + doc_id % 9 AS w, 4 + (doc_id * 5) % 9 AS h,
+                     2 + doc_id % 6 AS nf, 10 + doc_id % 15 AS fps
+              FROM documents
+            ),
+            p AS (
+              SELECT g.doc_id,
+                     SUM((doc_id + 7 * f.f + 3 * i.i) % 256) AS px_sum
+              FROM g,
+                   LATERAL unnest(generate_series(0, nf - 1, 2)) AS f(f),
+                   LATERAL unnest(generate_series(0, w * h - 1)) AS i(i)
+              GROUP BY g.doc_id
+            ),
+            m AS (
+              SELECT g.doc_id,
+                     SUM(ABS(((doc_id + 7 * (f.f + 2) + 3 * i.i) % 256)
+                           - ((doc_id + 7 * f.f + 3 * i.i) % 256))) AS motion
+              FROM g,
+                   LATERAL unnest(generate_series(0, nf - 3, 2)) AS f(f),
+                   LATERAL unnest(generate_series(0, w * h - 1)) AS i(i)
+              GROUP BY g.doc_id
+            )
+            SELECT g.doc_id AS media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(fps AS INT) AS fps,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+                   CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+                   CAST(p.px_sum AS BIGINT) AS px_sum_sampled,
+                   CAST(COALESCE(m.motion, 0) AS BIGINT) AS motion_sum
+            FROM g
+            JOIN p USING (doc_id)
+            LEFT JOIN m USING (doc_id)
         """,
         # image_dhash_dups: replay the whole perceptual-hash pipeline in
         # SQL — pixel i = (doc_id + i) % 256 on a (h, w) grid, block of a

@@ -8,10 +8,14 @@ true dimensions plus pixel statistics, and ``enhance_for_ocr`` reproduces
 the reference's preprocess chain (ref scripts/unified_ocr_pipeline.py:
 643-699). The AUDIO path is also fully real: ``extract_audio_metadata``
 parses RIFF/WAV containers with ``kernels/audiocodec.py`` (chunk-list
-walk, PCM 8/16-bit, integer-exact features). Only VIDEO keeps the
-deterministic pseudo-metadata stand-in (``decode_media`` /
-``sample_frames``) — no video codec exists in this container; its math is
-replayable in the DuckDB oracle.
+walk, PCM 8/16-bit, integer-exact features). The VIDEO path is real at
+the container level: ``extract_video_metadata`` / ``sample_frames_real``
+parse AVI (nested LIST walk, avih/strh/strf, bottom-up padded DIB rows)
+via ``kernels/videocodec.py``. Only lossy codec DECOMPRESSION
+(MJPEG/H.264) stays out of scope — no codec library in this container —
+so the legacy ``decode_media`` / ``sample_frames`` stubs remain for
+opaque compressed payloads; their math is replayable in the DuckDB
+oracle.
 
 Pattern: ``mapInPandas`` with an iterator of batches — same Arrow-batched
 shape as the text-extraction stage, so the decoders inherit the engine's
@@ -190,6 +194,91 @@ def extract_audio_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("media_id", "media").mapInPandas(gen, schema=AUDIO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode (AVI/RIFF + uncompressed DIB via kernels/videocodec.py)
+# ---------------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("px_sum_sampled", T.LongType()),
+        T.StructField("motion_sum", T.LongType()),
+    ]
+)
+
+REAL_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def extract_video_metadata(df: DataFrame, frame_stride: int = 1) -> DataFrame:
+    """df(media_id long, media binary) → real decoded video metadata.
+
+    The AVI container is parsed for real (nested LIST walk, avih/strh/strf
+    validation, bottom-up padded DIB rows) and every statistic is
+    integer-exact (kernels/videocodec.py), replayable by the DuckDB oracle
+    from the fixture's generative formula. One column-pruned mapInPandas
+    pass; raw video bytes never enter an exchange.
+    """
+    from unified_ocr_pipeline_spark.kernels import videocodec as VC
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in VIDEO_META_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                frames, fps, meta = VC.decode_avi(bytes(payload))
+                feats = VC.video_features(frames, fps, frame_stride=frame_stride)
+                out["media_id"].append(mid)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["fps"].append(fps)
+                out["n_frames"].append(feats["n_frames"])
+                out["n_sampled"].append(feats["n_sampled"])
+                out["duration_ms"].append(feats["duration_ms"])
+                out["px_sum_sampled"].append(feats["px_sum_sampled"])
+                out["motion_sum"].append(feats["motion_sum"])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "media").mapInPandas(gen, schema=VIDEO_META_SCHEMA)
+
+
+def sample_frames_real(df: DataFrame, frame_stride: int = 2) -> DataFrame:
+    """REAL video frame sampling (UDTF shape): decode the AVI, keep every
+    ``frame_stride``-th frame, emit one row per kept frame with its true
+    pixel sum and the raw (h, w) grayscale grid re-encoded as PNG via
+    kernels/imagecodec.py — so downstream image operators (dhash dedup,
+    OCR preprocess) consume sampled video frames with no special casing.
+    """
+    from unified_ocr_pipeline_spark.kernels import imagecodec as IC
+    from unified_ocr_pipeline_spark.kernels import videocodec as VC
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "px_sum": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                frames, _fps, _meta = VC.decode_avi(bytes(payload))
+                for fno in range(0, len(frames), frame_stride):
+                    grid = frames[fno]
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fno)
+                    out["px_sum"].append(int(grid.astype("int64").sum()))
+                    out["frame"].append(IC.encode_png(grid))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "media").mapInPandas(gen, schema=REAL_FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
