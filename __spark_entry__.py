@@ -231,6 +231,24 @@ def _q_embedding_lsh_topk(spark, sf):
     return SIM.lsh_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=3)
 
 
+def _q_bitext_mine(spark, sf):
+    """Margin-based bitext mining (operators/bitext.py, Artetxe & Schwenk
+    2019 ratio margin) across the even/odd halves of the embeddings
+    fixture: mutual margin-best pairs above threshold 1.0, neighborhood
+    size k=4. The DuckDB oracle replays both directional top-k searches,
+    the neighborhood averages, the margin, and both mutual windows."""
+    from unified_ocr_pipeline_spark.operators import bitext as BT
+
+    e = _t(spark, sf, "embeddings")
+    return BT.bitext_mine(
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+        mutual=True,
+    )
+
+
 def _q_stratified_sample(spark, sf):
     d = _t(spark, sf, "documents")
     return SAMP.sample_per_group(d, ["source"], "doc_id", 10).select(
@@ -2715,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_real": _q_media_decode_real,
         "audio_decode_real": _q_audio_decode_real,
         "video_decode_real": _q_video_decode_real,
+        "bitext_mine": _q_bitext_mine,
         "image_dhash_dups": _q_image_dhash_dups,
         "page_metadata": _q_page_metadata,
         "canonical_collapse": _q_canonical_collapse,
@@ -3473,6 +3492,58 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
               FROM pairs)
             SELECT qid, nid, round(s, 4) AS sim FROM ranked WHERE rn <= 3
+        """,
+        # bitext_mine: full replay of the ratio-margin pipeline — both
+        # directional exact top-k searches (k=4, ties by neighbor id),
+        # per-vector neighborhood averages, candidate union, margin =
+        # sim / ((a_src + a_tgt)/2), mutual margin-best windows, and the
+        # threshold on the ROUNDED margin (the engine's float canon).
+        "bitext_mine": """
+            WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            fwd AS (
+              SELECT qid, nid, sim FROM (
+                SELECT s.vec_id AS qid, t.vec_id AS nid,
+                       list_cosine_similarity(s.v, t.v) AS sim,
+                       row_number() OVER (
+                         PARTITION BY s.vec_id
+                         ORDER BY list_cosine_similarity(s.v, t.v) DESC,
+                                  t.vec_id) AS rn
+                FROM s, t) WHERE rn <= 4),
+            bwd AS (
+              SELECT qid, nid, sim FROM (
+                SELECT t.vec_id AS qid, s.vec_id AS nid,
+                       list_cosine_similarity(t.v, s.v) AS sim,
+                       row_number() OVER (
+                         PARTITION BY t.vec_id
+                         ORDER BY list_cosine_similarity(t.v, s.v) DESC,
+                                  s.vec_id) AS rn
+                FROM t, s) WHERE rn <= 4),
+            a_s AS (SELECT qid AS src_id, avg(sim) AS a_src FROM fwd GROUP BY qid),
+            a_t AS (SELECT qid AS tgt_id, avg(sim) AS a_tgt FROM bwd GROUP BY qid),
+            cand AS (
+              SELECT src_id, tgt_id, max(sim) AS sim FROM (
+                SELECT qid AS src_id, nid AS tgt_id, sim FROM fwd
+                UNION ALL
+                SELECT nid AS src_id, qid AS tgt_id, sim FROM bwd)
+              GROUP BY src_id, tgt_id),
+            scored AS (
+              SELECT c.src_id, c.tgt_id, c.sim,
+                     c.sim / ((a_src + a_tgt) / 2) AS margin
+              FROM cand c
+              JOIN a_s USING (src_id) JOIN a_t USING (tgt_id)),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY src_id
+                                        ORDER BY margin DESC, tgt_id) AS rf,
+                     row_number() OVER (PARTITION BY tgt_id
+                                        ORDER BY margin DESC, src_id) AS rb
+              FROM scored)
+            SELECT src_id, tgt_id, round(sim, 4) AS sim,
+                   round(margin, 4) AS margin
+            FROM r WHERE rf = 1 AND rb = 1 AND round(margin, 4) >= 1.0
         """,
         "sessionize": """
             WITH o AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),

@@ -1,0 +1,130 @@
+"""Margin-based bitext mining over two embedding sets (CCMatrix-style).
+
+Mining parallel sentence/document pairs across languages is a core
+Common-Crawl curation workload (Artetxe & Schwenk 2019, "Margin-based
+Parallel Corpus Mining with Multilingual Sentence Embeddings"; Schwenk
+et al. 2021 CCMatrix). Raw cosine is miscalibrated across embedding
+neighborhoods — hub vectors score high against everything — so the
+standard fix scores each candidate pair by its RATIO MARGIN:
+
+    margin(x, y) = cos(x, y) / ((avgNN_k(x→Y) + avgNN_k(y→X)) / 2)
+
+i.e. the pair's similarity relative to the mean similarity of each
+side's k-nearest neighborhood. Pairs are kept when they are each
+other's best margin match (mutual) and clear a threshold.
+
+Scale shape:
+- The ONLY corpus-scale stages are the two directional top-k searches;
+  here they are exact (fine up to ~10^5 queries — the query side is
+  broadcast), and at 100 TB you swap in the engine's ANN stages
+  (``operators/ivf.ivf_topk`` / ``operators/similarity.lsh_topk``) —
+  everything downstream consumes the same (id, id, sim) shape.
+- Neighborhood averages are one hash-agg each, one row per vector.
+- Candidate scoring is two id-keyed joins (each one exchange), then a
+  per-source and a per-target window — both partitioned by their key,
+  never global.
+
+Float canon: sims and margins are rounded to 4 decimals at the OUTPUT
+(and the threshold compares the ROUNDED margin), so the DuckDB oracle's
+independent replay lands on identical values.
+
+Reference analog: none (single-node, no embeddings) — this family is
+part of the training-data surface the brief adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _as_double, cosine
+
+
+def _directional_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus → (qid, nid,
+    sim). Unlike ``similarity.brute_force_topk`` there is NO qid != nid
+    exclusion: src and tgt are distinct sets and their id spaces may
+    legitimately collide. Queries are broadcast; corpus never shuffles
+    until k rows per query survive the window."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.0,
+    mutual: bool = True,
+) -> DataFrame:
+    """Mine aligned pairs across two embedding sets → ``(src_id, tgt_id,
+    sim, margin)``, margin-best per source (and per target when
+    ``mutual``), filtered to ``round(margin, 4) >= threshold``.
+
+    Candidates are the union of both directions' top-k sets, so a pair
+    only one side ranks highly still gets scored; neighborhood averages
+    cover EVERY src and tgt vector (they come from the full top-k
+    relations, not the surviving candidates).
+    """
+    fwd = _directional_topk(tgt, src, id_col, vec_col, k)
+    bwd = _directional_topk(src, tgt, id_col, vec_col, k)
+
+    avg_src = fwd.groupBy("qid").agg(F.avg("sim").alias("a_src")).withColumnRenamed("qid", "src_id")
+    avg_tgt = bwd.groupBy("qid").agg(F.avg("sim").alias("a_tgt")).withColumnRenamed("qid", "tgt_id")
+
+    cand = (
+        fwd.select(F.col("qid").alias("src_id"), F.col("nid").alias("tgt_id"), "sim")
+        .unionByName(
+            bwd.select(
+                F.col("nid").alias("src_id"), F.col("qid").alias("tgt_id"), "sim"
+            )
+        )
+        .groupBy("src_id", "tgt_id")
+        .agg(F.max("sim").alias("sim"))  # both directions compute the identical cosine
+    )
+
+    scored = (
+        cand.join(avg_src, "src_id")
+        .join(avg_tgt, "tgt_id")
+        .withColumn(
+            "margin", F.col("sim") / ((F.col("a_src") + F.col("a_tgt")) / 2)
+        )
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    scored = scored.withColumn("rn_fwd", F.row_number().over(w_fwd))
+    keep = F.col("rn_fwd") == 1
+    if mutual:
+        w_bwd = Window.partitionBy("tgt_id").orderBy(
+            F.col("margin").desc(), F.col("src_id")
+        )
+        scored = scored.withColumn("rn_bwd", F.row_number().over(w_bwd))
+        keep = keep & (F.col("rn_bwd") == 1)
+    return (
+        scored.where(keep)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("sim", 4).alias("sim"),
+            F.round("margin", 4).alias("margin"),
+        )
+        .where(F.col("margin") >= threshold)
+    )
