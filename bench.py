@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "moving_avg",
     "value_percentiles",
     "cube_events",
+    "audio_decode_real",
+    "video_decode_real",
+    "bitext_mine",
 ]
 
 

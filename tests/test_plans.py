@@ -369,3 +369,31 @@ def test_cdx_merge_stored_side_is_key_projection(spark):
     # new side needs one exchange for its window + the join keyed the
     # same way; stored side aggregates then joins — no extra shuffles
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+
+
+def test_media_decode_plans_are_narrow_single_python_pass(spark):
+    """audio/video real-decode queries: generator + decoder fuse into a
+    narrow plan — NO exchange anywhere (media bytes never shuffle), and
+    only the doc_id column is read from the parquet scan."""
+    import re
+
+    for q in ("audio_decode_real", "video_decode_real"):
+        plan = plan_of(E.queries()[q](spark, SF))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan)
+        read = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "doc_id" in read and "text" not in read, (q, read)
+        assert "BatchEvalPython" not in plan, q
+
+
+def test_bitext_broadcasts_query_side_not_corpus(spark):
+    """bitext_mine: both directional top-k stages broadcast the QUERY
+    side (BroadcastNestedLoopJoin over the scan); the margin joins and
+    windows shuffle only id-keyed stat rows, never embeddings-with-sims
+    cartesian output wider than the top-k survivors."""
+    plan = plan_of(E.queries()["bitext_mine"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the corpus-side relation must never be the broadcast build side of
+    # a nested-loop join: every BroadcastExchange feeds either the
+    # (filtered) query half or an id-keyed aggregate output
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

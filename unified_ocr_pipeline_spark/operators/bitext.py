@@ -54,6 +54,13 @@ def _directional_topk(
     c = corpus.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
     )
+    # The exact-search corpus is small by contract (ANN replaces this
+    # stage at scale), but a small parquet fixture arrives as ONE scan
+    # partition — and the cosine work is queries × corpus, far wider
+    # than the row count suggests. Spread the cheap (id, vec) projection
+    # across the cluster before fanning out against the broadcast
+    # queries; the shuffle moves only corpus_rows × (8 + dim·8) bytes.
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     sims = c.crossJoin(F.broadcast(q)).select(
         "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("sim")
     )
