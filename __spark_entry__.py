@@ -918,6 +918,26 @@ def _q_pagerank(spark, sf):
     return LG.pagerank(edges, "src_url", "dst_host", iterations=3)
 
 
+def _q_trustrank(spark, sf):
+    """Fixed-3-iteration TrustRank over the parsed link graph: teleport
+    restricted to five trusted seed hosts (h0-h4.example.com), so trust
+    decays with link distance from the seeds — the Gyongyi et al. 2004
+    spam-demotion prior. The oracle replays the edge formula, the seed
+    vector, and all three iterations as chained CTEs."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    edges = LG.outlink_edges(_synthetic_link_pages(d), "url", "html").select(
+        "src_url", F.regexp_extract("href", r"^https?://([^/?#]+)", 1).alias("dst_host")
+    )
+    seeds = spark.range(5).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")).alias(
+            "node"
+        )
+    )
+    return LG.trustrank(edges, seeds, "src_url", "dst_host", iterations=3)
+
+
 def _q_bm25_topk(spark, sf):
     """BM25 relevance top-20 for a 3-term query over the documents
     table ('dup' is the rare discriminating term in the fixture vocab;
@@ -2757,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "outlink_domains": _q_outlink_domains,
         "pagerank": _q_pagerank,
+        "trustrank": _q_trustrank,
         "approx_distinct": _q_approx_distinct,
         "funnel": _q_funnel,
         "salted_skew_join": _q_salted_skew_join,
@@ -4785,6 +4806,64 @@ def oracle_sql() -> dict[str, str]:
                             + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0) AS rank
                    FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node, nn)
             SELECT node, rank FROM r3
+        """,
+        # trustrank: replay the edge formula, the 5-host seed teleport
+        # vector (1/|S| on seeds present in the node set, 0 elsewhere),
+        # and the three fixed iterations — t_{k+1}(v) = 0.85 *
+        # sum_{u->v} t_k(u)/outdeg(u) + (1-0.85) * seed(v)/|S|, dangling
+        # mass dropped, exactly the Spark operator's op order (the
+        # 1-0.85 literal is Python's double 0.15000000000000002).
+        "trustrank": """
+            WITH docs AS (SELECT doc_id, doc_id % 4 AS n FROM documents),
+            e AS (
+              SELECT 'http://src' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/page' AS src,
+                     'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+              FROM docs,
+                   LATERAL unnest(generate_series(0, CAST(n AS INT) - 1))
+                     AS i(i)
+              WHERE n > 0),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM e
+                       UNION SELECT dst AS node FROM e)),
+            seeds AS (SELECT node FROM nodes
+                      WHERE node IN ('h0.example.com', 'h1.example.com',
+                                     'h2.example.com', 'h3.example.com',
+                                     'h4.example.com')),
+            ns AS (SELECT count(*) AS cnt FROM seeds),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            base AS (SELECT nodes.node,
+                            CASE WHEN seeds.node IS NOT NULL
+                                 THEN CAST(1.0 AS DOUBLE) / ns.cnt
+                                 ELSE CAST(0.0 AS DOUBLE) END AS seed_mass
+                     FROM nodes LEFT JOIN seeds USING (node), ns),
+            r0 AS (SELECT node, seed_mass AS trust FROM base),
+            c1 AS (SELECT e.dst, sum(r0.trust / od.outdeg) AS m
+                   FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT base.node,
+                          CAST(0.85 AS DOUBLE) * coalesce(c1.m, 0)
+                            + CAST(0.15000000000000002 AS DOUBLE)
+                              * base.seed_mass AS trust
+                   FROM base LEFT JOIN c1 ON c1.dst = base.node),
+            c2 AS (SELECT e.dst, sum(r1.trust / od.outdeg) AS m
+                   FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT base.node,
+                          CAST(0.85 AS DOUBLE) * coalesce(c2.m, 0)
+                            + CAST(0.15000000000000002 AS DOUBLE)
+                              * base.seed_mass AS trust
+                   FROM base LEFT JOIN c2 ON c2.dst = base.node),
+            c3 AS (SELECT e.dst, sum(r2.trust / od.outdeg) AS m
+                   FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT base.node,
+                          CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0)
+                            + CAST(0.15000000000000002 AS DOUBLE)
+                              * base.seed_mass AS trust
+                   FROM base LEFT JOIN c3 ON c3.dst = base.node)
+            SELECT node, trust FROM r3
         """,
         # bm25_topk: replay the Lucene-idf BM25 (k1=1.2, b=0.75) — same
         # ws-trim/split recipe, dl=0 for empty docs, N counts ALL docs,

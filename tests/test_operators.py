@@ -1063,6 +1063,48 @@ def test_pagerank_empty_edges(spark):
     assert LG.pagerank(e, "s", "d").count() == 0
 
 
+def test_trustrank_hand_computed_and_spam_island(spark):
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    # trusted seed a links into b; b links c; spam island x<->y is
+    # unreachable from the seed and must end at exactly 0 trust.
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "x")],
+        "s string, d string",
+    )
+    seeds = spark.createDataFrame([("a",), ("zzz-not-in-graph",)], "node string")
+    got = {
+        r["node"]: r["trust"]
+        for r in LG.trustrank(e, seeds, "s", "d", iterations=2).collect()
+    }
+    d = 0.85
+    # |S| = 1 (the unknown seed is ignored); t0 = {a:1}
+    t = {"a": 1.0, "b": 0.0, "c": 0.0, "x": 0.0, "y": 0.0}
+    for _ in range(2):
+        t = {
+            "a": d * 0.0 + (1 - d) * 1.0,
+            "b": d * t["a"] + (1 - d) * 0.0,
+            "c": d * t["b"] + (1 - d) * 0.0,
+            "x": d * t["y"] + 0.0,
+            "y": d * t["x"] + 0.0,
+        }
+    for k in t:
+        assert abs(got[k] - t[k]) < 1e-12, (k, got[k], t[k])
+    assert got["x"] == 0.0 and got["y"] == 0.0  # spam island: exact zero
+    # every node reachable from the seed carries positive trust
+    assert all(got[k] > 0 for k in "abc")
+
+
+def test_trustrank_no_seeds_in_graph_returns_zero(spark):
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    e = spark.createDataFrame([("a", "b")], "s string, d string")
+    seeds = spark.createDataFrame([("nope",)], "node string")
+    got = LG.trustrank(e, seeds, "s", "d").collect()
+    assert {r["node"] for r in got} == {"a", "b"}
+    assert all(r["trust"] == 0.0 for r in got)
+
+
 def test_hits_zero_iterations_returns_initial_state(spark):
     # iterations=0 must return (h=1, a=0) per node like
     # pagerank(iterations=0) returns its initial vector — not crash

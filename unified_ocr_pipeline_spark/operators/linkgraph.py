@@ -328,6 +328,86 @@ def anchor_text_profile(edges: DataFrame) -> DataFrame:
     )
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank with the teleport vector restricted to a
+    hand-vetted trusted seed set, so trust decays with link distance
+    from the seeds and spam farms (reachable only through spam links)
+    receive ~0 — the standard crawl-corpus quality prior next to raw
+    PageRank. t_0(v) = 1/|S| for seeds else 0;
+    t_{k+1}(v) = d * sum_{u->v} t_k(u)/outdeg(u) + (1-d) * seed(v)/|S|.
+    Dangling mass is dropped (same variant as ``pagerank`` above —
+    no global redistribution join, pure function of the input,
+    replayable as chained SQL CTEs).
+
+    ``seeds`` is a one-column DataFrame (``seed_col``) of trusted node
+    ids; ids not present in the edge list's node set are ignored.
+
+    Scale shape: identical to ``pagerank`` — per iteration ONE shuffle
+    join of the trust vector against the src-keyed edge list plus ONE
+    dst-keyed hash-agg; the seed membership is resolved ONCE up front
+    with a left-semi join and folded into a static per-node teleport
+    column carried through the loop (seed set never re-joined per
+    iteration). localCheckpoint lineage guard as in ``pagerank``.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = nodes.join(
+        seeds.select(F.col(seed_col).alias("node")).distinct(), "node", "left_semi"
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        return nodes.withColumn("trust", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    graph = e.join(outdeg, "src")  # reused every iteration
+
+    # Static teleport column: (1-d)/|S| on seeds, 0 elsewhere. Carried
+    # on the node frame so each iteration needs no extra join.
+    base = nodes.join(
+        seed_nodes.withColumn("_is_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("seed_mass"),
+    )
+    trust = base.select("node", F.col("seed_mass").alias("trust"), "seed_mass")
+    for it in range(iterations):
+        contribs = (
+            graph.join(trust, graph["src"] == trust["node"])
+            .select("dst", (F.col("trust") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        trust = (
+            base.join(contribs, base["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.lit(1.0 - damping) * F.col("seed_mass")
+                ).alias("trust"),
+                "seed_mass",
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            trust = trust.localCheckpoint(eager=False)
+    return trust.select("node", "trust")
+
+
 def host_reciprocity(
     edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host"
 ) -> DataFrame:
