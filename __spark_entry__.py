@@ -938,6 +938,28 @@ def _q_trustrank(spark, sf):
     return LG.trustrank(edges, seeds, "src_url", "dst_host", iterations=3)
 
 
+def _q_inverted_index(spark, sf):
+    """Sharded inverted-index build over the documents table: postings
+    lists serialized as ordered "id:tf" runs, 4 doc-id shards bounding
+    the width of stopword rows (the classic index-build hot key). The
+    oracle rebuilds the identical artifact with string_agg ORDER BY."""
+    from unified_ocr_pipeline_spark.operators.index import build_postings
+
+    return build_postings(_t(spark, sf, "documents"), "doc_id", "text", n_shards=4)
+
+
+def _q_boolean_and(spark, sf):
+    """Boolean AND retrieval (postings-intersection semantics without
+    materializing the index): documents containing all three query
+    terms. Term filter applies map-side under the explode; one doc-keyed
+    hash-agg counts distinct matched terms."""
+    from unified_ocr_pipeline_spark.operators.index import conjunctive_match
+
+    return conjunctive_match(
+        _t(spark, sf, "documents"), "doc_id", "text", ["dup", "sort", "stream"]
+    )
+
+
 def _q_bm25_topk(spark, sf):
     """BM25 relevance top-20 for a 3-term query over the documents
     table ('dup' is the rare discriminating term in the fixture vocab;
@@ -2775,6 +2797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": _q_cms_freq,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
+        "inverted_index": _q_inverted_index,
+        "boolean_and": _q_boolean_and,
         "outlink_domains": _q_outlink_domains,
         "pagerank": _q_pagerank,
         "trustrank": _q_trustrank,
@@ -4864,6 +4888,48 @@ def oracle_sql() -> dict[str, str]:
                               * base.seed_mass AS trust
                    FROM base LEFT JOIN c3 ON c3.dst = base.node)
             SELECT node, trust FROM r3
+        """,
+        # inverted_index: rebuild the sharded postings artifact — same
+        # ws-trim/split tokenizer as bm25, shard = doc_id % 4, postings
+        # serialized "id:tf" ascending by id (string_agg ORDER BY is the
+        # SQL mirror of array_sort(collect_list(struct(id,tf)))).
+        "inverted_index": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                       '\s+') AS t
+              FROM documents),
+            tok AS (
+              SELECT doc_id, tok.token
+              FROM base, LATERAL unnest(base.t) AS tok(token)
+              WHERE len(base.t) > 0 AND length(tok.token) > 0),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok GROUP BY doc_id, token)
+            SELECT token,
+                   CAST(doc_id % 4 AS INT) AS shard,
+                   count(*) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf,
+                   string_agg(CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(tf AS VARCHAR),
+                              ',' ORDER BY doc_id) AS postings
+            FROM tf GROUP BY token, shard
+        """,
+        # boolean_and: AND-retrieval = docs whose distinct matched query
+        # terms cover the whole query set.
+        "boolean_and": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                       '\s+') AS t
+              FROM documents),
+            tok AS (
+              SELECT doc_id, tok.token
+              FROM base, LATERAL unnest(base.t) AS tok(token)
+              WHERE tok.token IN ('dup', 'sort', 'stream'))
+            SELECT doc_id AS id FROM tok
+            GROUP BY doc_id HAVING count(DISTINCT token) = 3
         """,
         # bm25_topk: replay the Lucene-idf BM25 (k1=1.2, b=0.75) — same
         # ws-trim/split recipe, dl=0 for empty docs, N counts ALL docs,

@@ -1063,6 +1063,59 @@ def test_pagerank_empty_edges(spark):
     assert LG.pagerank(e, "s", "d").count() == 0
 
 
+def test_build_postings_sharding_and_order(spark):
+    from unified_ocr_pipeline_spark.operators.index import build_postings
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "b b"), (5, "a"), (7, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["token"], r["shard"]): (r["df"], r["cf"], r["postings"])
+        for r in build_postings(docs, "doc_id", "text", n_shards=2).collect()
+    }
+    # shard = id % 2; postings ascending by id; tf counted per doc
+    assert rows[("a", 0)] == (1, 2, "0:2")
+    assert rows[("a", 1)] == (2, 2, "1:1,5:1")
+    assert rows[("b", 0)] == (2, 3, "0:1,2:2")
+    assert rows[("c", 1)] == (1, 1, "1:1")
+    assert ("b", 1) not in rows  # no doc in shard 1 contains b
+    assert not any(t == "" for (t, _) in rows)  # blank doc emits nothing
+
+
+def test_build_postings_max_df_prune(spark):
+    from unified_ocr_pipeline_spark.operators.index import build_postings
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "a b"), (3, "a c")],
+        "doc_id long, text string",
+    )
+    toks = {
+        r["token"]
+        for r in build_postings(
+            docs, "doc_id", "text", max_df_frac=0.5
+        ).collect()
+    }
+    # 'a' appears in 4/4 docs > floor(0.5*4)=2 -> pruned; b,c (df 2) kept
+    assert toks == {"b", "c"}
+
+
+def test_conjunctive_match_requires_all_terms(spark):
+    from unified_ocr_pipeline_spark.operators.index import conjunctive_match
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "b b")], "doc_id long, text string"
+    )
+    got = {r["id"] for r in conjunctive_match(docs, "doc_id", "text", ["a", "b"]).collect()}
+    assert got == {0}
+    # duplicate query terms collapse to the distinct set
+    got2 = {
+        r["id"]
+        for r in conjunctive_match(docs, "doc_id", "text", ["a", "a", "b"]).collect()
+    }
+    assert got2 == {0}
+
+
 def test_trustrank_hand_computed_and_spam_island(spark):
     from unified_ocr_pipeline_spark.operators import linkgraph as LG
 
