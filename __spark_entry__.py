@@ -938,6 +938,27 @@ def _q_trustrank(spark, sf):
     return LG.trustrank(edges, seeds, "src_url", "dst_host", iterations=3)
 
 
+def _q_script_detect(spark, sf):
+    """Writing-system histogram + dominant script per document over a
+    deterministic mixed-script synthesis (first 64 chars of the fixture
+    text + a formula-sized run of one foreign script char, so dominance
+    actually flips across docs). Counts are single-char-class
+    regexp_count — the oracle recounts with the IDENTICAL codepoint
+    ranges in RE2 syntax and replays the (-count, name) argmin."""
+    from unified_ocr_pipeline_spark.functions.text import script_profile
+
+    d = _t(spark, sf, "documents")
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "substring(coalesce(text, ''), 1, 64) || "
+            "repeat(element_at(array('ж','漢','α','م','한'), "
+            "cast(doc_id % 5 as int) + 1), cast((doc_id % 10) * 16 as int))"
+        ).alias("t"),
+    )
+    return synth.select("doc_id", *script_profile(F.col("t")))
+
+
 def _q_inverted_index(spark, sf):
     """Sharded inverted-index build over the documents table: postings
     lists serialized as ordered "id:tf" runs, 4 doc-id shards bounding
@@ -2798,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         "inverted_index": _q_inverted_index,
+        "script_detect": _q_script_detect,
         "boolean_and": _q_boolean_and,
         "outlink_domains": _q_outlink_domains,
         "pagerank": _q_pagerank,
@@ -4888,6 +4910,50 @@ def oracle_sql() -> dict[str, str]:
                               * base.seed_mass AS trust
                    FROM base LEFT JOIN c3 ON c3.dst = base.node)
             SELECT node, trust FROM r3
+        """,
+        # script_detect: rebuild the mixed-script synthesis, recount
+        # every script with the same codepoint ranges (RE2 \x{...}
+        # spelling of the engine's literal-char classes), and replay the
+        # dominance argmin as a list_sort over (-count, name) structs.
+        "script_detect": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     substring(coalesce(text, ''), 1, 64)
+                       || repeat(list_extract(
+                            ['ж','漢','α','م','한'],
+                            CAST(doc_id % 5 AS INT) + 1),
+                          CAST((doc_id % 10) * 16 AS INT)) AS t
+              FROM documents),
+            counts AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS INT) AS arabic_n,
+                CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS INT) AS cjk_n,
+                CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS INT) AS cyrillic_n,
+                CAST(len(regexp_extract_all(t, '[\x{0900}-\x{097F}]')) AS INT) AS devanagari_n,
+                CAST(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) AS INT) AS greek_n,
+                CAST(len(regexp_extract_all(t, '[\x{AC00}-\x{D7AF}]')) AS INT) AS hangul_n,
+                CAST(len(regexp_extract_all(t, '[\x{0590}-\x{05FF}]')) AS INT) AS hebrew_n,
+                CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}]')) AS INT) AS kana_n,
+                CAST(len(regexp_extract_all(t, '[A-Za-z\x{00C0}-\x{024F}]')) AS INT) AS latin_n
+              FROM synth)
+            SELECT doc_id, arabic_n, cjk_n, cyrillic_n, devanagari_n,
+                   greek_n, hangul_n, hebrew_n, kana_n, latin_n,
+                   CASE WHEN arabic_n + cjk_n + cyrillic_n + devanagari_n
+                             + greek_n + hangul_n + hebrew_n + kana_n
+                             + latin_n > 0
+                        THEN list_sort([
+                               {'nc': -arabic_n,     's': 'arabic'},
+                               {'nc': -cjk_n,        's': 'cjk'},
+                               {'nc': -cyrillic_n,   's': 'cyrillic'},
+                               {'nc': -devanagari_n, 's': 'devanagari'},
+                               {'nc': -greek_n,      's': 'greek'},
+                               {'nc': -hangul_n,     's': 'hangul'},
+                               {'nc': -hebrew_n,     's': 'hebrew'},
+                               {'nc': -kana_n,       's': 'kana'},
+                               {'nc': -latin_n,      's': 'latin'}
+                             ])[1].s
+                        ELSE 'unknown' END AS dominant_script
+            FROM counts
         """,
         # inverted_index: rebuild the sharded postings artifact — same
         # ws-trim/split tokenizer as bm25, shard = doc_id % 4, postings

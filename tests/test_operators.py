@@ -1063,6 +1063,29 @@ def test_pagerank_empty_edges(spark):
     assert LG.pagerank(e, "s", "d").count() == 0
 
 
+def test_script_profile_counts_dominance_ties(spark):
+    from unified_ocr_pipeline_spark.functions.text import script_profile
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello мир"),          # 5 latin, 3 cyrillic -> latin
+            (1, "ab жд"),              # 2 vs 2 tie -> cyrillic (name asc)
+            (2, "漢漢漢 x"),            # cjk dominates
+            (3, "123 !?"),             # no script chars -> unknown
+            (4, "αβγ"),                # greek only
+        ],
+        "i long, t string",
+    )
+    rows = {r["i"]: r for r in df.select("i", *script_profile(F.col("t"))).collect()}
+    assert rows[0]["latin_n"] == 5 and rows[0]["cyrillic_n"] == 3
+    assert rows[0]["dominant_script"] == "latin"
+    assert rows[1]["dominant_script"] == "cyrillic"  # tie, name asc wins
+    assert rows[2]["dominant_script"] == "cjk" and rows[2]["cjk_n"] == 3
+    assert rows[3]["dominant_script"] == "unknown"
+    assert rows[4]["dominant_script"] == "greek" and rows[4]["greek_n"] == 3
+
+
 def test_build_postings_sharding_and_order(spark):
     from unified_ocr_pipeline_spark.operators.index import build_postings
 

@@ -496,3 +496,57 @@ def block_signals(
             | ((hits >= 2) & (ratio > F.lit(float(max_token_ratio))))
         ).alias("is_blocked"),
     ]
+
+
+# Writing-system detection: explicit BMP codepoint ranges (not \p{script=}
+# classes — those spell differently in Java vs RE2, and the SQL oracle
+# must count with the IDENTICAL ranges). Names sorted ascending = the
+# deterministic dominance tie-break order. CLD-family language ID runs a
+# script histogram exactly like this before any n-gram model; for a crawl
+# corpus it routes documents to per-script tokenizers and catches
+# encoding mishaps (mojibake shows up as an improbable script mix).
+SCRIPT_RANGES = (
+    ("arabic", "؀", "ۿ"),
+    ("cjk", "一", "鿿"),
+    ("cyrillic", "Ѐ", "ӿ"),
+    ("devanagari", "ऀ", "ॿ"),
+    ("greek", "Ͱ", "Ͽ"),
+    ("hangul", "가", "힯"),
+    ("hebrew", "֐", "׿"),
+    ("kana", "぀", "ヿ"),
+    ("latin", None, None),  # ASCII letters + Latin-1/Extended-A/B letters
+)
+_LATIN_CLASS = "[A-Za-zÀ-ɏ]"
+
+
+def script_char_count(text: Column, script: str) -> Column:
+    """Count of ``text``'s characters in ``script``'s codepoint range
+    (codegen regexp_count, one single-char class per script)."""
+    for name, lo, hi in SCRIPT_RANGES:
+        if name == script:
+            cls = _LATIN_CLASS if lo is None else f"[{lo}-{hi}]"
+            return F.regexp_count(text, F.lit(cls)).cast("int")
+    raise ValueError(f"unknown script {script!r}")
+
+
+def script_profile(text: Column) -> list[Column]:
+    """Per-script char counts plus the dominant script — max count with
+    ties broken by script name ascending, ``'unknown'`` when no script
+    char appears at all. Pure Column expressions: the argmax is an
+    array_min over (-count, name) structs, no UDF, no shuffle."""
+    counts = [(n, script_char_count(text, n)) for (n, _, _) in SCRIPT_RANGES]
+    arr = F.array(
+        *[
+            F.struct((-c).alias("nc"), F.lit(n).alias("s"))
+            for (n, c) in counts
+        ]
+    )
+    total = None
+    for _, c in counts:
+        total = c if total is None else (total + c)
+    dominant = F.when(total > 0, F.array_min(arr)["s"]).otherwise(
+        F.lit("unknown")
+    )
+    return [c.alias(f"{n}_n") for (n, c) in counts] + [
+        dominant.alias("dominant_script")
+    ]
