@@ -938,6 +938,16 @@ def _q_trustrank(spark, sf):
     return LG.trustrank(edges, seeds, "src_url", "dst_host", iterations=3)
 
 
+def _q_pmi_bigrams(spark, sf):
+    """Top-20 adjacent-bigram collocations by PMI over the documents
+    table (Church & Hanks association mining for MWE/boilerplate
+    discovery). Ranked on the exact double probability ratio — ln() is
+    output-only — so the oracle's ORDER BY lands on identical bits."""
+    from unified_ocr_pipeline_spark.operators.curation import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf, "documents"), "text", min_count=5, k=20)
+
+
 def _q_script_detect(spark, sf):
     """Writing-system histogram + dominant script per document over a
     deterministic mixed-script synthesis (first 64 chars of the fixture
@@ -2820,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "inverted_index": _q_inverted_index,
         "script_detect": _q_script_detect,
+        "pmi_bigrams": _q_pmi_bigrams,
         "boolean_and": _q_boolean_and,
         "outlink_domains": _q_outlink_domains,
         "pagerank": _q_pagerank,
@@ -4910,6 +4921,42 @@ def oracle_sql() -> dict[str, str]:
                               * base.seed_mass AS trust
                    FROM base LEFT JOIN c3 ON c3.dst = base.node)
             SELECT node, trust FROM r3
+        """,
+        # pmi_bigrams: replay tokenize -> adjacent pairs (1-based list
+        # index i, i+1 mirrors slice/zip_with) -> counts -> the frozen
+        # double ratio (c12*N*N)/(M*c1*c2) as the sort key; ln only on
+        # the output column. min_count 5, k 20, ties (w1, w2) asc.
+        "pmi_bigrams": r"""
+            WITH base AS (
+              SELECT regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                       '\s+') AS t
+              FROM documents),
+            nz AS (SELECT t FROM base WHERE len(t) > 0),
+            uni AS (SELECT tok.w, count(*) AS c
+                    FROM nz, LATERAL unnest(nz.t) AS tok(w)
+                    WHERE length(tok.w) > 0 GROUP BY tok.w),
+            pairs AS (
+              SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+              FROM nz,
+                   LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+              WHERE len(t) >= 2
+                AND length(t[g.i]) > 0 AND length(t[g.i + 1]) > 0),
+            big AS (SELECT w1, w2, count(*) AS c12
+                    FROM pairs GROUP BY w1, w2),
+            nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+            mm AS (SELECT CAST(sum(c12) AS DOUBLE) AS m FROM big),
+            scored AS (
+              SELECT big.w1, big.w2, big.c12,
+                     (CAST(big.c12 AS DOUBLE) * nn.n * nn.n)
+                       / (mm.m * CAST(u1.c AS DOUBLE)
+                          * CAST(u2.c AS DOUBLE)) AS r
+              FROM big
+              JOIN uni u1 ON u1.w = big.w1
+              JOIN uni u2 ON u2.w = big.w2, nn, mm
+              WHERE big.c12 >= 5)
+            SELECT w1, w2, c12, ln(r) AS pmi
+            FROM scored ORDER BY r DESC, w1 ASC, w2 ASC LIMIT 20
         """,
         # script_detect: rebuild the mixed-script synthesis, recount
         # every script with the same codepoint ranges (RE2 \x{...}

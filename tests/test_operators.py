@@ -1063,6 +1063,39 @@ def test_pagerank_empty_edges(spark):
     assert LG.pagerank(e, "s", "d").count() == 0
 
 
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    from unified_ocr_pipeline_spark.operators.curation import pmi_bigrams
+
+    # corpus: "a b" x3, "a c" x1  -> bigrams: (a,b):3 (a,c):1
+    # unigrams: a:4 b:3 c:1, N=8 tokens, M=4 bigrams
+    df = spark.createDataFrame(
+        [("a b",), ("a b",), ("a b",), ("a c",)], "text string"
+    )
+    rows = pmi_bigrams(df, "text", min_count=1, k=10).collect()
+    got = {(r["w1"], r["w2"]): r["pmi"] for r in rows}
+    n, m = 8.0, 4.0
+    exp_ab = math.log((3 * n * n) / (m * 4 * 3))
+    exp_ac = math.log((1 * n * n) / (m * 4 * 1))
+    assert abs(got[("a", "b")] - exp_ab) < 1e-12
+    assert abs(got[("a", "c")] - exp_ac) < 1e-12
+    # both ratios are exactly 4.0 here (3*64/48 = 64/16) -> the
+    # (w1, w2)-ascending tie-break decides the order
+    assert exp_ab == exp_ac
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b"), ("a", "c")]
+
+
+def test_pmi_bigrams_min_count_drops_rare(spark):
+    from unified_ocr_pipeline_spark.operators.curation import pmi_bigrams
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b",), ("x y",)], "text string"
+    )
+    rows = pmi_bigrams(df, "text", min_count=2, k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+
+
 def test_script_profile_counts_dominance_ties(spark):
     from unified_ocr_pipeline_spark.functions.text import script_profile
     import pyspark.sql.functions as F

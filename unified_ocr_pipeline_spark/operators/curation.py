@@ -339,3 +339,88 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information — the classic corpus-statistics pass (Church & Hanks
+    1990) used to mine multi-word expressions for tokenizer vocab
+    seeding and to spot boilerplate phrases that dominate a crawl.
+
+    PMI = ln( p(w1,w2) / (p(w1) p(w2)) ) with p() estimated from
+    adjacent-pair and unigram counts. Bigrams seen fewer than
+    ``min_count`` times are dropped (PMI's low-frequency pathology).
+    Returns (w1, w2, c12 long, pmi double), ordered by the exact
+    probability ratio descending then (w1, w2) ascending, limited to k.
+
+    Determinism across engines: the rank key is the ratio
+    ``(c12*N*N) / (M*c1*c2)`` computed in double with a frozen
+    association order — integer-valued doubles multiply exactly here
+    and the single division is correctly rounded, so Spark and an
+    external SQL verifier produce bit-identical sort keys; ln() is
+    applied only to the OUTPUT column (value-compared with rounding,
+    never ranked on).
+
+    Scale shape: bigrams form map-side under zip_with+explode; unigram
+    and bigram counts are hash-aggs with partial combine (vocab-scale
+    shuffles, not corpus-scale); N and M arrive as one-row broadcast
+    aggregates; the two count joins are vocab-keyed shuffle joins (the
+    unigram table must NOT be broadcast at web scale); top-k is a
+    global TakeOrderedAndProject, no full sort. Counts enter the
+    arithmetic as doubles, so corpus sizes beyond 2^63 tokens cannot
+    overflow ANSI bigint multiplication.
+    """
+    toks = F.split(F.regexp_replace(F.col(text_col), _WS_TRIM, ""), r"\s+")
+    base = df.select(toks.alias("_t")).where(F.size("_t") > 0)
+    uni = (
+        base.select(F.explode("_t").alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    sz = F.size("_t")
+    pairs = (
+        base.where(sz >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, sz - 1),
+                    F.slice("_t", 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    n_tok = uni.select(F.sum("c").cast("double").alias("n"))
+    m_big = big.select(F.sum("c12").cast("double").alias("m"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.where(F.col("c12") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(m_big))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                (F.col("c12").cast("double") * F.col("n") * F.col("n"))
+                / (F.col("m") * F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("_ratio"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_ratio").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+        .select("w1", "w2", "c12", F.log("_ratio").alias("pmi"))
+    )
