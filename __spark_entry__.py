@@ -177,6 +177,17 @@ def _q_minhash_dups(spark, sf):
     return DD.minhash_lsh_pairs(sigs, num_hashes=32, num_bands=8, threshold=0.5)
 
 
+def _q_minhash_error(spark, sf):
+    """Estimator calibration: every MinHash-LSH pair with its
+    signature-agreement estimate, the EXACT shingle-set Jaccard, and
+    the absolute error — the report that justifies trusting the dedup
+    threshold. Exact Jaccard runs only on LSH survivors (shingles
+    left-semi-joined to candidate docs first)."""
+    from unified_ocr_pipeline_spark.operators.evaluate import minhash_estimate_error
+
+    return minhash_estimate_error(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 def _q_dedup_clusters(spark, sf):
     # Planted-copy corpus (same device as cosine_near_dups): doc_id<5
     # duplicated at +1e6 and +2e6 → each original forms a 3-node MinHash
@@ -2746,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_count": _q_regex_count,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dups": _q_minhash_dups,
+        "minhash_error": _q_minhash_error,
         "dedup_clusters": _q_dedup_clusters,
         "incremental_dedup": _q_incremental_dedup,
         "simhash_dups": _q_simhash_dups,
@@ -2946,6 +2958,34 @@ def _minhash_oracle(num_hashes: int = 32, num_bands: int = 8, seed: int = 42) ->
     return f"""
         WITH {_minhash_pair_ctes('documents', num_hashes, num_bands, seed)}
         SELECT id_a, id_b, est_jaccard FROM pairs
+    """
+
+
+def _minhash_error_oracle() -> str:
+    """Estimator-calibration mirror: the shared pair CTEs (seeded
+    signatures + banding + agreement estimate), then EXACT shingle-set
+    Jaccard per surviving pair — |A∩B| via a shingle-keyed join over the
+    same DISTINCT 3-word shingle relation the signatures hash, union by
+    inclusion-exclusion, one double division."""
+    return f"""
+        WITH {_minhash_pair_ctes('documents')},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT p.id_a, p.id_b, count(*) AS i
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, est_jaccard, exact_jaccard,
+               abs(est_jaccard - exact_jaccard) AS abs_err
+        FROM (
+          SELECT p.id_a, p.id_b, p.est_jaccard,
+                 CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (na.n + nb.n - coalesce(i.i, 0)) AS exact_jaccard
+          FROM pairs p
+          LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          JOIN sizes na ON na.doc_id = p.id_a
+          JOIN sizes nb ON nb.doc_id = p.id_b)
     """
 
 
@@ -3906,6 +3946,7 @@ def oracle_sql() -> dict[str, str]:
         "strategy_routing": _strategy_routing_oracle(),
         "ai_normalizer": _ai_normalizer_oracle(),
         "minhash_dups": _minhash_oracle(),
+        "minhash_error": _minhash_error_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "simhash_dups": _simhash_oracle(),

@@ -1063,6 +1063,30 @@ def test_pagerank_empty_edges(spark):
     assert LG.pagerank(e, "s", "d").count() == 0
 
 
+def test_minhash_estimate_error_exact_side(spark):
+    from unified_ocr_pipeline_spark.operators.evaluate import minhash_estimate_error
+
+    words = [f"w{i}" for i in range(12)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["CHANGED"])  # last shingles differ
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "totally different text entirely here now")],
+        "doc_id long, text string",
+    )
+    rows = minhash_estimate_error(df, "doc_id", "text", threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 2) in got and len(got) == 1
+    sh = lambda t: {  # noqa: E731
+        " ".join(t.split()[i : i + 3]) for i in range(len(t.split()) - 2)
+    }
+    inter, union = len(sh(a) & sh(b)), len(sh(a) | sh(b))
+    r = got[(1, 2)]
+    assert r["exact_jaccard"] == inter / union
+    assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-15
+    # the estimator should land in the right neighborhood of truth
+    assert abs(r["est_jaccard"] - r["exact_jaccard"]) < 0.35
+
+
 def test_pmi_bigrams_hand_computed(spark):
     import math
 

@@ -76,3 +76,74 @@ def extraction_f1(
         F.round(rec, 4).alias("recall"),
         F.round(f1, 4).alias("f1"),
     )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Validate the MinHash estimator against ground truth: for every
+    LSH candidate pair, the signature-agreement estimate next to the
+    EXACT word-shingle Jaccard and the absolute error — the calibration
+    report a dedup pipeline publishes before anyone trusts its
+    threshold (Broder 1997's estimator has stddev ~ sqrt(J(1-J)/k);
+    this surfaces the empirical error at the configured k).
+
+    Returns (id_a, id_b, est_jaccard, exact_jaccard double, abs_err
+    double) for pairs with est >= threshold.
+
+    Scale shape: the expensive exact computation runs ONLY on LSH
+    survivors — shingle rows are left-semi-joined down to candidate
+    docs first, so the shingle-keyed intersection join is sized by the
+    candidate set, never the corpus. Intersection = one join on
+    (id_b, shingle) + one pair-keyed hash-agg; set sizes are per-doc
+    hash-aggs. exact = |A∩B| / (|A|+|B|-|A∩B|) in one correctly-rounded
+    double division, so an external SQL verifier reproduces it
+    bit-for-bit.
+    """
+    from .dedup import minhash_lsh_pairs, minhash_signatures, word_shingles
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
+    pairs = minhash_lsh_pairs(
+        sigs, num_hashes=num_hashes, num_bands=num_bands, threshold=threshold
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = sh.join(cand_ids, "id", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    exact = F.coalesce("i", F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+    )
