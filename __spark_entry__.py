@@ -949,6 +949,65 @@ def _q_trustrank(spark, sf):
     return LG.trustrank(edges, seeds, "src_url", "dst_host", iterations=3)
 
 
+def _q_justext(spark, sf):
+    """jusText-style two-pass boilerplate classification over REAL
+    parsed blocks: formula-generated pages (block kind = (doc_id+i)%4
+    cycling good/short/near_good/bad) go through the actual HTML block
+    parser in the Arrow stage, then the context-free CASE and the
+    context-propagation windows. The oracle replays the block formula
+    (texts, lengths, densities) and both passes, so a parser drift or
+    a wrong window frame shows up as a hash mismatch."""
+    from unified_ocr_pipeline_spark.operators.justext import (
+        justext_classify,
+        page_blocks,
+    )
+
+    d = _t(spark, sf, "documents")
+    kind = lambda i: F.pmod(F.col("doc_id") + i, F.lit(4))  # noqa: E731
+    block = lambda i: (  # noqa: E731
+        F.when(
+            kind(i) == 0,
+            F.lit(
+                "<p>this block carries enough characters to pass the"
+                " length high bar</p>"
+            ),
+        )
+        .when(kind(i) == 1, F.lit("<p>tiny heading</p>"))
+        .when(
+            kind(i) == 2,
+            F.lit("<p>a medium sized sentence of middling size</p>"),
+        )
+        .otherwise(
+            F.lit(
+                '<p><a href="http://spam.example/">all of this text lives'
+                " inside one anchor</a></p>"
+            )
+        )
+    )
+    nb = (F.pmod(F.col("doc_id"), F.lit(4)) + 2).cast("int")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body>"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), nb - 1), block), ""
+            ),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    out = justext_classify(page_blocks(pages, "doc_id", "html"))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "block_idx",
+        "text",
+        "n_chars",
+        "link_density",
+        "in_boiler",
+        "class_cf",
+        "class_final",
+    )
+
+
 def _q_pmi_bigrams(spark, sf):
     """Top-20 adjacent-bigram collocations by PMI over the documents
     table (Church & Hanks association mining for MWE/boilerplate
@@ -2843,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "script_detect": _q_script_detect,
         "pmi_bigrams": _q_pmi_bigrams,
+        "justext_blocks": _q_justext,
         "boolean_and": _q_boolean_and,
         "outlink_domains": _q_outlink_domains,
         "pagerank": _q_pagerank,
@@ -4962,6 +5022,62 @@ def oracle_sql() -> dict[str, str]:
                               * base.seed_mass AS trust
                    FROM base LEFT JOIN c3 ON c3.dst = base.node)
             SELECT node, trust FROM r3
+        """,
+        # justext_blocks: replay the block formula (kind cycle -> frozen
+        # texts/lengths/densities), the context-free CASE, and the two
+        # context windows (nearest sure class either side, page edges =
+        # NULL = bad) — IGNORE NULLS last/first_value mirror Spark's
+        # ignorenulls last/first over the same frames.
+        "justext_blocks": """
+            WITH docs AS (
+              SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nb
+              FROM documents),
+            blk AS (
+              SELECT doc_id, i.i AS block_idx,
+                     CAST((doc_id + i.i) % 4 AS INT) AS kind
+              FROM docs,
+                   LATERAL unnest(generate_series(0, nb - 1)) AS i(i)),
+            feat AS (
+              SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+                CASE kind
+                  WHEN 0 THEN 'this block carries enough characters to pass the length high bar'
+                  WHEN 1 THEN 'tiny heading'
+                  WHEN 2 THEN 'a medium sized sentence of middling size'
+                  ELSE 'all of this text lives inside one anchor'
+                END AS text,
+                CASE kind WHEN 0 THEN 64 WHEN 1 THEN 12
+                          WHEN 2 THEN 40 ELSE 40 END AS n_chars,
+                CASE kind WHEN 3 THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS link_density,
+                false AS in_boiler,
+                CASE kind WHEN 0 THEN 'good' WHEN 1 THEN 'short'
+                          WHEN 2 THEN 'near_good' ELSE 'bad' END AS class_cf
+              FROM blk),
+            ctx AS (
+              SELECT *,
+                last_value(CASE WHEN class_cf IN ('good', 'bad')
+                                THEN class_cf END IGNORE NULLS)
+                  OVER (PARTITION BY doc_id ORDER BY block_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS p,
+                first_value(CASE WHEN class_cf IN ('good', 'bad')
+                                 THEN class_cf END IGNORE NULLS)
+                  OVER (PARTITION BY doc_id ORDER BY block_idx
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS nx
+              FROM feat)
+            SELECT doc_id, block_idx, text,
+                   CAST(n_chars AS INT) AS n_chars,
+                   link_density, in_boiler, class_cf,
+                   CASE WHEN class_cf IN ('good', 'bad') THEN class_cf
+                        WHEN class_cf = 'near_good' THEN
+                          CASE WHEN p = 'good' OR nx = 'good'
+                               THEN 'good' ELSE 'bad' END
+                        ELSE
+                          CASE WHEN p = 'good' AND nx = 'good'
+                               THEN 'good' ELSE 'bad' END
+                   END AS class_final
+            FROM ctx
         """,
         # pmi_bigrams: replay tokenize -> adjacent pairs (1-based list
         # index i, i+1 mirrors slice/zip_with) -> counts -> the frozen

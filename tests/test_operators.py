@@ -1063,6 +1063,84 @@ def test_pagerank_empty_edges(spark):
     assert LG.pagerank(e, "s", "d").count() == 0
 
 
+def test_justext_context_propagation_rules(spark):
+    from unified_ocr_pipeline_spark.operators.justext import justext_classify
+
+    mk = lambda i, n, dens, boil=False: (  # noqa: E731
+        1, i, "t", n, dens, boil
+    )
+    # doc layout: good, short, good, near_good, bad, short, bad
+    rows = [
+        mk(0, 100, 0.0),   # good
+        mk(1, 5, 0.0),     # short between goods -> good
+        mk(2, 100, 0.0),   # good
+        mk(3, 30, 0.0),    # near_good with good prev -> good
+        mk(4, 100, 0.9),   # bad
+        mk(5, 5, 0.0),     # short between bad and bad -> bad
+        mk(6, 100, 0.9),   # bad
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, block_idx int, text string, n_chars int,"
+        " link_density double, in_boiler boolean",
+    )
+    got = {
+        r["block_idx"]: (r["class_cf"], r["class_final"])
+        for r in justext_classify(df).collect()
+    }
+    assert got[0] == ("good", "good")
+    assert got[1] == ("short", "good")
+    assert got[2] == ("good", "good")
+    assert got[3] == ("near_good", "good")
+    assert got[4] == ("bad", "bad")
+    assert got[5] == ("short", "bad")
+    assert got[6] == ("bad", "bad")
+
+
+def test_justext_edges_and_boiler(spark):
+    from unified_ocr_pipeline_spark.operators.justext import justext_classify
+
+    rows = [
+        (1, 0, "t", 5, 0.0, False),    # short at page start (no prev) -> bad
+        (1, 1, "t", 100, 0.0, False),  # good
+        (1, 2, "t", 30, 0.0, False),   # near_good with good prev -> good
+        (2, 0, "t", 100, 0.0, True),   # boiler container -> bad even if long
+        (2, 1, "t", 30, 0.0, False),   # near_good, only bad context -> bad
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, block_idx int, text string, n_chars int,"
+        " link_density double, in_boiler boolean",
+    )
+    got = {
+        (r["id"], r["block_idx"]): r["class_final"]
+        for r in justext_classify(df).collect()
+    }
+    assert got[(1, 0)] == "bad"
+    assert got[(1, 2)] == "good"
+    assert got[(2, 0)] == "bad"
+    assert got[(2, 1)] == "bad"
+
+
+def test_page_blocks_real_parse(spark):
+    from unified_ocr_pipeline_spark.operators.justext import page_blocks
+
+    html = (
+        "<html><body><nav><p>menu menu</p></nav>"
+        '<p>real content paragraph</p><p><a href="http://x/">link</a></p>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    rows = sorted(
+        page_blocks(df, "doc_id", "html").collect(), key=lambda r: r["block_idx"]
+    )
+    assert [r["text"] for r in rows] == ["menu menu", "real content paragraph", "link"]
+    assert rows[0]["in_boiler"] is True
+    assert rows[1]["link_density"] == 0.0
+    assert rows[2]["link_density"] == 1.0
+    assert rows[1]["n_chars"] == len("real content paragraph")
+
+
 def test_minhash_estimate_error_exact_side(spark):
     from unified_ocr_pipeline_spark.operators.evaluate import minhash_estimate_error
 
