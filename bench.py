@@ -104,6 +104,13 @@ BENCH_QUERIES = [
     "pq_topk",
     "sitemap_entries",
     "frontier_bfs",
+    "trustrank",
+    "inverted_index",
+    "boolean_and",
+    "script_detect",
+    "pmi_bigrams",
+    "minhash_error",
+    "justext_blocks",
     "clause_codes_sorted",
     "dense_rank_spenders",
     "domain_stats",

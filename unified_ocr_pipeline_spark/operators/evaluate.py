@@ -106,22 +106,32 @@ def minhash_estimate_error(
     double division, so an external SQL verifier reproduces it
     bit-for-bit.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import minhash_lsh_pairs, minhash_signatures, word_shingles
 
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
+    # pairs feeds three consumers (candidate-id set, intersection join,
+    # final join) — without materialization the banding self-join would
+    # re-execute for each one.
     pairs = minhash_lsh_pairs(
         sigs, num_hashes=num_hashes, num_bands=num_bands, threshold=threshold
-    )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = sh.join(cand_ids, "id", "left_semi")
+    # Shrink to candidate docs BEFORE the shingle explode: the explode
+    # multiplies rows by shingle count, so the semi-join must run on the
+    # doc table, not on exploded shingle rows.
+    cand_docs = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).join(cand_ids, "id", "left_semi")
+    sh = cand_docs.select(
+        "id",
+        F.explode(word_shingles(F.col("_text"), shingle_n)).alias("shingle"),
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         pairs.select("id_a", "id_b")
