@@ -949,6 +949,47 @@ def _q_trustrank(spark, sf):
     return LG.trustrank(edges, seeds, "src_url", "dst_host", iterations=3)
 
 
+def _q_zorder_key(spark, sf):
+    """Morton (Z-order) clustering keys over two event dimensions —
+    the layout pass Delta/Iceberg OPTIMIZE ZORDER runs before writing,
+    here as a pure JVM bit-interleave (codegen, no shuffle for the key
+    itself). The oracle replays the interleave with >>/&/<< bit ops."""
+    from unified_ocr_pipeline_spark.operators.layout import zorder_key
+
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        zorder_key(
+            F.col("user_id"), F.pmod(F.col("event_id"), F.lit(1024)), bits=10
+        ).alias("zkey"),
+    )
+
+
+def _q_column_stats(spark, sf):
+    """ANALYZE-style per-column profile of the orders table (row/null/
+    exact-distinct counts + min/max, incl. a printf-rendered double) in
+    ONE scan — all columns' aggregates ride a single global agg, then
+    the one result row explodes into per-column rows."""
+    from unified_ocr_pipeline_spark.operators.stats import column_stats
+
+    return column_stats(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+    )
+
+
+def _q_lsh_pr(spark, sf):
+    """One-row precision/recall of the MinHash-LSH pair set vs exact
+    shingle-Jaccard ground truth at the same 0.5 threshold — the dedup
+    config acceptance report. Both sides are the existing scale-safe
+    operators; the comparison is one full-outer join + global agg."""
+    from unified_ocr_pipeline_spark.operators.evaluate import lsh_pr
+
+    return lsh_pr(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 def _q_justext(spark, sf):
     """jusText-style two-pass boilerplate classification over REAL
     parsed blocks: formula-generated pages (block kind = (doc_id+i)%4
@@ -2903,6 +2944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": _q_script_detect,
         "pmi_bigrams": _q_pmi_bigrams,
         "justext_blocks": _q_justext,
+        "lsh_pr": _q_lsh_pr,
+        "column_stats": _q_column_stats,
+        "zorder_key": _q_zorder_key,
         "boolean_and": _q_boolean_and,
         "outlink_domains": _q_outlink_domains,
         "pagerank": _q_pagerank,
@@ -3018,6 +3062,24 @@ def _minhash_oracle(num_hashes: int = 32, num_bands: int = 8, seed: int = 42) ->
     return f"""
         WITH {_minhash_pair_ctes('documents', num_hashes, num_bands, seed)}
         SELECT id_a, id_b, est_jaccard FROM pairs
+    """
+
+
+def _zorder_oracle(bits: int = 10) -> str:
+    """Replay the Morton interleave with >>/&/<< integer bit ops —
+    bit i of the masked user_id at position 2i, bit i of the masked
+    (event_id % 1024) at 2i+1, exactly the engine's lane layout."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((user_id & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(
+            f"(((((event_id % 1024) & {mask}) >> {i}) & 1) << {2 * i + 1})"
+        )
+    expr = " | ".join(terms)
+    return f"""
+        SELECT event_id, user_id, CAST({expr} AS BIGINT) AS zkey
+        FROM events
     """
 
 
@@ -4007,6 +4069,89 @@ def oracle_sql() -> dict[str, str]:
         "ai_normalizer": _ai_normalizer_oracle(),
         "minhash_dups": _minhash_oracle(),
         "minhash_error": _minhash_error_oracle(),
+        "zorder_key": _zorder_oracle(),
+        # column_stats: one UNION ALL branch per profiled column —
+        # counts on the native type, min/max rendered exactly like the
+        # engine (printf %.6f for the double, plain casts elsewhere).
+        "column_stats": """
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   printf('%.6f', min(o_totalprice)),
+                   printf('%.6f', max(o_totalprice))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*),
+                   count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   CAST(min(o_orderdate) AS VARCHAR),
+                   CAST(max(o_orderdate) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR)
+            FROM orders
+        """,
+        # lsh_pr: the shared MinHash pair CTEs give the predicted set;
+        # the exact set reuses the SAME distinct-shingle relation (sh)
+        # through the inverted-index form with the engine's
+        # round-then-threshold order; metrics are int/int divisions
+        # (double in both engines) with zero-denominator guards.
+        "lsh_pr": f"""
+            WITH {_minhash_pair_ctes('documents')},
+            esizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            einter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            ex AS (
+              SELECT id_a, id_b FROM einter
+              JOIN esizes sa ON sa.doc_id = einter.id_a
+              JOIN esizes sb ON sb.doc_id = einter.id_b
+              WHERE round(CAST(einter.i AS DOUBLE)
+                          / (sa.sz + sb.sz - einter.i), 4) >= 0.5),
+            tpc AS (SELECT count(*) AS c FROM pairs p
+                    JOIN ex ON ex.id_a = p.id_a AND ex.id_b = p.id_b),
+            pc AS (SELECT count(*) AS c FROM pairs),
+            xc AS (SELECT count(*) AS c FROM ex)
+            SELECT pc.c AS n_pred, xc.c AS n_truth, tpc.c AS tp,
+                   pc.c - tpc.c AS fp, xc.c - tpc.c AS fn,
+                   round(CASE WHEN pc.c = 0 THEN 0.0
+                              ELSE tpc.c / pc.c END, 4) AS prec,
+                   round(CASE WHEN xc.c = 0 THEN 0.0
+                              ELSE tpc.c / xc.c END, 4) AS rec,
+                   round(CASE WHEN (CASE WHEN pc.c = 0 THEN 0.0
+                                         ELSE tpc.c / pc.c END)
+                              + (CASE WHEN xc.c = 0 THEN 0.0
+                                      ELSE tpc.c / xc.c END) = 0 THEN 0.0
+                              ELSE 2 * (CASE WHEN pc.c = 0 THEN 0.0
+                                             ELSE tpc.c / pc.c END)
+                                     * (CASE WHEN xc.c = 0 THEN 0.0
+                                             ELSE tpc.c / xc.c END)
+                                   / ((CASE WHEN pc.c = 0 THEN 0.0
+                                            ELSE tpc.c / pc.c END)
+                                      + (CASE WHEN xc.c = 0 THEN 0.0
+                                              ELSE tpc.c / xc.c END))
+                         END, 4) AS f1
+            FROM pc, xc, tpc
+        """,
         "dedup_clusters": _dedup_clusters_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "simhash_dups": _simhash_oracle(),

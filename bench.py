@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "pmi_bigrams",
     "minhash_error",
     "justext_blocks",
+    "lsh_pr",
+    "column_stats",
+    "zorder_key",
     "clause_codes_sorted",
     "dense_rank_spenders",
     "domain_stats",

@@ -1141,6 +1141,130 @@ def test_page_blocks_real_parse(spark):
     assert rows[1]["n_chars"] == len("real content paragraph")
 
 
+def test_zorder_key_hand_bits(spark):
+    import pyspark.sql.functions as F
+
+    from unified_ocr_pipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (7, 7), (5, 2)], "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key(F.col("a"), F.col("b"), bits=3).alias("z")
+        ).collect()
+    ]
+    # interleave: a bits at even positions, b bits at odd
+    def morton(a, b):
+        z = 0
+        for i in range(3):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(3, 1), 0, morton(7, 7), morton(5, 2)]
+    assert morton(3, 1) == 0b000111  # sanity of the hand model itself
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    import pyspark.sql.functions as F
+
+    from unified_ocr_pipeline_spark.operators.layout import zorder_layout
+
+    # 64x64 grid; z-layout partitions must be narrow in BOTH dims,
+    # while an x-sorted layout leaves y spanning the whole domain.
+    pts = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    z = zorder_layout(pts, "x", "y", bits=6, num_partitions=16)
+    spans = (
+        z.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    mean_ys = sum(r["ys"] for r in spans) / len(spans)
+    xsort_spans = (
+        pts.repartitionByRange(16, "x")
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg((F.max("y") - F.min("y")).alias("ys"))
+        .collect()
+    )
+    mean_ys_xsort = sum(r["ys"] for r in xsort_spans) / len(xsort_spans)
+    # x-sorted partitions span ~the full y domain (63); z-order keeps a
+    # fraction of it on BOTH axes
+    assert mean_ys_xsort > 60
+    assert mean_ys < mean_ys_xsort / 2
+    mean_xs = sum(r["xs"] for r in spans) / len(spans)
+    assert mean_xs < 40
+
+
+def test_column_stats_values_and_single_scan(spark):
+    from unified_ocr_pipeline_spark.operators.stats import column_stats
+
+    df = spark.createDataFrame(
+        [(9, "b", 2.5), (10, None, 0.125), (9, "a", None)],
+        "k long, s string, v double",
+    )
+    out = column_stats(df, ["k", "s", "v"])
+    got = {r["column"]: r for r in out.collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_nulls"] == 0
+    assert got["k"]["n_distinct"] == 2
+    # native-type min/max: 9 < 10 numerically even though "9" > "10"
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("9", "10")
+    assert got["s"]["n_nulls"] == 1
+    assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "b")
+    assert got["v"]["min_value"] == "0.125000"
+    assert got["v"]["max_value"] == "2.500000"
+    # exact multi-distinct plans as TWO branches (distinct rewrite +
+    # plain aggs) — constant in column count, never one scan per column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2
+    # the approx path (HLL sketch = regular aggregate) is a SINGLE scan
+    approx_plan = (
+        column_stats(df, ["k", "s", "v"], approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert (
+        approx_plan.count("Scan ExistingRDD")
+        + approx_plan.count("LocalTableScan")
+        == 1
+    )
+
+
+def test_lsh_pr_perfect_on_exact_dup(spark):
+    from unified_ocr_pipeline_spark.operators.evaluate import lsh_pr
+
+    dup = "the same long sentence repeated verbatim across two documents"
+    df = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, "completely unrelated other text body")],
+        "doc_id long, text string",
+    )
+    r = lsh_pr(df, "doc_id", "text").collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
+    assert r["prec"] == 1.0 and r["rec"] == 1.0 and r["f1"] == 1.0
+
+
+def test_lsh_pr_single_band_misses_partial_overlap(spark):
+    from unified_ocr_pipeline_spark.operators.evaluate import lsh_pr
+
+    # exact J ~ 0.7 but one 32-row band demands full signature equality
+    # -> LSH miss -> false negative, zero-denominator guards exercised
+    words = [f"w{i}" for i in range(12)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:-1] + ["CHANGED"]))],
+        "doc_id long, text string",
+    )
+    r = lsh_pr(df, "doc_id", "text", num_bands=1).collect()[0]
+    assert r["n_truth"] == 1 and r["fn"] == 1 and r["tp"] == 0
+    assert r["rec"] == 0.0 and r["prec"] == 0.0 and r["f1"] == 0.0
+
+
 def test_minhash_estimate_error_exact_side(spark):
     from unified_ocr_pipeline_spark.operators.evaluate import minhash_estimate_error
 

@@ -157,3 +157,70 @@ def minhash_estimate_error(
             F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
         )
     )
+
+
+def lsh_pr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Corpus-level precision/recall of the MinHash-LSH near-dup pair
+    set against EXACT shingle-Jaccard ground truth at the same
+    threshold — the one-row acceptance report for a dedup config
+    (bands/rows/threshold) before it runs on the real corpus.
+
+    Returns one row (n_pred, n_truth, tp, fp, fn, prec, rec, f1),
+    rounded to 4. Predicted = LSH candidate pairs whose ESTIMATED
+    Jaccard clears the threshold; truth = pairs whose exact Jaccard
+    does. An LSH miss (banding never collides) is a false negative; an
+    estimator overshoot on a below-threshold pair is a false positive.
+
+    Scale shape: both pair sets are the existing scale-safe operators
+    (banding join; DF-pruned inverted index) — nothing quadratic is
+    added; the comparison itself is one full-outer join on the pair key
+    plus a single global aggregate.
+    """
+    from .dedup import minhash_lsh_pairs, minhash_signatures, ngram_jaccard_pairs
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
+    pred = minhash_lsh_pairs(
+        sigs, num_hashes=num_hashes, num_bands=num_bands, threshold=threshold
+    ).select("id_a", "id_b", F.lit(True).alias("_p"))
+    truth = ngram_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        max_shingle_df=max_shingle_df,
+    ).select("id_a", "id_b", F.lit(True).alias("_t"))
+    j = pred.join(truth, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("_p") & F.col("_t"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_p") & F.col("_t").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_p").isNull() & F.col("_t"), 1).otherwise(0)).alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") == 0, F.lit(0.0)
+    ).otherwise(F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(
+        F.col("tp") + F.col("fn") == 0, F.lit(0.0)
+    ).otherwise(F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(prec + rec == 0, F.lit(0.0)).otherwise(
+        2 * prec * rec / (prec + rec)
+    )
+    return agg.select(
+        (F.col("tp") + F.col("fp")).alias("n_pred"),
+        (F.col("tp") + F.col("fn")).alias("n_truth"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 4).alias("prec"),
+        F.round(rec, 4).alias("rec"),
+        F.round(f1, 4).alias("f1"),
+    )
