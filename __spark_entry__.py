@@ -208,6 +208,126 @@ def _q_dedup_clusters(spark, sf):
     )
 
 
+def _q_cluster_subsample(spark, sf):
+    """Soft dedup over the same planted-copy corpus as dedup_clusters:
+    canonicals always survive, non-canonical near-dups keep a
+    deterministic md5-60 hash sample at rate 0.4 — paraphrase diversity
+    without the redundancy mass. Oracle = the recursive-CTE cluster
+    oracle plus the identical hash-gate."""
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    d = base.where(F.col("doc_id") < 50)
+    copies = base.where(F.col("doc_id") < 5)
+    corpus = d.unionByName(
+        copies.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        copies.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    sigs = DD.minhash_signatures(corpus, "doc_id", "text", num_hashes=32)
+    pairs = DD.minhash_lsh_pairs(sigs, num_hashes=32, num_bands=8, threshold=0.5)
+    clustered = CC.dedup_clusters(corpus, pairs, "doc_id")
+    return CC.cluster_subsample(clustered, "doc_id", rate=0.4).select(
+        "doc_id", "component", "is_canonical", "kept_as"
+    )
+
+
+def _q_kmv_jaccard(spark, sf):
+    """KMV set-similarity WITHOUT joining the sets: two deterministic
+    key sets (true J = 1/3) summarized to 64-minimum-hash sketches;
+    Jaccard estimated from the union sketch. The full sets never meet
+    in a join — everything after the sketches is 64-row arithmetic."""
+    from unified_ocr_pipeline_spark.operators.sampling import kmv_jaccard
+
+    d = _t(spark, sf, "documents")
+    a = d.select(
+        F.concat(F.lit("k"), F.pmod(F.col("doc_id"), F.lit(400)).cast("string")).alias(
+            "key"
+        )
+    )
+    b = d.select(
+        F.concat(
+            F.lit("k"), (F.pmod(F.col("doc_id"), F.lit(400)) + 200).cast("string")
+        ).alias("key")
+    )
+    return kmv_jaccard(a, b, "key", k=64)
+
+
+def _q_kmv_distinct(spark, sf):
+    """KMV distinct-count estimate of the 400-key set from its 64-hash
+    sketch: (k-1) * 2^60 / h_k. One k-row sketch instead of a
+    corpus-wide exact distinct."""
+    from unified_ocr_pipeline_spark.operators.sampling import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf, "documents")
+    a = d.select(
+        F.concat(F.lit("k"), F.pmod(F.col("doc_id"), F.lit(400)).cast("string")).alias(
+            "key"
+        )
+    )
+    return kmv_distinct_estimate(kmv_sketch(a, "key", k=64), k=64)
+
+
+def _q_mirror_hosts(spark, sf):
+    """Cross-host mirror detection: 50 content groups served from 7
+    formula-assigned hosts; groups spanning >= 2 hosts surface with
+    their host roster (comma-joined for the hash compare). The oracle
+    replays the url/content formulas and DuckDB's own md5."""
+    from unified_ocr_pipeline_spark.operators.dedup import mirror_hosts
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".mirror.example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("payload-"), F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+        ).alias("text"),
+    )
+    m = mirror_hosts(pages, "url", "text", min_hosts=2)
+    return m.select(
+        "fingerprint",
+        "n_hosts",
+        "n_urls",
+        F.array_join("hosts", ",").alias("hosts"),
+    )
+
+
+def _q_url_templates(spark, sf):
+    """Site-structure mining: volatile url tokens collapse to {d}/{h}
+    placeholders and the url space rolls up to templates — the
+    Mercator-era crawl-trap triage view. Oracle replays the two
+    regexp_replace passes (with 'g') and the rollup."""
+    from unified_ocr_pipeline_spark.functions.url import url_template
+
+    d = _t(spark, sf, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("http://"),
+            F.element_at(
+                F.array(
+                    F.lit("alpha"), F.lit("beta"), F.lit("gamma"),
+                    F.lit("delta"), F.lit("epsilon"),
+                ),
+                (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+            ),
+            F.lit(".ex.com/item/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/rev/"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        ).alias("url")
+    )
+    return (
+        urls.select(url_template(F.col("url")).alias("template"))
+        .groupBy("template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
 def _q_incremental_dedup(spark, sf):
     # Continuous-crawl shape: corpus = doc_id<200 (signatures conceptually
     # precomputed/stored), new batch = 50 fresh docs + planted copies of 5
@@ -1100,6 +1220,36 @@ def _q_boolean_and(spark, sf):
     return conjunctive_match(
         _t(spark, sf, "documents"), "doc_id", "text", ["dup", "sort", "stream"]
     )
+
+
+def _q_co_citation(spark, sf):
+    """Co-citation relatedness between destination hosts over the real
+    parsed link graph: pages linking to both hosts count once each
+    (distinct src,dst first), hub sources above the fanout cap are
+    dropped whole. Oracle replays the link formula + the same guard."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    edges = LG.outlink_edges(_synthetic_link_pages(d), "url", "html").select(
+        "src_url", F.regexp_extract("href", r"^https?://([^/?#]+)", 1).alias("dst_host")
+    )
+    return LG.co_citation(edges, "src_url", "dst_host", max_fanout=64)
+
+
+def _q_host_lang_profile(spark, sf):
+    """CCNet-style per-host language routing view: majority language
+    (count ties by language ascending) + language entropy in nats over
+    formula-assigned hosts. One (host,lang) hash-agg, one host window,
+    one final agg; the majority pick is a (-count, lang) struct-min."""
+    from unified_ocr_pipeline_spark.operators.metadata import host_lang_profile
+
+    d = _t(spark, sf, "documents").select(
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias(
+            "host"
+        ),
+        F.coalesce(F.col("lang"), F.lit("unknown")).alias("lang"),
+    )
+    return host_lang_profile(d, "host", "lang")
 
 
 def _q_bm25_topk(spark, sf):
@@ -2947,6 +3097,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pr": _q_lsh_pr,
         "column_stats": _q_column_stats,
         "zorder_key": _q_zorder_key,
+        "cluster_subsample": _q_cluster_subsample,
+        "kmv_jaccard": _q_kmv_jaccard,
+        "kmv_distinct": _q_kmv_distinct,
+        "mirror_hosts": _q_mirror_hosts,
+        "url_templates": _q_url_templates,
+        "co_citation": _q_co_citation,
+        "host_lang_profile": _q_host_lang_profile,
         "boolean_and": _q_boolean_and,
         "outlink_domains": _q_outlink_domains,
         "pagerank": _q_pagerank,
@@ -4070,6 +4227,139 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dups": _minhash_oracle(),
         "minhash_error": _minhash_error_oracle(),
         "zorder_key": _zorder_oracle(),
+        # cluster_subsample: the recursive-CTE cluster oracle plus the
+        # identical md5-60 keep gate (0.4 * 2^60 as the exact double
+        # literal the engine's Python computes).
+        "cluster_subsample": f"""
+            SELECT doc_id, component, is_canonical,
+                   CASE WHEN is_canonical THEN 'canonical'
+                        ELSE 'sampled' END AS kept_as
+            FROM ({_dedup_clusters_oracle()}) t
+            WHERE is_canonical
+               OR CAST(CAST('0x' || substr(md5('cs1'
+                        || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS DOUBLE) < 4.611686018427388e17
+        """,
+        # kmv_jaccard: replay both key formulas, both 64-minimum-hash
+        # sketches, the union sketch, and the membership intersection.
+        "kmv_jaccard": """
+            WITH a AS (
+              SELECT DISTINCT CAST('0x' || substr(md5('k'
+                       || CAST(doc_id % 400 AS VARCHAR)), 1, 15) AS BIGINT)
+                     AS h
+              FROM documents),
+            b AS (
+              SELECT DISTINCT CAST('0x' || substr(md5('k'
+                       || CAST((doc_id % 400) + 200 AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h
+              FROM documents),
+            sa AS (SELECT h FROM a ORDER BY h LIMIT 64),
+            sb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+            us AS (SELECT DISTINCT h FROM
+                     (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+                   ORDER BY h LIMIT 64),
+            nu AS (SELECT count(*) AS c FROM us),
+            nb AS (SELECT count(*) AS c FROM us
+                   WHERE h IN (SELECT h FROM sa)
+                     AND h IN (SELECT h FROM sb))
+            SELECT nu.c AS n_union_sketch, nb.c AS n_both,
+                   round(nb.c / nu.c, 4) AS est_jaccard
+            FROM nu, nb
+        """,
+        # kmv_distinct: (k-1) * 2^60 / h_k on the 64-hash sketch of the
+        # 400-key set; n_kept < k short-circuits to the exact count.
+        "kmv_distinct": """
+            WITH a AS (
+              SELECT DISTINCT CAST('0x' || substr(md5('k'
+                       || CAST(doc_id % 400 AS VARCHAR)), 1, 15) AS BIGINT)
+                     AS h
+              FROM documents),
+            sk AS (SELECT h FROM a ORDER BY h LIMIT 64),
+            agg AS (SELECT count(*) AS n_kept, max(h) AS hk FROM sk)
+            SELECT n_kept,
+                   round(CASE WHEN n_kept < 64
+                              THEN CAST(n_kept AS DOUBLE)
+                              ELSE (CAST(63 AS DOUBLE)
+                                    * 1152921504606846976.0) / hk
+                         END, 4) AS est_distinct
+            FROM agg
+        """,
+        # mirror_hosts: replay the url/content formulas; DuckDB's own
+        # md5 supplies the fingerprint; roster comma-joined in host
+        # order (Spark array_sort(collect_set) = sorted distinct).
+        "mirror_hosts": """
+            WITH pages AS (
+              SELECT 'h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.mirror.example' AS host,
+                     'payload-' || CAST(doc_id % 50 AS VARCHAR) AS text
+              FROM documents)
+            SELECT md5(text) AS fingerprint,
+                   count(DISTINCT host) AS n_hosts,
+                   count(*) AS n_urls,
+                   string_agg(DISTINCT host, ',' ORDER BY host) AS hosts
+            FROM pages
+            GROUP BY md5(text)
+            HAVING count(DISTINCT host) >= 2
+        """,
+        # co_citation: the pagerank edge formula -> distinct (src,dst)
+        # -> fanout guard (vacuous at <=3 distinct dsts, replayed
+        # anyway) -> ordered dst-pair self-join on src.
+        "co_citation": """
+            WITH docs AS (SELECT doc_id, doc_id % 4 AS n FROM documents),
+            e AS (
+              SELECT 'http://src' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/page' AS src,
+                     'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+              FROM docs,
+                   LATERAL unnest(generate_series(0, CAST(n AS INT) - 1))
+                     AS i(i)
+              WHERE n > 0),
+            pairs AS (SELECT DISTINCT src, dst FROM e WHERE dst <> ''),
+            fan AS (SELECT src FROM pairs GROUP BY src
+                    HAVING count(*) <= 64),
+            kept AS (SELECT p.src, p.dst FROM pairs p
+                     JOIN fan USING (src))
+            SELECT a.dst AS host_a, b.dst AS host_b, count(*) AS n_cocite
+            FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2
+        """,
+        # host_lang_profile: replay the host formula, the (host,lang)
+        # counts, the per-host window total, the (-count, lang)
+        # struct-min majority pick, and the entropy sum.
+        "host_lang_profile": """
+            WITH c AS (
+              SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                     coalesce(lang, 'unknown') AS lang,
+                     count(*) AS c
+              FROM documents GROUP BY 1, 2),
+            t AS (SELECT *, sum(c) OVER (PARTITION BY host) AS n FROM c)
+            SELECT host,
+                   max(n) AS n_docs,
+                   struct_extract(min({'nc': -c, 'l': lang}), 'l')
+                     AS majority_lang,
+                   round(-sum((c / n) * ln(c / n)), 6) AS lang_entropy
+            FROM t GROUP BY host
+        """,
+        # url_templates: the two regexp_replace passes (hex-run first,
+        # then digit runs; 'g' = Spark's replace-all) over the url
+        # formula, rolled up per template.
+        "url_templates": r"""
+            WITH urls AS (
+              SELECT 'http://'
+                       || list_extract(['alpha','beta','gamma','delta',
+                                        'epsilon'],
+                                       CAST(doc_id % 5 AS INT) + 1)
+                       || '.ex.com/item/' || CAST(doc_id AS VARCHAR)
+                       || '/rev/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                     AS url
+              FROM documents)
+            SELECT regexp_replace(
+                     regexp_replace(url, '[0-9a-f]{8,}', '{h}', 'g'),
+                     '[0-9]+', '{d}', 'g') AS template,
+                   count(*) AS n_urls
+            FROM urls GROUP BY 1
+        """,
         # column_stats: one UNION ALL branch per profiled column —
         # counts on the native type, min/max rendered exactly like the
         # engine (printf %.6f for the double, plain casts elsewhere).

@@ -114,6 +114,13 @@ BENCH_QUERIES = [
     "lsh_pr",
     "column_stats",
     "zorder_key",
+    "cluster_subsample",
+    "kmv_jaccard",
+    "kmv_distinct",
+    "mirror_hosts",
+    "url_templates",
+    "co_citation",
+    "host_lang_profile",
     "clause_codes_sorted",
     "dense_rank_spenders",
     "domain_stats",

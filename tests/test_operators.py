@@ -1141,6 +1141,97 @@ def test_page_blocks_real_parse(spark):
     assert rows[1]["n_chars"] == len("real content paragraph")
 
 
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from unified_ocr_pipeline_spark.operators.sampling import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+    import pyspark.sql.functions as F
+
+    small = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    r = kmv_distinct_estimate(kmv_sketch(small, "k", k=64), k=64).collect()[0]
+    assert r["n_kept"] == 10 and r["est_distinct"] == 10.0  # saw everything
+    big = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    r2 = kmv_distinct_estimate(kmv_sketch(big, "k", k=64), k=64).collect()[0]
+    assert r2["n_kept"] == 64
+    assert 600 < r2["est_distinct"] < 1700  # ~1/sqrt(63) rel. error regime
+
+
+def test_kmv_jaccard_estimates_overlap(spark):
+    from unified_ocr_pipeline_spark.operators.sampling import kmv_jaccard
+    import pyspark.sql.functions as F
+
+    a = spark.range(300).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(150, 450).select(F.col("id").cast("string").alias("k"))
+    r = kmv_jaccard(a, b, "k", k=128).collect()[0]
+    # true J = 150/450 = 0.333; duplicates must not shift the sketch
+    assert 0.15 < r["est_jaccard"] < 0.55
+    r_dup = kmv_jaccard(a.union(a), b, "k", k=128).collect()[0]
+    assert r_dup["est_jaccard"] == r["est_jaccard"]
+
+
+def test_mirror_hosts_hand_case(spark):
+    from unified_ocr_pipeline_spark.operators.dedup import mirror_hosts
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/1", "same body"),
+            ("http://b.com/2", "same body"),
+            ("http://a.com/3", "same body"),   # extra url, same host
+            ("http://c.com/4", "unique text"),
+        ],
+        "url string, text string",
+    )
+    rows = mirror_hosts(df, "url", "text").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_hosts"] == 2 and r["n_urls"] == 3
+    assert r["hosts"] == ["a.com", "b.com"]
+
+
+def test_url_template_placeholders(spark):
+    import pyspark.sql.functions as F
+
+    from unified_ocr_pipeline_spark.functions.url import url_template
+
+    df = spark.createDataFrame(
+        [
+            ("http://x.com/item/8731/page",),
+            ("http://x.com/rev/deadbeef1234",),
+            ("http://x.com/id/12345678",),  # 8+ digits are hex too -> {h}
+            ("http://x.com/v2/short/ab12",),  # short runs survive
+        ],
+        "u string",
+    )
+    got = [r["t"] for r in df.select(url_template(F.col("u")).alias("t")).collect()]
+    assert got == [
+        "http://x.com/item/{d}/page",
+        "http://x.com/rev/{h}",
+        "http://x.com/id/{h}",
+        "http://x.com/v{d}/short/ab{d}",
+    ]
+
+
+def test_cluster_subsample_policy(spark):
+    from unified_ocr_pipeline_spark.operators.cc import cluster_subsample
+
+    clustered = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (4, 4, True)],
+        "doc_id long, component long, is_canonical boolean",
+    )
+    none_kept = cluster_subsample(clustered, "doc_id", rate=0.0).collect()
+    assert {r["doc_id"] for r in none_kept} == {1, 4}  # canonicals only
+    assert all(r["kept_as"] == "canonical" for r in none_kept)
+    all_kept = cluster_subsample(clustered, "doc_id", rate=1.0).collect()
+    assert {r["doc_id"] for r in all_kept} == {1, 2, 3, 4}
+    labels = {r["doc_id"]: r["kept_as"] for r in all_kept}
+    assert labels[2] == "sampled" and labels[1] == "canonical"
+    # determinism: same seed -> same survivors
+    a = {r["doc_id"] for r in cluster_subsample(clustered, "doc_id", 0.5).collect()}
+    b = {r["doc_id"] for r in cluster_subsample(clustered, "doc_id", 0.5).collect()}
+    assert a == b
+
+
 def test_zorder_key_hand_bits(spark):
     import pyspark.sql.functions as F
 

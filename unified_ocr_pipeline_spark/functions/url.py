@@ -186,3 +186,17 @@ def trap_signals(url: Column, max_depth: int = 8, max_params: int = 5,
             | (dup >= max_dup_segments)
         ).alias("is_trap"),
     ]
+
+
+def url_template(url: Column) -> Column:
+    """Collapse volatile path/query tokens to placeholders: long
+    (>= 8 char) lower-hex runs -> {h} FIRST (an 8+ char pure-digit run
+    is hex too and becomes {h} — RE2 has no lookahead to demand a
+    letter), then remaining digit runs -> {d} — so /item/8731/page and
+    /item/99/page share one template row. The
+    classic crawl-trap / site-structure mining normalization (Mercator
+    lineage): a host whose url space collapses into few templates is
+    navigable; one that stays high-cardinality after collapsing is
+    generating urls. Java∩RE2 regex subset, replayable in SQL."""
+    t = F.regexp_replace(url, r"[0-9a-f]{8,}", "{h}")
+    return F.regexp_replace(t, r"[0-9]+", "{d}")

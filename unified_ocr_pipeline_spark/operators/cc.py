@@ -188,3 +188,41 @@ def dedup_clusters(
     return out.withColumn(
         "is_canonical", F.row_number().over(w) == F.lit(1)
     )
+
+
+def cluster_subsample(
+    clustered: DataFrame,
+    id_col: str,
+    rate: float,
+    seed: str = "cs1",
+) -> DataFrame:
+    """Cluster-aware subsampling of a dedup_clusters result: every
+    canonical representative is kept; each non-canonical member is kept
+    independently with probability ``rate`` — the standard
+    soft-dedup policy (near-dups are partly redundant, not worthless:
+    keeping a hash-sampled fraction preserves paraphrase diversity
+    while cutting the redundancy mass; dropping to rate=0.0 is hard
+    dedup).
+
+    Deterministic: the keep decision is ``md5_60(seed || id) < rate *
+    2^60`` — re-runs reproduce the same training set, the rate can be
+    changed without reshuffling survivors of other rates arbitrarily,
+    and an external SQL verifier replays the decision exactly.
+
+    Returns the input rows that survive, with a ``kept_as`` column
+    ('canonical' | 'sampled'). Pure projection + filter on top of the
+    clustered frame — no additional shuffle.
+    """
+    from ..operators.sampling import md5_60
+
+    u = md5_60(
+        F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    ).cast("double")
+    keep_sampled = u < F.lit(float(rate) * float(2**60))
+    out = clustered.where(F.col("is_canonical") | keep_sampled)
+    return out.withColumn(
+        "kept_as",
+        F.when(F.col("is_canonical"), F.lit("canonical")).otherwise(
+            F.lit("sampled")
+        ),
+    )

@@ -977,3 +977,39 @@ def bloom_anti_join(
         .join(corpus_df.select(F.col(key_col)).distinct(), key_col, "left_anti")
     )
     return definite_new.unionByName(residual)
+
+
+def mirror_hosts(
+    df: DataFrame,
+    url_col: str,
+    text_col: str,
+    min_hosts: int = 2,
+) -> DataFrame:
+    """Cross-host mirror detection: content served verbatim from two or
+    more hosts (mirrors, CDNs with distinct hostnames, scraper farms
+    republishing a corpus). Exact-duplicate text on ONE host is
+    ordinary dedup; the same bytes on many hosts is a site-level signal
+    the crawl frontier should know about (fetch one mirror, not all).
+
+    Returns (fingerprint, n_hosts, n_urls, hosts) per mirrored content
+    group: md5 of the text, distinct host count, total urls, and the
+    sorted distinct host list as an array.
+
+    Scale shape: host extraction is a JVM regexp; the group-by keys on
+    the content hash with map-side partial aggregation (collect_set
+    stays bounded because a flood of hosts serving one byte-identical
+    payload is exactly what we're reporting — and min_hosts prunes the
+    long tail of unmirrored content before any output materializes).
+    """
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1)
+    g = (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), host.alias("host"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count_distinct("host").alias("n_hosts"),
+            F.count("*").alias("n_urls"),
+            F.array_sort(F.collect_set("host")).alias("hosts"),
+        )
+        .where(F.col("n_hosts") >= min_hosts)
+    )
+    return g

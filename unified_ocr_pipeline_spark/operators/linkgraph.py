@@ -450,3 +450,44 @@ def host_reciprocity(
             ).alias("reciprocity"),
         )
     )
+
+
+def co_citation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_fanout: int = 64,
+) -> DataFrame:
+    """Co-citation counts between destination hosts (Small 1973, the
+    classic relatedness signal web IR built on): two hosts are related
+    in proportion to how many pages link to BOTH. Feeds related-site
+    discovery and seed expansion for a focused crawl.
+
+    Returns (host_a, host_b, n_cocite) with host_a < host_b.
+
+    Scale shape: the graph first collapses to DISTINCT (src, dst) pairs
+    (one hash-agg; url-level multiplicity never enters the join). The
+    self-join on src is the quadratic hazard — a directory page linking
+    10^4 hosts contributes 10^8 pairs — so sources with more than
+    ``max_fanout`` distinct destinations are dropped whole (hub pages
+    assert nothing about relatedness; same flood-guard posture as the
+    LSH band cap). After the cap, per-src pair fanout is bounded by
+    max_fanout^2, and the final count is one (a, b)-keyed hash-agg.
+    """
+    pairs = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("dst") != "")
+        .distinct()
+    )
+    fan = pairs.groupBy("src").agg(F.count("*").alias("_fan"))
+    kept = pairs.join(
+        fan.where(F.col("_fan") <= max_fanout).select("src"), "src", "left_semi"
+    )
+    l = kept.select("src", F.col("dst").alias("host_a"))
+    r = kept.select("src", F.col("dst").alias("host_b"))
+    return (
+        l.join(r, "src")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_cocite"))
+    )

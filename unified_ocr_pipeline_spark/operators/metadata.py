@@ -109,3 +109,39 @@ def page_markdown(pages: DataFrame, url_col: str = "url",
         F.col(url_col).alias("_url"), F.col(html_col).alias("_html")
     )
     return narrow.mapInPandas(gen, schema="url string, markdown string")
+
+
+def host_lang_profile(
+    df: DataFrame, host_col: str, lang_col: str
+) -> DataFrame:
+    """Per-host language profile: document count, majority language
+    (ties by language ascending), and the language entropy in nats —
+    the CCNet-style routing view (a host that is 95% one language gets
+    that language's pipeline; a high-entropy host is mixed content or
+    mislabeled and deserves per-document language ID).
+
+    Returns (host, n_docs, majority_lang, lang_entropy double).
+
+    Scale shape: one (host, lang)-keyed hash-agg with map-side combine
+    (the shuffle carries host x language cardinality, not documents),
+    one host-keyed window for the totals (language fan-in per host is
+    tiny, no skew), and a final host-keyed agg. The majority pick is a
+    min over (-count, lang) structs — no second pass, no sort.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(host_col).alias("host"), F.col(lang_col).alias("lang"))
+        .groupBy("host", "lang")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("host")
+    counts = counts.withColumn("n", F.sum("c").over(w))
+    p = F.col("c").cast("double") / F.col("n")
+    return counts.groupBy("host").agg(
+        F.max("n").alias("n_docs"),
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("lang").alias("l"))
+        )["l"].alias("majority_lang"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+    )

@@ -782,3 +782,76 @@ def zipf_fit(
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: mergeable set summaries
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values sketch of a key set (Bar-Yossef et al. 2002 /
+    the theta-sketch family): the ``k`` smallest md5-60 hashes of the
+    DISTINCT keys, as a DataFrame of (h bigint). Two snapshots' url
+    sets, two shards' vocabularies — any set whose intersection or
+    cardinality you need WITHOUT joining the full sets — get one
+    k-row summary each; sketches union by taking the k smallest of
+    the concatenation (mergeable, associative).
+
+    Deterministic (hash order, no RNG), so an external SQL verifier
+    reproduces the sketch row-for-row.
+
+    Scale shape: one distinct-agg (map-side combine) then a global
+    top-k (TakeOrderedAndProject — per-partition heaps, no full sort).
+    """
+    return (
+        df.select(md5_60(F.col(key_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a full KMV sketch: (k-1) * 2^60 /
+    h_k with h_k the largest retained hash. One row (n_kept,
+    est_distinct double); sketches with fewer than k rows saw the whole
+    set, so the exact count is returned."""
+    agg = sketch.agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("_hk")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(2**60))) / F.col("_hk")
+    )
+    return agg.select("n_kept", F.round(est, 4).alias("est_distinct"))
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """Jaccard estimate between two key sets from their KMV sketches
+    (Beyer et al. 2007): build both sketches, take the union sketch
+    (k smallest of the merged hashes), and estimate J as
+    |union_sketch ∩ A ∩ B| / |union_sketch|. One row
+    (n_union_sketch, n_both, est_jaccard double).
+
+    Scale shape: after the two k-row sketches exist, everything is
+    k-row arithmetic — the full sets are never joined. The sketch
+    membership joins broadcast (k rows).
+    """
+    sa = kmv_sketch(a, key_col, k)
+    sb = kmv_sketch(b, key_col, k)
+    union_sketch = sa.union(sb).distinct().orderBy("h").limit(k)
+    both = union_sketch.join(F.broadcast(sa), "h", "left_semi").join(
+        F.broadcast(sb), "h", "left_semi"
+    )
+    nu = union_sketch.agg(F.count("*").alias("n_union_sketch"))
+    nb = both.agg(F.count("*").alias("n_both"))
+    return nu.join(nb).select(
+        "n_union_sketch",
+        "n_both",
+        F.round(
+            F.col("n_both") / F.col("n_union_sketch"), 4
+        ).alias("est_jaccard"),
+    )
