@@ -128,6 +128,9 @@ _PRODUCT_JOIN_OK = {
     "bm25_topk",           # one-row avgdl scalar
     "approx_distinct",     # one-row sketch-union scalar
     "hll_distinct",        # one-row register-merge scalar
+    "kmv_jaccard",         # one-row (n_union_sketch, n_both) counts +
+                           # k-row sketch semi-joins (k=64, bounded)
+    "pmi_bigrams",         # one-row (N tokens, M bigrams) totals
 }
 
 
