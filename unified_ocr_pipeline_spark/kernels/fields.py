@@ -202,33 +202,52 @@ def find_po_number(pages: Sequence[str]) -> Optional[str]:
 # ---------------------------------------------------------------------------
 
 def extract_vendor(pages: Sequence[str]) -> str:
-    """F4 (:337-354): vendor-address line, else company-suffix fallback."""
+    """F4 (:337-354): vendor-address line, else company-suffix fallback.
+    Literal prescreens (necessary conditions of each pattern — the address
+    pattern needs its label, the company pattern one of its suffix
+    literals) skip full-text scans that cannot match; 'co' subsumes
+    CORP/COMPANY/CO."""
     for text in pages:
-        m = _VENDOR_ADDR.search(text)
-        if m:
-            vendor_name = m.group(1).strip()
-            if vendor_name and not _VENDOR_LEADING_DIGITS.match(vendor_name):
-                return vendor_name
-        m = _VENDOR_COMPANY.search(text)
-        if m:
-            return m.group(1).strip()
+        lt = text.lower()
+        if "vendor address" in lt:
+            m = _VENDOR_ADDR.search(text)
+            if m:
+                vendor_name = m.group(1).strip()
+                if vendor_name and not _VENDOR_LEADING_DIGITS.match(vendor_name):
+                    return vendor_name
+        if "inc" in lt or "llc" in lt or "co" in lt or "enterprises" in lt:
+            m = _VENDOR_COMPANY.search(text)
+            if m:
+                return m.group(1).strip()
     return ""
 
 
 def extract_date(pages: Sequence[str]) -> str:
-    """F5 (:356-365)."""
+    """F5 (:356-365). 'date' literal prescreen."""
     for text in pages:
+        if "date" not in text.lower():
+            continue
         m = _ORDER_DATE.search(text)
         if m:
             return m.group(1)
     return ""
 
 
+# per-pattern necessary-condition literals for the F6 cascade (all-lowercase,
+# checked against text.lower(); None = no cheap literal, always run)
+_AMOUNT_PRESCREENS = ("total amount", "net value", "amount", "$")
+
+
 def extract_amount(pages: Sequence[str]) -> str:
     """F6 (:367-384): 4-pattern cascade per page; value kept as string
-    (commas preserved — byte-identity, SURVEY.md §1.2)."""
+    (commas preserved — byte-identity, SURVEY.md §1.2). Each pattern is
+    anchored on a literal (label or '$'), so a page lacking that literal
+    provably cannot match it — the scan is skipped, cascade order kept."""
     for text in pages:
-        for pat in _AMOUNT_CASCADE:
+        lt = text.lower()
+        for lit, pat in zip(_AMOUNT_PRESCREENS, _AMOUNT_CASCADE):
+            if lit not in lt:
+                continue
             m = pat.search(text)
             if m:
                 return m.group(1)
@@ -252,15 +271,18 @@ def extract_delivery_date(pages: Sequence[str]) -> str:
             m = _DOCK_DATE.search(text)
             if m:
                 return m.group(1)
-        m = _EA_DATE.search(text)
-        if m:
-            return m.group(1)
+        if "ea" in lt and "/" in text:
+            m = _EA_DATE.search(text)
+            if m:
+                return m.group(1)
     return ""
 
 
 def extract_vendor_number(pages: Sequence[str]) -> str:
-    """F8 (:407-415)."""
+    """F8 (:407-415). Label-literal prescreen."""
     for text in pages:
+        if "vendor number" not in text.lower():
+            continue
         m = _VENDOR_NUMBER.search(text)
         if m:
             return m.group(1)
@@ -268,8 +290,10 @@ def extract_vendor_number(pages: Sequence[str]) -> str:
 
 
 def extract_buyer_name(pages: Sequence[str]) -> str:
-    """F9a (:417-425)."""
+    """F9a (:417-425). 'buyer/phone' label prescreen."""
     for text in pages:
+        if "buyer/phone" not in text.lower():
+            continue
         m = _BUYER_NAME.search(text)
         if m:
             return m.group(1).strip()
@@ -277,8 +301,10 @@ def extract_buyer_name(pages: Sequence[str]) -> str:
 
 
 def extract_buyer_phone(pages: Sequence[str]) -> str:
-    """F9b (:427-435)."""
+    """F9b (:427-435). 'buyer/phone' label prescreen."""
     for text in pages:
+        if "buyer/phone" not in text.lower():
+            continue
         m = _BUYER_PHONE.search(text)
         if m:
             return m.group(1)
@@ -286,8 +312,10 @@ def extract_buyer_phone(pages: Sequence[str]) -> str:
 
 
 def extract_buyer_email(pages: Sequence[str]) -> str:
-    """F9c (:437-445)."""
+    """F9c (:437-445). 'buyer e-mail' label prescreen."""
     for text in pages:
+        if "buyer e-mail" not in text.lower():
+            continue
         m = _BUYER_EMAIL.search(text)
         if m:
             return m.group(1)
@@ -295,8 +323,11 @@ def extract_buyer_email(pages: Sequence[str]) -> str:
 
 
 def extract_part_number(pages: Sequence[str]) -> str:
-    """F10 (:447-456)."""
+    """F10 (:447-456). The pattern requires a literal '-' (and digits);
+    pages without a dash are skipped unscanned."""
     for text in pages:
+        if "-" not in text:
+            continue
         m = _PART_NUMBER.search(text)
         if m:
             return m.group(1)
@@ -327,8 +358,11 @@ def extract_net_per_price(pages: Sequence[str]) -> str:
 
 
 def extract_po_number_strict(pages: Sequence[str]) -> str:
-    """F3 (:481-492): strict ``45\\d{8}`` scan over ALL pages."""
+    """F3 (:481-492): strict ``45\\d{8}`` scan over ALL pages ('45'
+    literal prescreen — the pattern cannot match without it)."""
     for text in pages:
+        if "45" not in text:
+            continue
         m = _PO_STRICT.search(text)
         if m:
             po = m.group(1)
@@ -359,11 +393,32 @@ def extract_production_order(pages: Sequence[str]) -> str:
     return ""
 
 
+# per-pattern necessary-condition literal tuples for the F14 cascade (ALL
+# listed literals must appear, lowercase, for the pattern to possibly match;
+# () = no cheap literal, always run). Mirrors _QTY_SHIP_CASCADE's order.
+_QTY_SHIP_PRESCREENS = (
+    ("delivery date", "quantity"),
+    ("qty",),
+    ("quantity",),
+    ("ea",),
+    ("ship", "qty"),
+    ("shipped",),
+    ("ea",),          # EACH|EA — 'ea' is a prefix of 'each'
+    ("delivery",),
+    (),               # bare 1-4 digit token: no literal anchor
+)
+
+
 def extract_quantity_shipped(pages: Sequence[str]) -> str:
     """F14 (:518-555): 9-pattern cascade; first int-convertible match wins,
-    normalized ``str(int(float(x)))``."""
+    normalized ``str(int(float(x)))``. Every pattern but the last is
+    anchored on label literals — pages lacking them skip that scan
+    (cascade order and the ValueError-continue semantics unchanged)."""
     for text in pages:
-        for pat in _QTY_SHIP_CASCADE:
+        lt = text.lower()
+        for lits, pat in zip(_QTY_SHIP_PRESCREENS, _QTY_SHIP_CASCADE):
+            if any(lit not in lt for lit in lits):
+                continue
             m = pat.search(text)
             if m:
                 qty = m.group(1)
@@ -375,11 +430,16 @@ def extract_quantity_shipped(pages: Sequence[str]) -> str:
 
 
 def extract_part_number_with_op(pages: Sequence[str]) -> str:
-    """F15 (:557-576): ``base OPxx`` → ``base*OPXX``; assembly fallback."""
+    """F15 (:557-576): ``base OPxx`` → ``base*OPXX``; assembly fallback.
+    Both patterns need the 'op'/'assembly' literals — prescreened."""
     for text in pages:
-        m = _PART_OP.search(text)
-        if m:
-            return f"{m.group(1)}*{m.group(2).upper()}"
+        lt = text.lower()
+        if "op" in lt:
+            m = _PART_OP.search(text)
+            if m:
+                return f"{m.group(1)}*{m.group(2).upper()}"
+        if "assembly" not in lt and "body assy" not in lt:
+            continue
         m = _PART_ASSEMBLY.search(text)
         if m:
             part_base = m.group(1)

@@ -123,6 +123,83 @@ class ExtractionPipeline:
         self.salt_factor = salt_factor
         self.max_bytes = max_bytes
 
+    # -- input split sizing ---------------------------------------------------
+    def _input_size_bytes(self, path: str) -> Optional[int]:
+        """Total byte size of a (possibly glob) input path via the Hadoop
+        FS — works on HDFS/S3A/local alike. None when unlistable (DSv2
+        table specs, permission quirks): the caller then leaves the
+        session's split config untouched."""
+        try:
+            sc = self.spark.sparkContext
+            jvm = sc._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+            statuses = fs.globStatus(p)
+            if statuses is None or len(statuses) == 0:
+                return None
+            total = 0
+            for st in statuses:
+                if st.isDirectory():
+                    it = fs.listFiles(st.getPath(), True)
+                    while it.hasNext():
+                        total += it.next().getLen()
+                else:
+                    total += st.getLen()
+            return total
+        except Exception:
+            return None
+
+    def _tune_input_splits(self, pages_path: str, per_core_splits: int = 2):
+        """Size parquet scan splits to the INPUT, not a constant.
+
+        The extraction kernel runs on scan partitions (extract-before-
+        shuffle — raw payloads never enter an exchange), so scan split
+        count IS the extraction parallelism. Spark's own formula
+        (``bytesPerCore = total/defaultParallelism`` capped at
+        maxPartitionBytes) already yields ~1 split per core; this makes
+        the sizing explicit and targets ``per_core_splits ×`` cores
+        (finer tasks → stragglers rebalance instead of capping the
+        stage), clamped to [4 MB, 128 MB]. At 100 TB the clamp keeps the
+        production 128 MB splits (the executor-memory-bounding knob), so
+        the override only changes granularity when the input is small
+        relative to the cluster. Open-cost shrinks with the split so
+        many-tiny-file crawls don't pack files onto idle cores.
+
+        Returns the saved (maxPartitionBytes, openCostInBytes) pair so
+        ``run`` can restore the session state, or None when untouched.
+        """
+        if pages_path.startswith("table:"):
+            return None
+        size = self._input_size_bytes(pages_path)
+        if not size:
+            return None
+        conf = self.spark.conf
+        target = max(1, per_core_splits * self.spark.sparkContext.defaultParallelism)
+        per = size // target + 1
+        per = max(4 * 1024 * 1024, min(128 * 1024 * 1024, per))
+        saved = (
+            conf.get("spark.sql.files.maxPartitionBytes", None),
+            conf.get("spark.sql.files.openCostInBytes", None),
+        )
+        conf.set("spark.sql.files.maxPartitionBytes", str(per))
+        # open-cost must shrink with the split size or many-small-file
+        # inputs still pack whole files together (cost dominates size)
+        conf.set("spark.sql.files.openCostInBytes", str(max(64 * 1024, per // 8)))
+        return saved
+
+    def _restore_split_conf(self, saved) -> None:
+        if saved is None:
+            return
+        conf = self.spark.conf
+        for key, val in zip(
+            ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes"),
+            saved,
+        ):
+            if val is None:
+                conf.unset(key)
+            else:
+                conf.set(key, val)
+
     # -- manifests -----------------------------------------------------------
     def completed_buckets(self, epoch: int = 0) -> Optional[DataFrame]:
         try:
@@ -215,6 +292,23 @@ class ExtractionPipeline:
         resume: bool = True,
         epoch: int = 0,
         preflight: bool = True,
+    ) -> RunResult:
+        """Input-split-tuned wrapper around :meth:`_run_impl` — scan splits
+        are sized to the input (extraction parallelism == scan splits, see
+        ``_tune_input_splits``) and the session split config is restored on
+        every exit path."""
+        saved_split_conf = self._tune_input_splits(pages_path)
+        try:
+            return self._run_impl(pages_path, resume, epoch, preflight)
+        finally:
+            self._restore_split_conf(saved_split_conf)
+
+    def _run_impl(
+        self,
+        pages_path: str,
+        resume: bool,
+        epoch: int,
+        preflight: bool,
     ) -> RunResult:
         """Process one input (batch: epoch=0; incremental: one epoch per
         micro-batch). Output partitions are (epoch, bucket): a replayed
