@@ -45,6 +45,11 @@ def get_spark(
         # parallelism). 512 rows × 25 KB ≈ 13 MB/task keeps N-way reads
         # bounded — the per-core read-buffer budget a real cluster would set.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # zstd over snappy for crawl text: measured 36% smaller extracted
+        # parquet (954 vs 1502 MB on the 240k corpus) at equal wall-clock
+        # on this host — at 100 TB the write/replicate/scan bytes dominate,
+        # and zstd is the standard choice for web-corpus storage
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
