@@ -181,7 +181,9 @@ def regression_check(out: dict, baseline: dict) -> dict:
     if out.get("sf") != baseline.get("sf") or out.get("cpus") != baseline.get("cpus"):
         return {}
     pin = baseline["docs_per_sec_calm"]
-    thresh = baseline.get("regression_threshold", 0.25)
+    # tiny epsilon so "exactly at the threshold" never flags on float
+    # representation (pin*(1-t)/pin can land one ulp under 1-t)
+    thresh = baseline.get("regression_threshold", 0.25) + 1e-9
     ratio = out["docs_per_sec"] / pin if pin else float("nan")
     res = {
         "baseline_docs_per_sec": pin,
