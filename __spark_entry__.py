@@ -2894,6 +2894,75 @@ def _mixture_oracle(exact: bool) -> str:
         """
 
 
+def _unimax_oracle(budget: int, epoch_cap: int, sample: bool) -> str:
+    """Replays operators/sampling.unimax_allocate (+ unimax_sample): the
+    per-source totals, the capacity-ascending closed-form water-filling
+    prefix test (all-integer compares), the single BIGINT/BIGINT double
+    division for the uncapped share, and — for the sample — the
+    floor/frac split with the md5-60 hash gate. Every float the two
+    engines compare is produced by the same operation sequence, so the
+    replay is bit-identical."""
+    base = f"""
+        WITH tot AS (
+          SELECT source,
+                 CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS avail_tokens,
+                 {epoch_cap} * CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                   AS capacity
+          FROM documents GROUP BY 1),
+        rk AS (
+          SELECT source, avail_tokens, capacity,
+                 row_number() OVER (ORDER BY capacity, source) AS j,
+                 COALESCE(sum(capacity) OVER (
+                   ORDER BY capacity, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pfx,
+                 count(*) OVER () AS n
+          FROM tot),
+        fl AS (
+          SELECT *,
+                 capacity * (n - j + 1) <= {budget} - pfx AS capped
+          FROM rk),
+        st AS (
+          SELECT *,
+                 max(CASE WHEN capped THEN j ELSE 0 END) OVER () AS jstar,
+                 max(CASE WHEN capped THEN pfx + capacity ELSE 0 END) OVER ()
+                   AS capped_sum
+          FROM fl),
+        alloc AS (
+          SELECT source, avail_tokens, capacity,
+                 CASE WHEN j <= jstar THEN CAST(capacity AS DOUBLE)
+                      ELSE CAST({budget} - capped_sum AS DOUBLE)
+                           / CAST(n - jstar AS DOUBLE) END AS allocated
+          FROM st)"""
+    if not sample:
+        return base + """
+        SELECT source, avail_tokens, capacity, allocated,
+               allocated / CAST(avail_tokens AS DOUBLE) AS epochs
+        FROM alloc
+        """
+    return base + """,
+        r AS (
+          SELECT source,
+                 CAST(floor(allocated / CAST(avail_tokens AS DOUBLE))
+                      AS BIGINT) AS fullc,
+                 allocated / CAST(avail_tokens AS DOUBLE)
+                   - floor(allocated / CAST(avail_tokens AS DOUBLE)) AS frac
+          FROM alloc),
+        d AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS hk
+          FROM documents)
+        SELECT doc_id, source, n_chars, n_copies FROM (
+          SELECT d.doc_id, d.source, d.n_chars,
+                 CAST(r.fullc + CASE WHEN CAST(d.hk AS DOUBLE)
+                        < r.frac * 1152921504606846976.0
+                      THEN 1 ELSE 0 END AS INT) AS n_copies
+          FROM d JOIN r USING (source))
+        WHERE n_copies > 0
+        """
+
+
 def _q_mixture_sample(spark, sf):
     """Exact token-budgeted mixture sampling: per-source char budgets in
     deterministic md5-60 hash order (prefix-sum window); src19 has no
@@ -2913,6 +2982,34 @@ def _q_mixture_rate(spark, sf):
         d.select("doc_id", "source", "n_chars"),
         "doc_id", "source", "n_chars", _MIX_BUDGETS,
     ).select("doc_id", "source", "n_chars")
+
+
+_UNIMAX_ALLOC = dict(budget=280_000, epoch_cap=2)
+_UNIMAX_SAMPLE = dict(budget=130_000, epoch_cap=1)
+
+
+def _q_unimax_alloc(spark, sf):
+    """UniMax water-filling allocation (Chung et al. 2023): per-source
+    token quota under a total budget and an epoch cap, small sources
+    capped at epoch_cap passes, the freed budget redistributed evenly.
+    Closed-form prefix test on the capacity-ascending order — all-integer
+    boundary decisions, one corpus hash-agg then sources-sized math."""
+    d = _t(spark, sf, "documents")
+    return SAMP.unimax_allocate(
+        d.select("source", F.col("n_chars").cast("long").alias("n_chars")),
+        "source", "n_chars", **_UNIMAX_ALLOC,
+    ).select("source", "avail_tokens", "capacity", "allocated", "epochs")
+
+
+def _q_unimax_sample(spark, sf):
+    """Apply a UniMax allocation to documents: floor(epochs) guaranteed
+    copies per doc plus one hash-gated fractional copy, kept as an
+    n_copies COLUMN (no explode) behind a tiny broadcast of rates."""
+    d = _t(spark, sf, "documents")
+    return SAMP.unimax_sample(
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")),
+        "doc_id", "source", "n_chars", **_UNIMAX_SAMPLE,
+    ).select("doc_id", "source", "n_chars", "n_copies")
 
 
 def _q_chunk_documents(spark, sf):
@@ -3060,6 +3157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "mixture_sample": _q_mixture_sample,
         "mixture_rate": _q_mixture_rate,
+        "unimax_alloc": _q_unimax_alloc,
+        "unimax_sample": _q_unimax_sample,
         "chunk_documents": _q_chunk_documents,
         "semantic_dedup": _q_semantic_dedup,
         "snapshot_diff": _q_snapshot_diff,
@@ -4645,6 +4744,10 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "mixture_sample": _mixture_oracle(exact=True),
         "mixture_rate": _mixture_oracle(exact=False),
+        # unimax: closed-form water-filling allocation replayed with the
+        # same integer prefix test and division order
+        "unimax_alloc": _unimax_oracle(sample=False, **_UNIMAX_ALLOC),
+        "unimax_sample": _unimax_oracle(sample=True, **_UNIMAX_SAMPLE),
         # decontaminate: distinct word-3-gram overlap vs the doc_id%37==0
         # benchmark split, same ASCII-\s tokenizer as token_stats
         "decontaminate": r"""

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "decontaminate",
     "mixture_sample",
     "mixture_rate",
+    "unimax_alloc",
+    "unimax_sample",
     "chunk_documents",
     "semantic_dedup",
     "snapshot_diff",

@@ -321,3 +321,119 @@ def test_bloom_probe_broadcasts_filter(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget-capped mixture allocation
+# ---------------------------------------------------------------------------
+
+
+def _unimax_python(totals: dict, budget: int, epoch_cap: int) -> dict:
+    """The paper's iterative water-filling loop, as the differential
+    reference for the closed-form prefix implementation."""
+    remaining = {s: epoch_cap * t for s, t in totals.items()}
+    alloc, b = {}, float(budget)
+    while remaining:
+        share = b / len(remaining)
+        capped = {s: c for s, c in remaining.items() if c <= share}
+        if not capped:
+            for s in remaining:
+                alloc[s] = share
+            return alloc
+        for s, c in capped.items():
+            alloc[s] = float(c)
+            b -= c
+            del remaining[s]
+    return alloc
+
+
+def _unimax_df(spark, totals):
+    rows = [(f"d{s}{i}", s, t // 4 + (i < t % 4)) for s, t in totals.items()
+            for i in range(4)]
+    return spark.createDataFrame(
+        rows, "doc_id string, source string, n_chars long"
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_unimax_matches_iterative_waterfill(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    totals = {f"s{i:02d}": rng.randint(50, 5000) for i in range(rng.randint(2, 12))}
+    budget = rng.randint(100, 3 * sum(totals.values()))
+    cap = rng.choice([1, 2, 4])
+    got = {
+        r.source: r.allocated
+        for r in SAMP.unimax_allocate(
+            _unimax_df(spark, totals), "source", "n_chars", budget, cap
+        ).collect()
+    }
+    want = _unimax_python(totals, budget, cap)
+    assert got.keys() == want.keys()
+    for s in want:
+        assert got[s] == pytest.approx(want[s], rel=1e-12), (s, budget, cap)
+
+
+def test_unimax_all_capped_when_budget_exceeds_capacity(spark):
+    totals = {"a": 100, "b": 300}
+    out = SAMP.unimax_allocate(
+        _unimax_df(spark, totals), "source", "n_chars", budget=10_000, epoch_cap=2
+    ).collect()
+    by = {r.source: r for r in out}
+    assert by["a"].allocated == 200.0 and by["b"].allocated == 600.0
+    assert by["a"].epochs == 2.0  # nobody exceeds the epoch cap, ever
+
+
+def test_unimax_total_allocation_equals_budget_when_constrained(spark):
+    totals = {f"s{i}": 100 * (i + 1) for i in range(6)}
+    budget = 900  # < sum of capacities at cap 2 (4200)
+    out = SAMP.unimax_allocate(
+        _unimax_df(spark, totals), "source", "n_chars", budget, epoch_cap=2
+    ).collect()
+    assert sum(r.allocated for r in out) == pytest.approx(budget)
+
+
+def test_unimax_sample_copies_track_allocation(spark):
+    rows = [(f"d{i}", f"s{i % 3}", 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_chars long")
+    budget, cap = 20_000, 3
+    alloc = {
+        r.source: r.allocated
+        for r in SAMP.unimax_allocate(df, "source", "n_chars", budget, cap).collect()
+    }
+    samp = SAMP.unimax_sample(df, "doc_id", "source", "n_chars", budget, cap)
+    kept = {
+        r.source: r.tok
+        for r in samp.groupBy("source")
+        .agg(F.sum(F.col("n_chars") * F.col("n_copies")).alias("tok"))
+        .collect()
+    }
+    for s, a in alloc.items():
+        # floor copies are exact; the fractional tail is hash-sampled, so
+        # per-source kept tokens land within a few docs of the allocation
+        assert abs(kept[s] - a) <= 50 * 12, (s, kept[s], a)
+    # deterministic: a re-run keeps the identical doc set
+    again = SAMP.unimax_sample(df, "doc_id", "source", "n_chars", budget, cap)
+    assert sorted((r.doc_id, r.n_copies) for r in samp.collect()) == sorted(
+        (r.doc_id, r.n_copies) for r in again.collect()
+    )
+
+
+def test_unimax_sample_broadcasts_rates(spark):
+    rows = [(f"d{i}", f"s{i % 3}", 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_chars long")
+    plan = (
+        SAMP.unimax_sample(df, "doc_id", "source", "n_chars", 5_000, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unimax_param_validation(spark):
+    df = _unimax_df(spark, {"a": 10})
+    with pytest.raises(ValueError):
+        SAMP.unimax_allocate(df, "source", "n_chars", budget=0)
+    with pytest.raises(ValueError):
+        SAMP.unimax_allocate(df, "source", "n_chars", budget=10, epoch_cap=0)

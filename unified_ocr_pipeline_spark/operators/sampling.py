@@ -855,3 +855,149 @@ def kmv_jaccard(
             F.col("n_both") / F.col("n_union_sketch"), 4
         ).alias("est_jaccard"),
     )
+
+
+def unimax_allocate(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    budget: int,
+    epoch_cap: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): split a total
+    token ``budget`` across sources as uniformly as possible, capping
+    every source at ``epoch_cap`` passes over its available tokens, and
+    redistributing the unused share of capped (small) sources to the
+    rest. This is the water-filling allocator UniMax proposes instead of
+    temperature sampling: no source is over-repeated past the epoch cap,
+    and no tuned temperature is needed.
+
+    Closed form instead of the paper's iterative loop: sort sources by
+    capacity c_i = epoch_cap * tokens_i ascending; the capped set is a
+    prefix of that order, and j* is the LARGEST j with
+    ``c_j * (n - j + 1) <= budget - prefix_{j-1}`` (all shares integer
+    arithmetic, so the boundary decision is exact in any engine).
+    Sources at or below j* get exactly c_i; the rest each get the
+    remaining budget divided evenly — one correctly-rounded BIGINT /
+    BIGINT double division, bit-identical across engines.
+
+    Returns one row per source: (source, avail_tokens, capacity,
+    allocated double, epochs double = allocated / avail). Scale shape:
+    one source-keyed hash-agg over the corpus (map-side partial), then
+    ALL remaining work happens on the sources-sized relation (dozens of
+    rows) — the single-partition windows on it are free by construction,
+    exactly like mixture_sample's offsets relation.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if epoch_cap <= 0:
+        raise ValueError(f"epoch_cap must be positive, got {epoch_cap}")
+    totals = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(F.col(token_col)).cast("long").alias("avail_tokens"))
+        .withColumn("capacity", F.lit(epoch_cap).cast("long") * F.col("avail_tokens"))
+    )
+    w = Window.orderBy("capacity", "source")
+    all_rows = Window.partitionBy()
+    ranked = (
+        totals.select(
+            "source",
+            "avail_tokens",
+            "capacity",
+            F.row_number().over(w).alias("_j"),
+            F.coalesce(
+                F.sum("capacity").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("_prefix"),
+        )
+        .withColumn("_n", F.count("*").over(all_rows))
+        # Water-filling cap test, all-integer: source j is capped iff its
+        # capacity is no more than an even split of what's left after the
+        # smaller sources take theirs.
+        .withColumn(
+            "_capped",
+            F.col("capacity") * (F.col("_n") - F.col("_j") + 1)
+            <= F.lit(budget).cast("long") - F.col("_prefix"),
+        )
+        .withColumn(
+            "_jstar",
+            F.max(F.when(F.col("_capped"), F.col("_j")).otherwise(F.lit(0))).over(
+                all_rows
+            ),
+        )
+        # Capped set is a prefix of the capacity order, so the max of
+        # (prefix + capacity) over capped rows is exactly its total.
+        .withColumn(
+            "_capped_sum",
+            F.max(
+                F.when(
+                    F.col("_capped"), F.col("_prefix") + F.col("capacity")
+                ).otherwise(F.lit(0).cast("long"))
+            ).over(all_rows),
+        )
+    )
+    share = (
+        (F.lit(budget).cast("long") - F.col("_capped_sum")).cast("double")
+        / (F.col("_n") - F.col("_jstar")).cast("double")
+    )
+    return ranked.select(
+        "source",
+        "avail_tokens",
+        "capacity",
+        F.when(F.col("_j") <= F.col("_jstar"), F.col("capacity").cast("double"))
+        .otherwise(share)
+        .alias("allocated"),
+    ).withColumn(
+        "epochs", F.col("allocated") / F.col("avail_tokens").cast("double")
+    )
+
+
+def unimax_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    budget: int,
+    epoch_cap: int = 4,
+) -> DataFrame:
+    """Apply a UniMax allocation to documents: every document of a source
+    allocated e epochs appears floor(e) times, plus one more with
+    probability frac(e) decided by the deterministic md5-60 hash of its
+    id (so re-runs repeat identically and the expected token count per
+    source equals its allocation). Returns the input columns plus
+    ``n_copies`` (int >= 1); rows whose source drew 0 copies are dropped.
+
+    The copy count stays a COLUMN — no explode. Downstream consumers
+    either materialize repeats at their own stage (sequence+explode on
+    the already-filtered set) or feed n_copies straight into a weighted
+    sampler; either way the corpus-sized relation crosses no exchange
+    here: one tiny allocation broadcast + a scan-side projection.
+
+    frac(e) * 2^60 is a double scaled by a power of two (exact), and the
+    hash is uniform on [0, 2^60), so the keep decision is bit-identical
+    in any IEEE-754 engine replaying the same division order.
+    """
+    alloc = unimax_allocate(df, source_col, token_col, budget, epoch_cap)
+    rates = alloc.select(
+        F.col("source").alias(source_col),
+        F.floor(F.col("epochs")).cast("long").alias("_full"),
+        (F.col("epochs") - F.floor(F.col("epochs"))).alias("_frac"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn(
+            "n_copies",
+            (
+                F.col("_full")
+                + F.when(
+                    md5_60(F.col(id_col)).cast("double")
+                    < F.col("_frac") * float(2**60),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("int"),
+        )
+        .where(F.col("n_copies") > 0)
+        .drop("_full", "_frac")
+    )
