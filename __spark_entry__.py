@@ -171,6 +171,26 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
+def _q_snm_pairs(spark, sf):
+    """Sorted-neighborhood (Merge/Purge) blocking: docs sorted by a
+    length-derived key within their language block, window-4 candidate
+    pairs from window-1 lead expressions — one WindowExec pass, no
+    self-join, bounded (window-1)x fan-out regardless of key skew."""
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            "|",
+            F.lpad(F.col("n_chars").cast("long").cast("string"), 6, "0"),
+            F.col("source"),
+        ).alias("snm_key"),
+    )
+    return DD.sorted_neighborhood_pairs(
+        keyed, "doc_id", "snm_key", window=4, block_col="lang"
+    )
+
+
 def _q_minhash_dups(spark, sf):
     d = _t(spark, sf, "documents")
     sigs = DD.minhash_signatures(d, "doc_id", "text", num_hashes=32)
@@ -3103,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract_first": _q_regex_extract_first,
         "regex_count": _q_regex_count,
         "ngram_jaccard": _q_ngram_jaccard,
+        "snm_pairs": _q_snm_pairs,
         "minhash_dups": _q_minhash_dups,
         "minhash_error": _q_minhash_error,
         "dedup_clusters": _q_dedup_clusters,
@@ -3954,6 +3975,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '\bscan\b'))) AS BIGINT) AS n_scan
             FROM documents GROUP BY lang
+        """,
+        # snm_pairs: sorted-neighborhood blocking — window-1 lead()
+        # neighbors per row within the lang block, unioned per offset
+        "snm_pairs": r"""
+            WITH k AS (
+              SELECT doc_id, lang,
+                     lpad(CAST(CAST(n_chars AS BIGINT) AS VARCHAR), 6, '0')
+                       || '|' || source AS snm_key
+              FROM documents),
+            n AS (
+              SELECT doc_id AS id_a, snm_key AS key_a,
+                     lead(doc_id, 1) OVER w AS id1, lead(snm_key, 1) OVER w AS k1,
+                     lead(doc_id, 2) OVER w AS id2, lead(snm_key, 2) OVER w AS k2,
+                     lead(doc_id, 3) OVER w AS id3, lead(snm_key, 3) OVER w AS k3
+              FROM k
+              WINDOW w AS (PARTITION BY lang ORDER BY snm_key, doc_id))
+            SELECT id_a, key_a, id_b, key_b FROM (
+              SELECT id_a, key_a, id1 AS id_b, k1 AS key_b FROM n
+              UNION ALL SELECT id_a, key_a, id2, k2 FROM n
+              UNION ALL SELECT id_a, key_a, id3, k3 FROM n)
+            WHERE id_b IS NOT NULL
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "simhash_dups",
     "ngram_jaccard",
+    "snm_pairs",
     "embedding_topk",
     "embedding_lsh_topk",
     "ivf_topk",

@@ -1712,3 +1712,62 @@ def test_lsh_plan_knee_tracks_threshold():
     b_u, r_u = lsh_plan(0.7, num_hashes=64, fn_weight=1.0)
     knee_u = (1 - 0.5 ** (1 / b_u)) ** (1 / r_u)
     assert knee_w <= knee_u
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Merge/Purge)
+# ---------------------------------------------------------------------------
+
+
+def _snm_df(spark):
+    rows = [(f"d{i:02d}", f"b{i % 2}", f"k{(i * 7) % 100:03d}") for i in range(40)]
+    return spark.createDataFrame(rows, "id string, blk string, key string")
+
+
+def test_snm_pair_count_is_exact(spark):
+    # per block of n rows: (w-1)*n - (1+..+(w-1)) pairs
+    df = _snm_df(spark)
+    w = 4
+    out = DD.sorted_neighborhood_pairs(df, "id", "key", window=w, block_col="blk")
+    n_per_block = 20
+    expect = 2 * ((w - 1) * n_per_block - (w - 1) * w // 2)
+    assert out.count() == expect
+
+
+def test_snm_pairs_respect_blocks_and_order(spark):
+    df = _snm_df(spark)
+    out = DD.sorted_neighborhood_pairs(df, "id", "key", window=3, block_col="blk")
+    rows = out.collect()
+    blk = {r.id: r.blk for r in df.collect()}
+    key = {r.id: r.key for r in df.collect()}
+    for r in rows:
+        assert blk[r.id_a] == blk[r.id_b]  # never spans blocks
+        assert (key[r.id_a], r.id_a) < (key[r.id_b], r.id_b)  # a precedes b
+    # every sort-adjacent pair within a block is a candidate
+    import itertools
+    for b in ("b0", "b1"):
+        ordered = sorted(
+            (r.key, r.id) for r in df.collect() if r.blk == b
+        )
+        got = {(r.id_a, r.id_b) for r in rows}
+        for (k1, i1), (k2, i2) in itertools.pairwise(ordered):
+            assert (i1, i2) in got
+
+
+def test_snm_single_window_pass_no_join(spark):
+    df = _snm_df(spark)
+    plan = (
+        DD.sorted_neighborhood_pairs(df, "id", "key", window=5, block_col="blk")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan  # lead()-based, not a self-join
+    assert "CartesianProduct" not in plan
+
+
+def test_snm_global_window_and_validation(spark):
+    df = _snm_df(spark)
+    out = DD.sorted_neighborhood_pairs(df, "id", "key", window=2)
+    assert out.count() == 39  # adjacent pairs over the global order
+    with pytest.raises(ValueError):
+        DD.sorted_neighborhood_pairs(df, "id", "key", window=1)
