@@ -2124,6 +2124,17 @@ def _q_bpe_tokenize(spark, sf):
     )
 
 
+def _q_bpe_fertility(spark, sf):
+    """Tokenizer fertility per language under the fixed 8-merge table:
+    tokens/word and chars/token — the acceptance metric for a tokenizer
+    revision. One Arrow pass for per-doc counts (per-batch word cache),
+    one lang-keyed hash-agg; token arrays never materialize."""
+    from unified_ocr_pipeline_spark.operators import bpe as BPE
+
+    d = _t(spark, sf, "documents")
+    return BPE.bpe_fertility(d, "text", "lang", _BPE_MERGES)
+
+
 def _q_bloom_membership(spark, sf):
     """DataFrame-native Bloom filter, bitmap math oracle-checked BIT-FOR-
     BIT (unlike bloom_anti_join, whose oracle only certifies the exact
@@ -3207,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_anti_join": _q_bloom_anti_join,
         "bloom_membership": _q_bloom_membership,
         "bpe_tokenize": _q_bpe_tokenize,
+        "bpe_fertility": _q_bpe_fertility,
         "cms_freq": _q_cms_freq,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -5425,6 +5437,39 @@ def oracle_sql() -> dict[str, str]:
                                 ' ' ORDER BY e.pos), '')) AS tokens_md5
             FROM documents d LEFT JOIN enc e USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        # bpe_fertility: same merge-chain replay as bpe_tokenize, rolled
+        # up per language into tokens/word and chars/token
+        "bpe_fertility": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(coalesce(text, '')), ' '))
+                       AS word
+              FROM documents),
+            enc AS (
+              SELECT doc_id, {_bpe_replace_chain()} AS s
+              FROM (
+                SELECT doc_id,
+                       array_to_string(string_split(word, ''), chr(31))
+                         || chr(31) || '</w>' AS s
+                FROM words WHERE word <> '') base),
+            per_doc AS (
+              SELECT d.doc_id, d.lang,
+                     length(coalesce(d.text, '')) AS n_chars_txt,
+                     coalesce(sum(len(string_split(e.s, chr(31)))), 0)
+                       AS n_toks,
+                     count(e.s) AS n_words
+              FROM documents d LEFT JOIN enc e USING (doc_id)
+              GROUP BY 1, 2, 3)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_words,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_toks) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+                     AS fertility,
+                   CAST(sum(n_chars_txt) AS DOUBLE)
+                     / CAST(sum(n_toks) AS DOUBLE) AS chars_per_token
+            FROM per_doc GROUP BY lang
         """,
         # bloom_membership: replay the Bloom bitmap bit-for-bit — k=3
         # positions are disjoint 16-bit slices of md5-60('u'||doc_id),

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "bloom_anti_join",
     "bloom_membership",
     "bpe_tokenize",
+    "bpe_fertility",
     "cms_freq",
     "quantize_embeddings",
     "bm25_topk",

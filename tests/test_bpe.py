@@ -160,3 +160,58 @@ def test_bpe_learn_topk_is_heap_not_global_sort(spark):
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Fertility report
+# ---------------------------------------------------------------------------
+
+
+def _py_encode(word: str, merges) -> list[str]:
+    seq = list(word) + [BPE.EOW]
+    for a, b in merges:
+        if len(seq) < 2:
+            break
+        seq = BPE._merge_pair_in_seq(seq, a, b)
+    return seq
+
+
+def test_bpe_fertility_matches_python(spark):
+    merges = [("a", "b"), ("ab", "c"), ("l", "o"), ("lo", "w"), ("low", "</w>")]
+    rows = [
+        ("en", "low lower abc ab"),
+        ("en", "abc abc low"),
+        ("de", "lowest ab"),
+        ("de", ""),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        r.lang: r
+        for r in BPE.bpe_fertility(df, "text", "lang", merges).collect()
+    }
+    for lang in ("en", "de"):
+        texts = [t for lg, t in rows if lg == lang]
+        n_words = sum(len(t.split()) for t in texts)
+        n_toks = sum(
+            len(_py_encode(w, merges)) for t in texts for w in t.split()
+        )
+        n_chars = sum(len(t) for t in texts)
+        r = got[lang]
+        assert r.n_docs == len(texts)
+        assert r.n_words == n_words
+        assert r.n_tokens == n_toks
+        assert r.fertility == n_toks / n_words
+        assert r.chars_per_token == n_chars / n_toks
+
+
+def test_bpe_fertility_plan_is_one_pass_no_join(spark):
+    df = spark.createDataFrame(
+        [("en", "a b c")], "lang string, text string"
+    )
+    plan = (
+        BPE.bpe_fertility(df, "text", "lang", [("a", "b")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the exchange

@@ -133,6 +133,22 @@ def bpe_learn(
     return merges
 
 
+def _encode_word(
+    word: str, merges: list[tuple[str, str]], cache: dict[str, list[str]]
+) -> list[str]:
+    """Greedy rank-order merge loop for one word, memoized per batch —
+    the reference algorithm's inner loop shared by apply and fertility."""
+    hit = cache.get(word)
+    if hit is None:
+        seq = list(word) + [EOW]
+        for a, b in merges:
+            if len(seq) < 2:
+                break
+            seq = _merge_pair_in_seq(seq, a, b)
+        cache[word] = hit = seq
+    return hit
+
+
 def bpe_apply(
     df: DataFrame,
     id_col: str,
@@ -152,15 +168,7 @@ def bpe_apply(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def encode_word(word: str, cache: dict[str, list[str]]) -> list[str]:
-        hit = cache.get(word)
-        if hit is None:
-            seq = list(word) + [EOW]
-            for a, b in merges:
-                if len(seq) < 2:
-                    break
-                seq = _merge_pair_in_seq(seq, a, b)
-            cache[word] = hit = seq
-        return hit
+        return _encode_word(word, merges, cache)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,4 +188,67 @@ def bpe_apply(
     narrow = df.select(id_col, text_col)
     return narrow.mapInPandas(
         gen, schema=f"{id_col} {id_type}, n_tokens int, tokens array<string>"
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenizer fertility report per group (typically language): how
+    many BPE tokens the merge table spends per word and how many
+    characters each token carries — THE acceptance metric for a
+    tokenizer revision (a vocab that tokenizes one language at 2x the
+    fertility of another silently halves that language's effective
+    context window and doubles its training cost).
+
+    Returns one row per group: (group_col, n_docs, n_words, n_tokens,
+    fertility = tokens/word, chars_per_token). One narrow Arrow pass
+    over (group, text) computing per-doc word/char/token counts with the
+    same per-batch word cache as ``bpe_apply`` (the merge loop runs per
+    TYPE, not per token), then a single group-keyed hash-agg with
+    map-side partial combine — no join back to the corpus, and the token
+    arrays themselves are never materialized.
+    """
+    grp_type = df.schema[group_col].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            grps, words, chars, toks = [], [], [], []
+            for g, text in zip(pdf[group_col], pdf[text_col]):
+                t = text or ""
+                n_w = n_t = 0
+                for w in t.split():
+                    n_w += 1
+                    n_t += len(_encode_word(w, merges, cache))
+                grps.append(g)
+                words.append(n_w)
+                chars.append(len(t))
+                toks.append(n_t)
+            yield pd.DataFrame(
+                {
+                    group_col: grps,
+                    "_words": words,
+                    "_chars": chars,
+                    "_toks": toks,
+                }
+            )
+
+    per_doc = df.select(group_col, text_col).mapInPandas(
+        gen,
+        schema=f"{group_col} {grp_type}, _words long, _chars long, _toks long",
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_words").alias("n_words"),
+        F.sum("_toks").alias("n_tokens"),
+        (
+            F.sum("_toks").cast("double") / F.sum("_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.sum("_chars").cast("double") / F.sum("_toks").cast("double")
+        ).alias("chars_per_token"),
     )
