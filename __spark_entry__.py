@@ -191,6 +191,28 @@ def _q_snm_pairs(spark, sf):
     )
 
 
+def _q_linkage_verify(spark, sf):
+    """Record-linkage match scoring (the stage AFTER blocking): SNM
+    window-3 candidates over a lowercased 32-char title key per language
+    block, then normalized-Levenshtein similarity and a Fellegi-Sunter-
+    style match/possible/nonmatch decision — one codegen'd projection on
+    the pairs the window pass already carries, no join back, no Python."""
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.lower(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 32)
+        ).alias("title"),
+    )
+    pairs = DD.sorted_neighborhood_pairs(
+        keyed, "doc_id", "title", window=3, block_col="lang"
+    )
+    return DD.edit_verified_pairs(
+        pairs, "key_a", "key_b", match_threshold=0.85, possible_threshold=0.6
+    )
+
+
 def _q_minhash_dups(spark, sf):
     d = _t(spark, sf, "documents")
     sigs = DD.minhash_signatures(d, "doc_id", "text", num_hashes=32)
@@ -3135,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_count": _q_regex_count,
         "ngram_jaccard": _q_ngram_jaccard,
         "snm_pairs": _q_snm_pairs,
+        "linkage_verify": _q_linkage_verify,
         "minhash_dups": _q_minhash_dups,
         "minhash_error": _q_minhash_error,
         "dedup_clusters": _q_dedup_clusters,
@@ -4008,6 +4031,42 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT id_a, key_a, id2, k2 FROM n
               UNION ALL SELECT id_a, key_a, id3, k3 FROM n)
             WHERE id_b IS NOT NULL
+        """,
+        # linkage_verify: replay the window-3 SNM candidate generation
+        # over the lowercased 32-char title key, then the same normalized-
+        # Levenshtein similarity and threshold CASE (DuckDB levenshtein ==
+        # Spark's codepoint edit distance; both sides compute the
+        # identical double expression)
+        "linkage_verify": r"""
+            WITH k AS (
+              SELECT doc_id, lang,
+                     lower(substr(coalesce(text, ''), 1, 32)) AS title
+              FROM documents),
+            n AS (
+              SELECT doc_id AS id_a, title AS key_a,
+                     lead(doc_id, 1) OVER w AS id1, lead(title, 1) OVER w AS k1,
+                     lead(doc_id, 2) OVER w AS id2, lead(title, 2) OVER w AS k2
+              FROM k
+              WINDOW w AS (PARTITION BY lang ORDER BY title, doc_id)),
+            pairs AS (
+              SELECT id_a, key_a, id_b, key_b FROM (
+                SELECT id_a, key_a, id1 AS id_b, k1 AS key_b FROM n
+                UNION ALL SELECT id_a, key_a, id2, k2 FROM n)
+              WHERE id_b IS NOT NULL),
+            scored AS (
+              SELECT *,
+                     CASE WHEN greatest(length(key_a), length(key_b)) = 0
+                          THEN 1.0
+                          ELSE 1.0 - levenshtein(key_a, key_b)
+                               / CAST(greatest(length(key_a), length(key_b))
+                                      AS DOUBLE)
+                     END AS similarity
+              FROM pairs)
+            SELECT id_a, key_a, id_b, key_b, similarity,
+                   CASE WHEN similarity >= 0.85 THEN 'match'
+                        WHEN similarity >= 0.6 THEN 'possible'
+                        ELSE 'nonmatch' END AS decision
+            FROM scored
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

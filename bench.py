@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "bloom_membership",
     "bpe_tokenize",
     "bpe_fertility",
+    "linkage_verify",
     "cms_freq",
     "quantize_embeddings",
     "bm25_topk",

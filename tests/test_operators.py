@@ -1771,3 +1771,55 @@ def test_snm_global_window_and_validation(spark):
     assert out.count() == 39  # adjacent pairs over the global order
     with pytest.raises(ValueError):
         DD.sorted_neighborhood_pairs(df, "id", "key", window=1)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance linkage verification (post-blocking match scoring)
+# ---------------------------------------------------------------------------
+
+
+def test_edit_similarity_values(spark):
+    rows = [
+        ("kitten", "sitting"),   # lev 3, max len 7 -> 1 - 3/7
+        ("abc", "abc"),          # identical -> 1.0
+        ("", ""),                # both empty -> 1.0 by convention
+        ("abc", ""),             # 1 - 3/3 -> 0.0
+        (None, "ab"),            # null treated as '' -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = [
+        r.s for r in df.select(DD.edit_similarity(F.col("a"), F.col("b")).alias("s")).collect()
+    ]
+    assert got[0] == pytest.approx(1 - 3 / 7)
+    assert got[1] == 1.0
+    assert got[2] == 1.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+
+def test_edit_verified_pairs_decisions_and_validation(spark):
+    pairs = spark.createDataFrame(
+        [
+            (1, "alpha corp", 2, "alpha corp"),     # sim 1.0 -> match
+            (3, "alpha corp", 4, "alpha corp ltd"), # sim 10/14 ~ 0.714 -> possible
+            (5, "alpha corp", 6, "zzzzzzzzzz"),     # -> nonmatch
+        ],
+        "id_a long, key_a string, id_b long, key_b string",
+    )
+    out = {r.id_a: r.decision for r in DD.edit_verified_pairs(pairs).collect()}
+    assert out == {1: "match", 3: "possible", 5: "nonmatch"}
+    with pytest.raises(ValueError):
+        DD.edit_verified_pairs(pairs, match_threshold=0.5, possible_threshold=0.9)
+
+
+def test_edit_verified_pairs_plan_adds_no_shuffle_or_python(spark):
+    df = _snm_df(spark)
+    pairs = DD.sorted_neighborhood_pairs(df, "id", "key", window=3, block_col="blk")
+    plan = (
+        DD.edit_verified_pairs(pairs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the SNM window's exchange; scoring is a codegen'd projection
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
