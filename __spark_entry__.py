@@ -250,6 +250,42 @@ def _q_dedup_clusters(spark, sf):
     )
 
 
+def _q_leakage_split(spark, sf):
+    """Cluster-aware 80/10/10 split over the same planted-copy corpus as
+    dedup_clusters: the split hashes the near-dup COMPONENT, so a page and
+    its two planted copies always land in the same split — per-doc hash
+    splits put near-dups across train/test and leak eval data."""
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    d = base.where(F.col("doc_id") < 50)
+    copies = base.where(F.col("doc_id") < 5)
+    corpus = d.unionByName(
+        copies.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        copies.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    sigs = DD.minhash_signatures(corpus, "doc_id", "text", num_hashes=32)
+    pairs = DD.minhash_lsh_pairs(sigs, num_hashes=32, num_bands=8, threshold=0.5)
+    return SAMP.leakage_safe_split(
+        corpus, "doc_id", pairs, [("train", 8), ("val", 1), ("test", 1)]
+    ).select("doc_id", "component", "is_canonical", "split")
+
+
+def _q_temperature_mix(spark, sf):
+    """Temperature-T=2 multilingual mixing (mBERT/XLM-R rule): source
+    token shares re-weighted ∝ sqrt(share), per-lang keep-rates scaled so
+    the most-upweighted language keeps everything, deterministic md5
+    down-sampling. Tiny per-source agg + broadcast rates + JVM filter —
+    no per-source sort, no Python."""
+    d = _t(spark, sf, "documents")
+    return SAMP.temperature_sample(
+        d.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "lang",
+        "n_chars",
+        temperature=2.0,
+    ).select("doc_id", "lang", "keep_rate")
+
+
 def _q_cluster_subsample(spark, sf):
     """Soft dedup over the same planted-copy corpus as dedup_clusters:
     canonicals always survive, non-canonical near-dups keep a
@@ -3161,6 +3197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dups": _q_minhash_dups,
         "minhash_error": _q_minhash_error,
         "dedup_clusters": _q_dedup_clusters,
+        "leakage_split": _q_leakage_split,
+        "temperature_mix": _q_temperature_mix,
         "incremental_dedup": _q_incremental_dedup,
         "simhash_dups": _q_simhash_dups,
         "embedding_topk": _q_embedding_topk,
@@ -4655,6 +4693,45 @@ def oracle_sql() -> dict[str, str]:
             FROM pc, xc, tpc
         """,
         "dedup_clusters": _dedup_clusters_oracle(),
+        # leakage_split: the dedup_clusters reachability oracle plus the
+        # split_assign hash CASE applied to the COMPONENT label
+        "leakage_split": f"""
+            WITH comp AS ({_dedup_clusters_oracle()}),
+            u AS (
+              SELECT doc_id, component, is_canonical,
+                     CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR)),
+                          1, 15) AS BIGINT) AS DOUBLE)
+                       / 1152921504606846976.0 AS p
+              FROM comp)
+            SELECT doc_id, component, is_canonical,
+                   CASE WHEN p < 0.8 THEN 'train'
+                        WHEN p < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        # temperature_mix: replay the T=2 re-weighting — per-lang token
+        # shares f, boost = pow(f, 1/2)/f, keep_rate = round(boost /
+        # max(boost), 12) (rounded on BOTH sides so an ulp of pow
+        # divergence cannot flip a boundary row), then the md5-60 filter
+        "temperature_mix": """
+            WITH tot AS (
+              SELECT lang, sum(CAST(n_chars AS DOUBLE)) AS st
+              FROM documents GROUP BY lang),
+            boost AS (
+              SELECT lang,
+                     pow(st / (SELECT sum(st) FROM tot), 0.5)
+                       / (st / (SELECT sum(st) FROM tot)) AS b
+              FROM tot),
+            rates AS (
+              SELECT lang, round(b / (SELECT max(b) FROM boost), 12)
+                       AS keep_rate
+              FROM boost)
+            SELECT d.doc_id, d.lang, r.keep_rate
+            FROM documents d JOIN rates r USING (lang)
+            WHERE CAST(CAST('0x' || substr(md5('ts'
+                    || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  AS DOUBLE) / 1152921504606846976.0 < r.keep_rate
+        """,
         "incremental_dedup": _incremental_dedup_oracle(),
         "simhash_dups": _simhash_oracle(),
         "embedding_lsh_topk": _lsh_topk_oracle(),

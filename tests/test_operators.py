@@ -1823,3 +1823,76 @@ def test_edit_verified_pairs_plan_adds_no_shuffle_or_python(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split + temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "id long, text string"
+    )
+    # three planted components: {0,1,2}, {3,4}, {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = SAMP.leakage_safe_split(
+        docs, "id", pairs, [("train", 8), ("val", 1), ("test", 1)]
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert len(out) == 40
+    for group in ([0, 1, 2], [3, 4], [10, 11]):
+        splits = {by_id[i].split for i in group}
+        comps = {by_id[i].component for i in group}
+        assert len(splits) == 1, f"cluster {group} straddles splits {splits}"
+        assert comps == {min(group)}
+    # singletons: identical to split_assign on their own id
+    single = SAMP.split_assign(
+        docs.where(F.col("id") >= 12), "id", [("train", 8), ("val", 1), ("test", 1)]
+    ).collect()
+    for r in single:
+        assert by_id[r.id].split == r.split
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    rows = [(i, "big" if i < 90 else "small", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string, toks long")
+    out = SAMP.temperature_sample(df, "id", "src", "toks", temperature=2.0)
+    got = out.collect()
+    rates = {r.src: r.keep_rate for r in got}
+    # shares: big 0.9, small 0.1; boost_i = sqrt(f)/f = 1/sqrt(f);
+    # rate_i = boost_i / boost_small -> small 1.0, big sqrt(0.1/0.9)
+    assert rates["small"] == 1.0
+    assert rates["big"] == pytest.approx(math.sqrt(0.1 / 0.9), abs=1e-9)
+    # the rate-1.0 source keeps every row
+    assert sum(1 for r in got if r.src == "small") == 10
+    # deterministic across re-runs
+    again = {r.id for r in SAMP.temperature_sample(
+        df, "id", "src", "toks", temperature=2.0).collect()}
+    assert again == {r.id for r in got}
+    # T=1 keeps the natural distribution: every rate 1.0, nothing dropped
+    t1 = SAMP.temperature_sample(df, "id", "src", "toks", temperature=1.0)
+    assert t1.count() == 100
+    with pytest.raises(ValueError):
+        SAMP.temperature_sample(df, "id", "src", "toks", temperature=0.0)
+
+
+def test_temperature_sample_plan_broadcasts_rates(spark):
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, src string, toks long"
+    )
+    plan = (
+        SAMP.temperature_sample(df, "id", "src", "toks")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

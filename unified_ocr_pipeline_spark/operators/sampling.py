@@ -1001,3 +1001,98 @@ def unimax_sample(
         .where(F.col("n_copies") > 0)
         .drop("_full", "_frac")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: Sequence[tuple],
+    split_col: str = "split",
+    seed: str = "",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: hash the DEDUP COMPONENT,
+    not the document id, so a whole near-duplicate neighborhood moves into
+    one split as a unit. A plain per-doc hash split leaks evaluation data
+    — two near-identical pages (mirror, quote, boilerplate re-crawl) land
+    in train and test with probability 2·p·(1-p), and the model is then
+    scored on paraphrases of its own training set. Splitting by the
+    connected component of the near-dup graph (``pairs``, e.g. MinHash-LSH
+    output) makes cross-split leakage structurally impossible for any
+    similarity the candidate generator caught.
+
+    Returns df's columns plus ``component``, ``is_canonical`` (from
+    :func:`~unified_ocr_pipeline_spark.operators.cc.dedup_clusters`) and
+    ``split_col``. Singletons hash their own id (their component label),
+    so the split is identical to :func:`split_assign` wherever dedup found
+    nothing — the operators compose, not conflict.
+
+    Scale shape: everything beyond ``dedup_clusters`` itself (pairs →
+    pointer-jumping components → broadcast-joined labels) is one pure-JVM
+    projection — the split hash adds no shuffle, no Python, and re-runs /
+    incremental batches assign identically (md5-based, like split_assign).
+    """
+    from .cc import dedup_clusters
+
+    clustered = dedup_clusters(df, pairs, id_col, src=src, dst=dst)
+    return split_assign(clustered, "component", weights, split_col, seed)
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    temperature: float = 2.0,
+    seed: str = "ts",
+) -> DataFrame:
+    """Temperature-scaled source sampling (the multilingual mixing rule of
+    mBERT / XLM-R / mT5): re-weight source token shares ``f_i`` to
+    ``q_i ∝ f_i^(1/T)`` — T=1 keeps the natural distribution, T→∞ tends
+    to uniform — then DOWN-sample each source toward its target share.
+    Keep-rates are ``r_i = (q_i / f_i) / max_j(q_j / f_j)``, i.e. scaled
+    so the most-upweighted source keeps everything (subsample-only: no
+    row duplication, the honest variant for a dedup'd corpus); a row
+    survives iff ``md5_60(seed || id) / 2^60 < r_(its source)`` —
+    deterministic, re-run-stable, incremental-batch-stable.
+
+    Returns the input columns plus ``keep_rate``. Rates are rounded to 12
+    decimals before the comparison so the SQL oracle's ``pow`` (a few ulp
+    from the JVM's) can never flip a boundary row.
+
+    Scale shape: pass 1 is a tiny per-source token aggregate (map-side
+    partial combine, O(sources) rows); rates come back via one broadcast
+    join; the filter is a pure JVM expression on the scan — same posture
+    as :func:`mixture_sample_rate`, no per-source sort anywhere.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    inv_t = 1.0 / float(temperature)
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("double")).alias("_src_tokens")
+    )
+    # global total and max ride broadcast one-row relations, not an
+    # empty-partitionBy window (same O(sources) cost, no single-partition
+    # WindowExec warning in user logs)
+    share = F.col("_src_tokens") / F.col("_all_tokens")
+    scaled = totals.crossJoin(
+        F.broadcast(totals.agg(F.sum("_src_tokens").alias("_all_tokens")))
+    ).select(
+        source_col,
+        (F.pow(share, F.lit(inv_t)) / share).alias("_boost"),
+    )
+    rates = scaled.crossJoin(
+        F.broadcast(scaled.agg(F.max("_boost").alias("_max_boost")))
+    ).select(
+        source_col,
+        F.round(F.col("_boost") / F.col("_max_boost"), 12).alias("keep_rate"),
+    )
+    u = md5_60(F.concat(F.lit(seed), F.col(id_col).cast("string"))) / F.lit(
+        float(2**60)
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(u < F.col("keep_rate"))
+    )
