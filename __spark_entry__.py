@@ -3180,6 +3180,124 @@ def _q_snapshot_diff(spark, sf):
     return DIFF.snapshot_diff(old, new, ["user_id"], "fp")
 
 
+def _q_label_prop(spark, sf):
+    """Fixed-3-iteration synchronous label propagation over the parsed
+    link graph (Raghavan et al. 2007 community detection; undirected
+    simple graph, most-frequent-neighbor-label updates with min-label
+    tie-break). The oracle replays the edge formula AND all three
+    vote/argmax rounds as chained CTEs."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    edges = LG.outlink_edges(_synthetic_link_pages(d), "url", "html").select(
+        "src_url", F.regexp_extract("href", r"^https?://([^/?#]+)", 1).alias("dst_host")
+    )
+    return LG.label_propagation(edges, "src_url", "dst_host", iterations=3)
+
+
+def _q_html_tables(spark, sf):
+    """WebTables-style structured-table mining: three formulaic page
+    shapes (a th+td table with attribute/case noise, a two-table page
+    with inner markup + ragged rows, and a table-free page) through the
+    pure-JVM regex fan-out (table -> tr -> td/th posexplodes). The
+    oracle predicts every (table, row, col, cell) tuple from the
+    synthesis formula — no regex on the oracle side."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 3
+    sid = F.col("doc_id").cast("string")
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<HTML><body><TABLE class="data"><TR><TH>name</TH>'
+                      '<TH id="x">value</TH></TR><tr><td> alpha '),
+                sid,
+                F.lit(" </td><td><b>beta</b> "),
+                sid,
+                F.lit("</td></tr></TABLE></body></HTML>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<html><table><tr><td>solo "),
+                sid,
+                F.lit("</td></tr></table><p>mid</p><table><tr><td>a\n b"
+                      "</td><td>c</td></tr><tr><td>d "),
+                sid,
+                F.lit("</td></tr></table></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<html><body><p>no tables "), sid, F.lit("</p></body></html>"))
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("http://t"), sid, F.lit(".example.com/p")).alias("url"),
+        html.alias("html"),
+    )
+    return MD.page_tables(pages)
+
+
+def _q_dom_skeleton(spark, sf):
+    """Per-host structural-template census over the DOM skeleton hash
+    (opening-tag-sequence md5): three formulaic skeleton classes spread
+    across seven hosts, through the pure-JVM skeleton_key + one
+    (host, skeleton) hash-agg + host window. The oracle predicts each
+    class's tag sequence and recomputes the md5 itself."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 3
+    sid = F.col("doc_id").cast("string")
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<html><head><title>x</title></head><body><div><p>t "),
+                sid,
+                F.lit("</p></div></body></html>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<html><body><article><h1>h</h1><p>a "),
+                sid,
+                F.lit("</p><p>b</p></article></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<HTML><Body><UL><LI>i "), sid, F.lit("</LI></UL></Body></HTML>"))
+        )
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("http://t"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p"),
+            sid,
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return MD.template_profile(pages)
+
+
+def _q_proto_prune(spark, sf):
+    """Prototypicality pruning (Sorscher et al. 2022): cosine to the own
+    seeded-quantizer centroid, keep the hardest half of every cell. The
+    oracle replays the centroid literals, the assignment, the cosine,
+    and both windows (rank + ceil cutoff) with the identical rounded-sim
+    + id tie-break."""
+    e = _t(spark, sf, "embeddings")
+    cents = IVF.seeded_centroids(16, 64, 42)
+    return IVF.prototypicality_prune(
+        e, "vec_id", "embedding", cents, keep_frac=0.5, keep="hard"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3332,6 +3450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap,
         "frontier_bfs": _q_frontier,
         "extraction_f1": _q_extraction_f1,
+        "label_prop": _q_label_prop,
+        "html_tables": _q_html_tables,
+        "dom_skeleton": _q_dom_skeleton,
+        "proto_prune": _q_proto_prune,
     }
 
 
@@ -3981,6 +4103,52 @@ _SNAPSHOT_DIFF_ORACLE = """
            o.fp AS fp_old, n.fp AS fp_new
     FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
 """
+
+
+def _proto_prune_oracle(
+    n_cells: int = 16, dim: int = 64, seed: int = 42, keep_frac: float = 0.5
+) -> str:
+    """Replays prototypicality_prune: seeded centroid literals, the
+    -2·v·c + ||c||² nearest-cell assignment with stable cid tie-break
+    (same as _semantic_dedup_oracle), cosine to the OWN centroid rounded
+    to 4 decimals, then the within-cell hard-first rank (rounded sim
+    asc, id asc) and the ceil(keep_frac · cell_size) keep cutoff."""
+    from unified_ocr_pipeline_spark.operators.ivf import seeded_centroids
+
+    cents = seeded_centroids(n_cells, dim, seed)
+    values = ",\n            ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in enumerate(cents)
+    )
+    return f"""
+        WITH cents AS (
+          SELECT cid, cv, list_dot_product(cv, cv) AS c2
+          FROM (VALUES
+            {values}) AS t(cid, cv)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT e.vec_id, e.v, cents.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY -2 * list_dot_product(e.v, cents.cv) + cents.c2,
+                            cents.cid) AS crn
+          FROM e CROSS JOIN cents),
+        assign AS (SELECT vec_id, v, cid AS cell FROM scored WHERE crn = 1),
+        simd AS (
+          SELECT a.vec_id, a.cell,
+                 round(list_cosine_similarity(a.v, cents.cv), 4) AS proto_sim
+          FROM assign a JOIN cents ON cents.cid = a.cell),
+        ranked AS (
+          SELECT vec_id, cell, proto_sim,
+                 row_number() OVER (
+                   PARTITION BY cell ORDER BY proto_sim ASC, vec_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cell) AS csz
+          FROM simd)
+        SELECT vec_id AS id, CAST(cell AS INT) AS cell, proto_sim,
+               CAST(rn AS INT) AS rnk,
+               rn <= CEIL(csz * {keep_frac!r}) AS kept
+        FROM ranked
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6717,4 +6885,101 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(2 * p * r / (p + r), 4) END AS f1
             FROM m
         """,
+        # label_prop: replay the link-graph edge formula, then three
+        # synchronous LPA rounds — undirected simple adjacency, per-node
+        # neighbor-label vote counts, argmax with (cnt DESC, label ASC)
+        # tie-break, isolated nodes keep their label.
+        "label_prop": """
+            WITH docs AS (SELECT doc_id, doc_id % 4 AS n FROM documents),
+            e AS (
+              SELECT 'http://src' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/page' AS src,
+                     'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                       || '.example.com' AS dst
+              FROM docs,
+                   LATERAL unnest(generate_series(0, CAST(n AS INT) - 1))
+                     AS i(i)
+              WHERE n > 0),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM e
+                       UNION SELECT dst AS node FROM e)),
+            adj AS (SELECT DISTINCT a, b FROM
+                    (SELECT src AS a, dst AS b FROM e
+                     UNION ALL SELECT dst AS a, src AS b FROM e)
+                    WHERE a <> b),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            v1 AS (SELECT adj.a AS node, l0.label, count(*) AS cnt
+                   FROM adj JOIN l0 ON l0.node = adj.b GROUP BY 1, 2),
+            b1 AS (SELECT node, label FROM
+                   (SELECT node, label, row_number() OVER (
+                      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v1) WHERE rn = 1),
+            l1 AS (SELECT l0.node, coalesce(b1.label, l0.label) AS label
+                   FROM l0 LEFT JOIN b1 USING (node)),
+            v2 AS (SELECT adj.a AS node, l1.label, count(*) AS cnt
+                   FROM adj JOIN l1 ON l1.node = adj.b GROUP BY 1, 2),
+            b2 AS (SELECT node, label FROM
+                   (SELECT node, label, row_number() OVER (
+                      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v2) WHERE rn = 1),
+            l2 AS (SELECT l1.node, coalesce(b2.label, l1.label) AS label
+                   FROM l1 LEFT JOIN b2 USING (node)),
+            v3 AS (SELECT adj.a AS node, l2.label, count(*) AS cnt
+                   FROM adj JOIN l2 ON l2.node = adj.b GROUP BY 1, 2),
+            b3 AS (SELECT node, label FROM
+                   (SELECT node, label, row_number() OVER (
+                      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v3) WHERE rn = 1),
+            l3 AS (SELECT l2.node, coalesce(b3.label, l2.label) AS label
+                   FROM l2 LEFT JOIN b3 USING (node))
+            SELECT node, label FROM l3
+        """,
+        # html_tables: rows predicted purely from the page-synthesis
+        # formula (no regex on the oracle side) — m=0 one 2x2 th/td
+        # table, m=1 two tables with a ragged second, m=2 none.
+        "html_tables": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 3 AS m,
+                     'http://t' || CAST(doc_id AS VARCHAR)
+                       || '.example.com/p' AS url
+              FROM documents),
+            cells(m, table_idx, row_idx, col_idx, tmpl) AS (VALUES
+              (0, 0, 0, 0, 'name'),
+              (0, 0, 0, 1, 'value'),
+              (0, 0, 1, 0, 'alpha {id}'),
+              (0, 0, 1, 1, 'beta {id}'),
+              (1, 0, 0, 0, 'solo {id}'),
+              (1, 1, 0, 0, 'a b'),
+              (1, 1, 0, 1, 'c'),
+              (1, 1, 1, 0, 'd {id}'))
+            SELECT d.url, CAST(c.table_idx AS INT) AS table_idx,
+                   CAST(c.row_idx AS INT) AS row_idx,
+                   CAST(c.col_idx AS INT) AS col_idx,
+                   replace(c.tmpl, '{id}', CAST(d.doc_id AS VARCHAR)) AS cell
+            FROM d JOIN cells c ON c.m = d.m
+        """,
+        # dom_skeleton: the oracle predicts each synthesis class's
+        # opening-tag sequence and recomputes md5 + the census itself.
+        "dom_skeleton": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 3 AS m,
+                     't' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+              FROM documents),
+            s AS (
+              SELECT host,
+                     md5(CASE m
+                         WHEN 0 THEN 'html>head>title>body>div>p'
+                         WHEN 1 THEN 'html>body>article>h1>p>p'
+                         ELSE 'html>body>ul>li' END) AS skeleton
+              FROM d),
+            per AS (SELECT host, skeleton, count(*) AS n_pages
+                    FROM s GROUP BY 1, 2)
+            SELECT host, skeleton, CAST(n_pages AS BIGINT) AS n_pages,
+                   CAST(sum(n_pages) OVER (PARTITION BY host) AS BIGINT)
+                     AS host_pages,
+                   round(n_pages / CAST(sum(n_pages) OVER (PARTITION BY host)
+                                        AS DOUBLE), 4) AS template_share
+            FROM per
+        """,
+        "proto_prune": _proto_prune_oracle(),
     }

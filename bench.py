@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "sitemap_entries",
     "frontier_bfs",
     "trustrank",
+    "label_prop",
+    "html_tables",
+    "dom_skeleton",
+    "proto_prune",
     "inverted_index",
     "boolean_and",
     "script_detect",

@@ -63,3 +63,66 @@ def meta_robots(html: Column) -> list[Column]:
         ((content != "") & has("noindex")).alias("noindex"),
         ((content != "") & has("nofollow")).alias("nofollow"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# DOM skeleton (structural template) hashing
+# ---------------------------------------------------------------------------
+
+# Opening tags only, in document order: '<' then a letter then the tag
+# name. Closing tags / comments / doctypes start with '</', '<!', so the
+# [a-z] first-char class skips them; attributes don't matter (the capture
+# stops at the first non-name char). Same Java∩RE2 dialect as the rest of
+# this module, so the DuckDB oracle replays it verbatim.
+_TAG_RE = r"<([a-z][a-z0-9]*)"
+
+
+def skeleton_key(html: Column) -> Column:
+    """md5 of the page's opening-tag sequence — a structural template
+    fingerprint (Gibson, Punera & Tomkins 2005 measured ~40-50% of the
+    web is template content). Pages generated from the same CMS template
+    share a skeleton even when their text differs entirely, so one
+    hash-agg on this key finds template families: crawl-trap triage
+    (a million structurally-identical calendar pages), boilerplate-family
+    discovery, and per-host render-farm detection.
+
+    Pure JVM: one ``regexp_extract_all`` + ``concat_ws`` + ``md5`` inside
+    whole-stage codegen; no Python, nothing shuffles until the caller
+    aggregates the 32-char key.
+    """
+    return F.md5(F.concat_ws(">", F.regexp_extract_all(F.lower(html), F.lit(_TAG_RE), 1)))
+
+
+# ---------------------------------------------------------------------------
+# HTML table extraction
+# ---------------------------------------------------------------------------
+
+# Lazy block matches, (?is): tables/rows/cells may span lines and sites
+# mix tag case. Nested tables are NOT handled (the inner table's cells
+# surface under the outer block up to the first </table> — the standard
+# regex-extractor contract; a full parser belongs in the DOM kernel).
+_TABLE_BLOCK_RE = r"(?is)<table[^>]*>(.*?)</table>"
+_TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def table_blocks(html: Column) -> Column:
+    """array<string> of raw <table> body blocks, document order."""
+    return F.regexp_extract_all(html, F.lit(_TABLE_BLOCK_RE), 1)
+
+
+def table_rows(block: Column) -> Column:
+    """array<string> of raw <tr> bodies within one table block."""
+    return F.regexp_extract_all(block, F.lit(_TR_RE), 1)
+
+
+def table_cells(row: Column) -> Column:
+    """array<string> of raw <td>/<th> bodies within one row."""
+    return F.regexp_extract_all(row, F.lit(_CELL_RE), 1)
+
+
+def cell_text(cell: Column) -> Column:
+    """Visible cell text: inner tags -> space, whitespace collapsed,
+    trimmed. Same normalization recipe as the metadata kernel's titles."""
+    stripped = F.regexp_replace(cell, r"(?s)<[^>]*>", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))

@@ -476,3 +476,89 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "adist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality pruning (cluster-distance data selection)
+# ---------------------------------------------------------------------------
+
+def prototypicality_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: List[List[float]],
+    keep_frac: float = 0.5,
+    keep: str = "hard",
+) -> DataFrame:
+    """Self-supervised prototypicality pruning (Sorscher et al. 2022,
+    arXiv:2206.14486 "Beyond neural scaling laws"): score every
+    embedding by its cosine similarity to its own quantizer centroid —
+    high similarity = prototypical/easy, low = hard/informative — and
+    keep a per-cluster fraction. The paper's headline result: with
+    abundant data, pruning the EASY (most prototypical) examples beats
+    random subsetting and can beat power-law scaling; with scarce data,
+    keep the easy ones instead. ``keep="hard"`` keeps the least
+    prototypical ``keep_frac`` of each cell; ``keep="easy"`` the most.
+
+    Returns (id, cell, proto_sim, rnk, kept): the assigned cell, the
+    4-decimal cosine to its centroid, the within-cell rank (1 = first
+    kept under the chosen policy; ties on the rounded sim break by id
+    ascending — fully deterministic/replayable), and the keep flag
+    (rnk <= ceil(keep_frac * cell_size); ceil so no nonempty cell is
+    wiped out entirely).
+
+    Scale shape: assignment + scoring is the assign_cells matmul — one
+    NumPy pass per Arrow batch, centroids ride the closure, no join.
+    The rank is ONE cell-keyed window; cell sizes come from the same
+    window (no second exchange). The quantizer is the same one IVF/
+    SemDeDup use (seeded for the oracle, kmeans_train in production —
+    the paper uses k-means over SwAV embeddings).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import np_cosine
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    in_df = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            d2 = -2.0 * (V @ C.T) + c_sq
+            cell = d2.argmin(axis=1)
+            sim = np_cosine(V, C[cell])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cell": cell.astype("int32"),
+                    "proto_sim": np.round(sim, 4),
+                }
+            )
+
+    id_type = in_df.schema["id"].dataType.simpleString()
+    scored = in_df.mapInPandas(
+        gen, schema=f"id {id_type}, cell int, proto_sim double"
+    )
+
+    order = (
+        [F.col("proto_sim").asc(), F.col("id").asc()]
+        if keep == "hard"
+        else [F.col("proto_sim").desc(), F.col("id").asc()]
+    )
+    w = Window.partitionBy("cell").orderBy(*order)
+    wc = Window.partitionBy("cell")
+    return scored.select(
+        "id",
+        "cell",
+        "proto_sim",
+        F.row_number().over(w).alias("rnk"),
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.count("*").over(wc) * F.lit(float(keep_frac)))
+        ).alias("kept"),
+    )

@@ -491,3 +491,81 @@ def co_citation(
         .groupBy("host_a", "host_b")
         .agg(F.count("*").alias("n_cocite"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over the UNDIRECTED simple graph of an edge list — community
+    detection for host graphs (site networks, link farms, mirror
+    families surface as one community; a crawl scheduler spreads budget
+    across communities instead of hammering one).
+
+    Semantics (a pure function of the input, replayable as chained SQL
+    CTEs — same determinism discipline as :func:`pagerank`):
+
+    - nodes = distinct endpoints; label_0(v) = v (its own id);
+    - adjacency = distinct undirected neighbor pairs (multi-edges and
+      self-loops dropped — multiplicity is fetch-count noise here, and a
+      self-loop would just vote for the node's current label);
+    - label_{t+1}(v) = the most frequent label among v's neighbors at
+      time t, ties broken by MIN label; isolated nodes keep their label.
+
+    Synchronous updates with a fixed iteration count (not
+    convergence-tested): deterministic, at the cost of possible 2-cycles
+    on bipartite structures — the standard trade for replayability.
+
+    Scale shape: per iteration ONE shuffle join of the label vector
+    against the (node-partitioned) adjacency plus ONE (node, label)
+    hash-agg with map-side combine plus ONE node-keyed window for the
+    argmax — the Pregel-on-DataFrames layout, same as pagerank/trustrank.
+    The adjacency is computed once and reused; lineage is truncated with
+    localCheckpoint every ``checkpoint_every`` iterations (the
+    connected-components guard). Hub nodes make the (node, label) agg
+    key skew-prone; the partial agg absorbs it (each map task emits one
+    row per (node, label) it saw).
+
+    Returns (node, label) — nodes sharing a label form one community.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    adj = (
+        e.select("a", "b")
+        .union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )  # (a=node, b=neighbor), both directions, simple graph
+
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for it in range(iterations):
+        votes = (
+            adj.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

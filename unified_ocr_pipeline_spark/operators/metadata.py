@@ -145,3 +145,77 @@ def host_lang_profile(
         )["l"].alias("majority_lang"),
         F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
     )
+
+
+def page_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Structured-table mining: one row per (url, table_idx, row_idx,
+    col_idx, cell) across every <table> on every page — the WebTables /
+    WDC-web-table extraction shape (Cafarella et al. 2008: relational
+    tables embedded in HTML are the web's largest structured corpus;
+    training-data pipelines mine them for table-QA and text-to-SQL sets).
+
+    ENTIRELY JVM-side: three lazy ``regexp_extract_all`` passes
+    (table -> tr -> td/th) fanned out with ``posexplode``, inner markup
+    stripped with ``regexp_replace`` — all inside codegen on the scan
+    partitions, no Python, and the raw HTML never enters an exchange
+    (each explode is a narrow generate over the scanned row). Nested
+    tables surface under the outer block (regex-extractor contract, see
+    functions/html.py).
+    """
+    from ..functions import html as H
+
+    t = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(H.table_blocks(F.col(html_col))).alias("table_idx", "_tbl"),
+    )
+    r = t.select(
+        "url", "table_idx",
+        F.posexplode(H.table_rows(F.col("_tbl"))).alias("row_idx", "_row"),
+    )
+    c = r.select(
+        "url", "table_idx", "row_idx",
+        F.posexplode(H.table_cells(F.col("_row"))).alias("col_idx", "_cell"),
+    )
+    return c.select(
+        "url", "table_idx", "row_idx", "col_idx",
+        H.cell_text(F.col("_cell")).alias("cell"),
+    )
+
+
+def template_profile(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-host structural-template census over the DOM skeleton key
+    (functions/html.skeleton_key): how many pages each host serves from
+    each template, and each template's share of the host's pages.
+    Template families with huge page counts and near-total host share
+    are machine-generated farms (calendars, faceted listings, tag
+    clouds) — the crawl scheduler caps them; high template diversity is
+    organic content.
+
+    Returns (host, skeleton, n_pages, host_pages, template_share).
+
+    Scale shape: skeleton_key is codegen on the scan; then ONE
+    (host, skeleton) hash-agg with map-side combine, and the per-host
+    total is a window over the ALREADY-aggregated (tiny) relation — no
+    second scan, no second full-size exchange.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import html as H
+
+    keyed = pages.select(
+        F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1).alias("host"),
+        H.skeleton_key(F.col(html_col)).alias("skeleton"),
+    )
+    per = keyed.groupBy("host", "skeleton").agg(F.count("*").alias("n_pages"))
+    w = Window.partitionBy("host")
+    return per.select(
+        "host", "skeleton", "n_pages",
+        F.sum("n_pages").over(w).alias("host_pages"),
+        F.round(F.col("n_pages") / F.sum("n_pages").over(w), 4).alias(
+            "template_share"
+        ),
+    )
