@@ -226,3 +226,48 @@ def test_proto_prune_ceil_never_empties_cell(spark):
         df, "vec_id", "embedding", cents, keep_frac=0.01, keep="hard"
     ).collect()
     assert len(out) == 1 and out[0]["kept"]
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+def _plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_page_tables_plan_is_narrow(spark):
+    """The table fan-out must stay on the scan partitions: three Generate
+    nodes, ZERO exchanges, no Python — raw HTML never shuffles."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    pages = spark.createDataFrame(
+        [("u", "<table><tr><td>x</td></tr></table>")], "url string, html string"
+    )
+    import re
+
+    plan = _plan_of(MD.page_tables(pages))
+    assert "Exchange" not in plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 3
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_template_profile_window_runs_on_aggregated_relation(spark):
+    """skeleton_key must stay in codegen (no Python) and the host window
+    must consume the ALREADY-aggregated (host, skeleton) relation — the
+    agg sits BELOW the window in the tree (printed deeper/later), so the
+    full page set never enters the window exchange."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    pages = spark.createDataFrame(
+        [("http://a/x", "<p>t</p>")], "url string, html string"
+    )
+    plan = _plan_of(MD.template_profile(pages))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
