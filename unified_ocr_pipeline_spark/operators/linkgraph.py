@@ -99,17 +99,24 @@ def pagerank(
     — same guard as the connected-components loop — so deep iteration
     counts don't compound the plan.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    graph = e.join(outdeg, "src")  # (src, dst, outdeg), reused per iteration
+    # (src, dst, outdeg), reused per iteration — materialized so each
+    # iteration (and the nodes relation) doesn't re-execute the upstream
+    # edge parse; without the barrier an expensive parse stage runs once
+    # per reference per iteration
+    graph = e.join(outdeg, "src").localCheckpoint(eager=False)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
@@ -158,12 +165,24 @@ def hits(
     aggs; the normalizing sums stay IN-PLAN as single-row broadcast
     cross joins (no driver action per iteration); localCheckpoint
     truncates lineage on deep runs.
+
+    Materialization: ``e``/``nodes`` and each iteration's ``a_raw``/
+    ``h_raw`` are lazily localCheckpoint'ed — each is referenced twice
+    (the raw vector by its normalizing total AND the join; the edge list
+    twice per iteration), and without a materialization barrier Spark
+    re-executes the whole upstream subtree per reference, which
+    compounds ~4× per iteration when the edge list comes from an
+    expensive parse stage (measured 11.3 s → ~1 s on the link-graph
+    bench query at sf0.1).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     # iterations=0 returns the initial state (h=1, a=0) like
@@ -175,6 +194,7 @@ def hits(
             .select("dst", "hub")
             .groupBy("dst")
             .agg(F.sum("hub").alias("a_raw"))
+            .localCheckpoint(eager=False)
         )
         a_tot = a_raw.agg(F.sum("a_raw").alias("a_tot"))
         auth = (
@@ -192,6 +212,7 @@ def hits(
             .select("src", "auth")
             .groupBy("src")
             .agg(F.sum("auth").alias("h_raw"))
+            .localCheckpoint(eager=False)
         )
         h_tot = h_raw.agg(F.sum("h_raw").alias("h_tot"))
         hub = (
@@ -359,11 +380,14 @@ def trustrank(
     column carried through the loop (seed set never re-joined per
     iteration). localCheckpoint lineage guard as in ``pagerank``.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     seed_nodes = nodes.join(
         seeds.select(F.col(seed_col).alias("node")).distinct(), "node", "left_semi"
@@ -372,10 +396,12 @@ def trustrank(
     if n_seeds == 0:
         return nodes.withColumn("trust", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    graph = e.join(outdeg, "src")  # reused every iteration
+    # reused every iteration — materialized (see pagerank)
+    graph = e.join(outdeg, "src").localCheckpoint(eager=False)
 
     # Static teleport column: (1-d)/|S| on seeds, 0 elsewhere. Carried
-    # on the node frame so each iteration needs no extra join.
+    # on the node frame so each iteration needs no extra join; referenced
+    # once per iteration AND by each next trust frame -> materialized.
     base = nodes.join(
         seed_nodes.withColumn("_is_seed", F.lit(True)), "node", "left"
     ).select(
@@ -383,7 +409,7 @@ def trustrank(
         F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds))
         .otherwise(F.lit(0.0))
         .alias("seed_mass"),
-    )
+    ).localCheckpoint(eager=False)
     trust = base.select("node", F.col("seed_mass").alias("trust"), "seed_mass")
     for it in range(iterations):
         contribs = (
@@ -498,7 +524,6 @@ def label_propagation(
     src_col: str,
     dst_col: str,
     iterations: int = 3,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration synchronous label propagation (Raghavan et al.
     2007) over the UNDIRECTED simple graph of an edge list — community
@@ -524,9 +549,10 @@ def label_propagation(
     against the (node-partitioned) adjacency plus ONE (node, label)
     hash-agg with map-side combine plus ONE node-keyed window for the
     argmax — the Pregel-on-DataFrames layout, same as pagerank/trustrank.
-    The adjacency is computed once and reused; lineage is truncated with
-    localCheckpoint every ``checkpoint_every`` iterations (the
-    connected-components guard). Hub nodes make the (node, label) agg
+    The adjacency is materialized once and reused; each label frame is
+    pinned per round (it is referenced twice by the next one — vote join
+    + carry-forward — so the subtree would double per iteration
+    otherwise). Hub nodes make the (node, label) agg
     key skew-prone; the partial agg absorbs it (each map task emits one
     row per (node, label) it saw).
 
@@ -534,18 +560,24 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
     )
+    # (a=node, b=neighbor), both directions, simple graph — materialized:
+    # referenced every iteration, and each reference would re-execute the
+    # upstream edge parse (see pagerank)
     adj = (
         e.select("a", "b")
         .union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-    )  # (a=node, b=neighbor), both directions, simple graph
+        .localCheckpoint(eager=False)
+    )
 
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(
@@ -566,6 +598,9 @@ def label_propagation(
         labels = labels.join(best, "node", "left").select(
             "node", F.coalesce(F.col("_new"), F.col("label")).alias("label")
         )
-        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+        if it + 1 < iterations:
+            # each labels frame is referenced TWICE next round (the vote
+            # join and the carry-forward join) — without a barrier the
+            # subtree doubles per iteration; node-sized, cheap to pin
             labels = labels.localCheckpoint(eager=False)
     return labels
