@@ -320,3 +320,77 @@ def test_html_to_markdown_edges():
     assert html_to_markdown('<p>go <a href="http://a.io/">here') == "go here"
     # whitespace normalization inside blocks
     assert html_to_markdown("<h2>  Big \n title </h2>") == "## Big title"
+
+
+# ---------------------------------------------------------------------------
+# fast block segmenter ≡ stdlib HTMLParser reference
+# ---------------------------------------------------------------------------
+
+_SOUP = [
+    'a &amp; b <P CLASS="x">c &lt;3</p><script>var x = "<div>" && 1;'
+    '</script><br/>d < e &#65; <!-- <p>no</p> --> f <b hidden>g</b> '
+    '<img src="a>b"> tail',
+    '<nav><a href="/x">Home</a> | <a href="/y">About</a></nav><div>'
+    + "real content sentence here with enough characters to pass " * 2
+    + "</div>",
+    "<style>p { color: red; } </style><p>kept &nbsp; text with entities "
+    "&copy; and more length padding here</p>",
+    "<noscript><p>inside noscript block that is long enough to be content"
+    "</p></noscript><p>outside content long enough to be kept around</p>",
+    "<a href=x>unclosed anchor <p>paragraph text long enough to be content "
+    "after unclosed anchor</p>",
+    "<div>x</div",
+    "<p>a<p>b<p>c",
+    "<SCRIPT>never closed... <p>swallowed</p>",
+    "<![CDATA[ <p>not a tag</p> ]]><p>after cdata marker long enough to be "
+    "a content block here</p>",
+    '<?php echo "<p>hi</p>"; ?><p>after a processing instruction, long '
+    "enough to be content</p>",
+    "<p>&notanentity; &amp stray amp &#x41;</p>",
+    "<table><tr><td>cell one content</td><td>cell two content</td></tr>"
+    "</table>",
+    "</p>orphan close<p>then text long enough to become a real content "
+    "block in the output</p>",
+    "<p>" + "x" * 30 + "<a>" + "y" * 30 + "</a></p>",
+    "<script/>x<p>" + "q" * 30 + "</p>",
+    "<a href=x/>" + "y" * 30,
+    '<a href="x"/>' + "y" * 30,
+    '<p class="c" />after self closed paragraph, long enough content',
+    "<script />sw<p>" + "q" * 30 + "</p>",
+    "<script src=a.js>body</script>" + "a" * 30,
+    "<a href=a\'b>" + "t" * 30 + "</a>",
+    "<b hidden>" + "g" * 30 + "</b>",
+    '<p  class = "x"   id=y >' + "z" * 30,
+    "<aside>side bar stuff that is long enough to be content by length "
+    "alone</aside><main>the main body content, also long enough</main>",
+    "<script/>self closed script does not swallow <p>this long enough "
+    "content paragraph stays visible</p>",
+]
+
+
+def test_fast_segmenter_matches_stdlib_on_soup():
+    from unified_ocr_pipeline_spark.kernels.html_extract import (
+        segment_blocks,
+        segment_blocks_reference,
+    )
+
+    for i, s in enumerate(_SOUP):
+        assert segment_blocks(s) == segment_blocks_reference(s), (i, s[:60])
+
+
+def test_fast_segmenter_matches_stdlib_on_fixture_corpus():
+    """Every HTML page the deterministic fixture generator can produce
+    must segment identically under the regex fast path and the stdlib
+    reference parser — scoring counters included (dataclass equality)."""
+    from unified_ocr_pipeline_spark.kernels.html_extract import (
+        segment_blocks,
+        segment_blocks_reference,
+    )
+    from unified_ocr_pipeline_spark.sources.fixtures import generate_pages_rows
+
+    for r in generate_pages_rows(800, seed=99):
+        h = r["html"]
+        if h is None:
+            continue
+        s = h.decode("utf-8", "replace")
+        assert segment_blocks(s) == segment_blocks_reference(s), r["url"]

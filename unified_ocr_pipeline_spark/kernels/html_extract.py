@@ -26,7 +26,9 @@ Algorithm (classic text-density / link-density block scoring):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from html import unescape
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
@@ -144,12 +146,158 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def segment_blocks(html_text: str) -> List[Block]:
-    """Parse HTML into scored text blocks (deterministic)."""
+def segment_blocks_reference(html_text: str) -> List[Block]:
+    """Parse HTML into scored text blocks via the stdlib ``HTMLParser``
+    subclass — the readable reference implementation. ``segment_blocks``
+    below is the compiled-regex fast path, differential-tested against
+    this one (``tests/test_kernels.py``); both must stay in lockstep."""
     parser = _BlockParser()
     parser.feed(html_text)
     parser.close()
     return parser.blocks
+
+
+# Fast tokenizer. One compiled alternation, matched left-to-right exactly
+# like HTMLParser's goahead loop: comments/decls/PIs are boundaries that
+# emit nothing, end tags are tolerant (name then anything to '>'), start
+# tags allow quoted '>' inside the attribute blob, and a '<' that opens
+# none of these is literal text (HTMLParser emits it as a lone data
+# event — replicated in _append_text so the per-event stripped-length
+# sums that feed link-density scoring stay byte-identical).
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
+    r"|<![^>]*>?"
+    r"|<\?[^>]*>?"
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>"
+    # start tag: name, then attr units mirroring the stdlib's tolerant
+    # attr grammar (an UNQUOTED value greedily eats a trailing '/', so
+    # <a href=x/> is a start tag while <br/> / <p c="x" /> self-close)
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:\s+[^\s/>=][^\s/=>]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^>\s]*))?)*)"
+    r"\s*(/?)>",
+    re.DOTALL,
+)
+# script/style content is CDATA: no entity decoding, no tag events, data
+# runs to the matching close tag (HTMLParser.set_cdata_mode semantics)
+_CDATA_END = {
+    "script": re.compile(r"</\s*script[^>]*>", re.I),
+    "style": re.compile(r"</\s*style[^>]*>", re.I),
+}
+
+
+def segment_blocks(html_text: str) -> List[Block]:
+    """Parse HTML into scored text blocks (deterministic) — fast path.
+
+    Same event semantics as ``segment_blocks_reference`` (stdlib
+    HTMLParser, convert_charrefs=True) but driven by one compiled regex
+    scan instead of the stdlib's per-construct Python state machine —
+    the extraction pipeline spends the majority of its kernel time here,
+    and this form is ~3× faster. Behavioral lockstep is pinned by a
+    differential test over the fixture generator and an HTML-soup
+    corpus; scoring-relevant bookkeeping (per-event stripped lengths,
+    anchor/boiler/drop depths, block flush order) is replicated exactly.
+    """
+    blocks: List[Block] = []
+    buf: List[str] = []
+    buf_link = 0
+    buf_total = 0
+    drop_depth = 0
+    boiler_depth = 0
+    anchor_depth = 0
+
+    def flush() -> None:
+        nonlocal buf, buf_link, buf_total
+        raw = "".join(buf)
+        text = " ".join(raw.split())
+        if text:
+            blocks.append(
+                Block(
+                    text=text,
+                    link_chars=buf_link,
+                    total_chars=buf_total,
+                    in_boiler=boiler_depth > 0,
+                )
+            )
+        buf = []
+        buf_link = 0
+        buf_total = 0
+
+    def append_text(span: str) -> None:
+        # split at literal '<' exactly like HTMLParser's lone-'<' data
+        # events: the per-event strip lengths feed total/link char sums
+        nonlocal buf_link, buf_total
+        if drop_depth or not span:
+            return
+        for i, piece in enumerate(span.split("<")):
+            if i:
+                buf.append("<")
+                buf_total += 1
+                if anchor_depth:
+                    buf_link += 1
+            if not piece:
+                continue
+            if "&" in piece:
+                piece = unescape(piece)
+            buf.append(piece)
+            sl = len(piece.strip())
+            buf_total += sl
+            if anchor_depth:
+                buf_link += sl
+
+    pos = 0
+    n = len(html_text)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html_text, pos)
+        if m is None:
+            append_text(html_text[pos:])
+            break
+        if m.start() > pos:
+            append_text(html_text[pos : m.start()])
+        pos = m.end()
+        tag = m.group(2)
+        if tag is not None:  # start tag (or self-closing)
+            tag = tag.lower()
+            if m.group(4):  # self-closing -> handle_startendtag semantics
+                if tag in _BLOCK_TAGS:
+                    flush()
+                continue
+            if tag in _DROP_TAGS:
+                drop_depth += 1
+                if tag in _CDATA_END:
+                    # CDATA fast-forward: content is dropped anyway, but
+                    # tags inside must NOT fire events (stdlib semantics)
+                    em = _CDATA_END[tag].search(html_text, pos)
+                    if em is None:
+                        break  # unclosed script/style swallows the tail
+                    pos = em.end()
+                    drop_depth -= 1
+                continue
+            if tag in _BLOCK_TAGS:
+                flush()
+                # anchor scope clamps to the block (see _BlockParser)
+                anchor_depth = 0
+            if tag in _BOILER_TAGS:
+                boiler_depth += 1
+            if tag == "a":
+                anchor_depth += 1
+        else:
+            tag = m.group(1)
+            if tag is None:
+                continue  # comment / declaration / PI: boundary, no event
+            tag = tag.lower()
+            if tag in _DROP_TAGS:
+                drop_depth = max(0, drop_depth - 1)
+                continue
+            if tag in _BLOCK_TAGS:
+                flush()
+            if tag in _BOILER_TAGS:
+                boiler_depth = max(0, boiler_depth - 1)
+            if tag == "a":
+                anchor_depth = max(0, anchor_depth - 1)
+    flush()
+    return blocks
 
 
 def extract_main_text(html_text: str) -> Tuple[str, List[Tuple[int, int]]]:
