@@ -3298,6 +3298,56 @@ def _q_proto_prune(spark, sf):
     )
 
 
+def _q_stupid_backoff(spark, sf):
+    """Stupid Backoff bigram LM scoring (Brants et al. 2007 §4, THE
+    web-scale distributed LM): train unigram+bigram count tables on the
+    deterministic md5-60 quarter-sample (bigram count-cutoff 2), then
+    score every document's mean log S where S backs off bigram→unigram→
+    1/N with alpha=0.4. The model stays a DISTRIBUTED relation — scoring
+    is explode + two shuffle joins on the token keys + one doc-keyed
+    agg, never a broadcast of corpus-scaled state (the deliberate
+    contrast with lm_perplexity's broadcast unigram dict). The oracle
+    replays sample, tokenization, cutoff, backoff cases and float op
+    order exactly."""
+    from unified_ocr_pipeline_spark.operators import lm as LM
+
+    d = _t(spark, sf, "documents")
+    uni, big, n = LM.stupid_backoff_train(
+        d, "text", "doc_id", sample_mod=4, bigram_min_count=2
+    )
+    return LM.stupid_backoff_score(d, uni, big, n, "text", "doc_id")
+
+
+def _q_shard_manifest(spark, sf):
+    """Training-shard writer manifest: md5-60(id) % 16 shard assignment,
+    within-shard order (hash, id) — the deterministic global shuffle a
+    trainer streams — and one manifest row per shard with doc count,
+    token sum (n_chars here) and an ORDER-SENSITIVE md5 roster
+    fingerprint. One shard-keyed hash agg carrying ids, not payloads.
+    The oracle rebuilds every fingerprint with string_agg ORDER BY the
+    identical (hash, id) key, so a dropped/duplicated/reordered doc
+    in either engine flips the hash."""
+    from unified_ocr_pipeline_spark.operators import shards as SH
+
+    d = _t(spark, sf, "documents")
+    return SH.shard_manifest(d, "doc_id", n_shards=16, size_col="n_chars")
+
+
+def _q_hrw_rebalance(spark, sf):
+    """Rendezvous (HRW) sharding resize report 8 → 10 shards: per doc
+    the argmin-weight shard under both counts and whether it moved.
+    Pure JVM projection (transform over a shard-sized sequence +
+    array_min), zero shuffles — the growth property (movers only land
+    on NEW shards, expected moved fraction (n_to-n_from)/n_to vs
+    (n-1)/n for modulo) is asserted in tests/test_shards_lm.py. Oracle
+    replays the weight formula and argmin via a range cross join +
+    row_number."""
+    from unified_ocr_pipeline_spark.operators import shards as SH
+
+    d = _t(spark, sf, "documents")
+    return SH.hrw_rebalance(d, "doc_id", n_from=8, n_to=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3454,6 +3504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": _q_html_tables,
         "dom_skeleton": _q_dom_skeleton,
         "proto_prune": _q_proto_prune,
+        "stupid_backoff": _q_stupid_backoff,
+        "shard_manifest": _q_shard_manifest,
+        "hrw_rebalance": _q_hrw_rebalance,
     }
 
 
@@ -6982,4 +7035,99 @@ def oracle_sql() -> dict[str, str]:
             FROM per
         """,
         "proto_prune": _proto_prune_oracle(),
+        # stupid_backoff: replay the Brants backoff end-to-end — same
+        # md5-60 quarter-sample, same lower+ASCII-\s+ tokenization with
+        # empties dropped BEFORE pairing, same bigram count-cutoff 2,
+        # and the same float op order in both backoff branches
+        # (c12/c1 vs 0.4 * c / N, left-associated).
+        "stupid_backoff": r"""
+            WITH tokd AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            stok AS (
+              SELECT toks FROM tokd
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 4 = 0),
+            uni AS (
+              SELECT w, count(*) AS c1
+              FROM (SELECT unnest(toks) AS w FROM stok) GROUP BY w),
+            tot AS (SELECT CAST(coalesce(sum(c1), 0) AS DOUBLE) AS n FROM uni),
+            sbg AS (
+              SELECT bg.w1 AS w1, bg.w2 AS w2
+              FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])))
+                       AS bg
+                    FROM stok)),
+            big AS (
+              SELECT w1, w2, count(*) AS c12 FROM sbg
+              GROUP BY w1, w2 HAVING count(*) >= 2),
+            dbg AS (
+              SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+              FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                         i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])))
+                         AS bg
+                    FROM tokd)),
+            scored AS (
+              SELECT d.doc_id,
+                     CASE WHEN b.c12 IS NOT NULL
+                          THEN ln(CAST(b.c12 AS DOUBLE)
+                                  / CAST(u1.c1 AS DOUBLE))
+                          ELSE ln(0.4 * coalesce(CAST(u2.c1 AS DOUBLE), 1.0)
+                                  / n)
+                     END AS logs
+              FROM dbg d
+              LEFT JOIN big b USING (w1, w2)
+              LEFT JOIN uni u1 ON d.w1 = u1.w
+              LEFT JOIN uni u2 ON d.w2 = u2.w, tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   avg(logs) AS sb_logscore
+            FROM scored GROUP BY doc_id
+        """,
+        # shard_manifest: rebuild each shard's order-sensitive roster
+        # fingerprint with string_agg ORDER BY the identical
+        # (md5-60(id), id-as-string) read-order key.
+        "shard_manifest": """
+            WITH a AS (
+              SELECT doc_id, n_chars,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h
+              FROM documents)
+            SELECT CAST(h % 16 AS INT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                       ORDER BY h, CAST(doc_id AS VARCHAR))) AS roster_md5
+            FROM a GROUP BY 1
+        """,
+        # hrw_rebalance: the rendezvous argmin via a range cross join +
+        # row_number on (weight, shard) — same md5-60(id ':' shard)
+        # weight formula as operators/shards.hrw_weight.
+        "hrw_rebalance": """
+            WITH wa AS (
+              SELECT doc_id, r.s,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ':' || r.s), 1, 15) AS BIGINT) AS w
+              FROM documents, range(8) r(s)),
+            aa AS (
+              SELECT doc_id, CAST(s AS INT) AS shard_a
+              FROM (SELECT doc_id, s, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY w, s) AS rn FROM wa)
+              WHERE rn = 1),
+            wb AS (
+              SELECT doc_id, r.s,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ':' || r.s), 1, 15) AS BIGINT) AS w
+              FROM documents, range(10) r(s)),
+            bb AS (
+              SELECT doc_id, CAST(s AS INT) AS shard_b
+              FROM (SELECT doc_id, s, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY w, s) AS rn FROM wb)
+              WHERE rn = 1)
+            SELECT doc_id, shard_a, shard_b,
+                   shard_a <> shard_b AS moved
+            FROM aa JOIN bb USING (doc_id)
+        """,
     }

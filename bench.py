@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "minhash_error",
     "justext_blocks",
     "lsh_pr",
+    "stupid_backoff",
+    "shard_manifest",
+    "hrw_rebalance",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

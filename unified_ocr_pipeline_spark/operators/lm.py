@@ -188,3 +188,121 @@ def lm_perplexity_gate(
         .withColumn("ppl_bucket", bucket)
         .drop("_cuts")
     )
+
+
+def _clean_tokens(text_col: str) -> F.Column:
+    """lower + ASCII-\\s+ split with empties dropped, as an ARRAY column
+    (same token stream as lm_train/lm_score, but kept in-row so bigrams
+    can be formed without a second pass)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def _bigram_structs(toks: F.Column) -> F.Column:
+    """Array of (w1, w2) structs for consecutive token pairs — built by
+    zipping the array against itself shifted by one, so the whole thing
+    is a narrow JVM expression (no Python, no shuffle)."""
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def stupid_backoff_train(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int = 4,
+    bigram_min_count: int = 2,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count tables for a Stupid Backoff bigram LM (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — THE web-scale
+    distributed LM: no normalization pass, just counts, served sharded).
+
+    Trains on the same deterministic md5-60 hash sample as ``lm_train``
+    (re-runs and incremental batches pick identical docs).  Returns
+    ``(unigrams(w, c1), bigrams(w1, w2, c12), n_tokens)``.  Bigrams below
+    ``bigram_min_count`` are dropped — Brants' count cutoff; it bounds
+    the bigram relation and loses nothing the backoff path can't cover.
+
+    Scale: both counts are ONE hash aggregation each with map-side
+    partial combine; the bigram table stays a distributed relation
+    end-to-end (never collected, never broadcast) — exactly how Brants
+    serves 2-trillion-token models, and the deliberate contrast with the
+    broadcast-dict unigram ``lm_score``.
+    """
+    sample = df.where(md5_60(F.col(id_col)) % sample_mod == 0).select(
+        _clean_tokens(text_col).alias("toks")
+    )
+    uni = (
+        sample.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    # Bounded driver action over the vocabulary-sized relation, same
+    # pattern as lm_train's n_tokens.
+    n_tokens = uni.agg(F.sum("c1")).collect()[0][0] or 0
+    big = (
+        sample.select(F.explode(_bigram_structs(F.col("toks"))).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= bigram_min_count)
+    )
+    return uni, big, int(n_tokens)
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    uni: DataFrame,
+    big: DataFrame,
+    n_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score every document under the Stupid Backoff bigram model:
+    ``(id_col, n_bigrams bigint, sb_logscore double)`` where
+    ``sb_logscore`` is the mean log S over the doc's consecutive pairs,
+
+        S(w2 | w1) = c12 / c1(w1)          if the bigram survived training
+                   = alpha * c1(w2) / N    else, w2 in the sample vocab
+                   = alpha * 1 / N         else (OOV floor)
+
+    (Brants et al. 2007 §4; alpha = 0.4 is their constant.  Scores are
+    NOT probabilities — Stupid Backoff never normalizes; rank order is
+    what the curation gate consumes.)  Documents with < 2 tokens have no
+    bigram evidence and are dropped, like ``lm_score`` drops empties.
+
+    Plan shape: explode doc bigrams → shuffle-join the count tables on
+    their natural keys → one doc-keyed hash agg.  All three relations
+    stay distributed; at 100 TB the model side partitions by (w1, w2) /
+    w like any fact-fact join — no driver collect, no broadcast of
+    corpus-scaled state, no Python anywhere.
+    """
+    n = float(n_tokens)
+    doc_bg = df.select(
+        F.col(id_col), F.explode(_bigram_structs(_clean_tokens(text_col))).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+    scored = (
+        doc_bg.join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c_w1")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c_w2")), "w2", "left")
+        .withColumn(
+            "logs",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.log(F.col("c12").cast("double") / F.col("c_w1").cast("double")),
+            ).otherwise(
+                F.log(
+                    F.lit(alpha) * F.coalesce(F.col("c_w2").cast("double"), F.lit(1.0)) / F.lit(n)
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.avg("logs").alias("sb_logscore")
+    )
