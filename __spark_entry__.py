@@ -3348,6 +3348,26 @@ def _q_hrw_rebalance(spark, sf):
     return SH.hrw_rebalance(d, "doc_id", n_from=8, n_to=10)
 
 
+def _q_winnow_pairs(spark, sf):
+    """Winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS algorithm):
+    per-doc distinct window-min k-gram hashes over the 400-char prefix,
+    then verbatim-overlap pairs sharing >= 2 fingerprints — the
+    exact-substring complement to MinHash (resemblance) and SimHash
+    (near-cosine); any shared run >= k+window-1 chars is guaranteed a
+    shared fingerprint. Fingerprinting is ONE narrow JVM projection
+    (transform + windowed array_min, no Python); pairing reuses the
+    ngram_jaccard topology with the over-threshold flood set broadcast
+    and anti-joined. The oracle replays gram hashes, window mins,
+    distinct, flood prune and the pair agg bit-for-bit."""
+    from unified_ocr_pipeline_spark.operators import dedup as DD
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
+    return DD.winnow_pairs(
+        d, "doc_id", "text", k=8, window=4, prefix_chars=400,
+        min_shared=3, max_fp_df=20,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3507,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": _q_stupid_backoff,
         "shard_manifest": _q_shard_manifest,
         "hrw_rebalance": _q_hrw_rebalance,
+        "winnow_pairs": _q_winnow_pairs,
     }
 
 
@@ -7129,5 +7150,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard_a, shard_b,
                    shard_a <> shard_b AS moved
             FROM aa JOIN bb USING (doc_id)
+        """,
+        # winnow_pairs: replay the MOSS fingerprint selection — md5-60
+        # char-8-gram hashes over the 400-char prefix, window-4 minima,
+        # per-doc distinct, flood prune (> 1000 docs), shared-count >= 2
+        # pair agg. Both engines do CHARACTER substr + UTF-8 md5, so the
+        # gram hashes agree bit-for-bit on non-ASCII too. max_fp_df=20
+        # actually bites on this fixture (shared template prefixes are
+        # boilerplate fingerprints), so the flood prune is exercised.
+        "winnow_pairs": r"""
+            WITH base AS (
+              SELECT doc_id AS id, substr(text, 1, 400) AS s
+              FROM documents WHERE doc_id < 150),
+            g AS (
+              SELECT id,
+                CASE WHEN length(s) - 8 + 1 >= 1 THEN
+                  list_transform(range(1, length(s) - 8 + 2), i ->
+                    CAST('0x' || substr(md5(substr(s, i, 8)), 1, 15)
+                         AS BIGINT))
+                ELSE CAST([] AS BIGINT[]) END AS grams
+              FROM base),
+            m AS (
+              SELECT id,
+                CASE WHEN len(grams) - 4 + 1 >= 1 THEN
+                  list_distinct(list_transform(range(1, len(grams) - 4 + 2),
+                    j -> list_min(grams[j : j + 3])))
+                ELSE CAST([] AS BIGINT[]) END AS fps
+              FROM g),
+            f AS (SELECT id, unnest(fps) AS fp FROM m),
+            flood AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 20),
+            p AS (SELECT * FROM f WHERE fp NOT IN (SELECT fp FROM flood))
+            SELECT l.id AS id_a, r.id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM p l JOIN p r USING (fp) WHERE l.id < r.id
+            GROUP BY 1, 2 HAVING count(*) >= 3
         """,
     }

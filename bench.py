@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "stupid_backoff",
     "shard_manifest",
     "hrw_rebalance",
+    "winnow_pairs",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -152,3 +152,62 @@ def test_stupid_backoff_fluency_direction(spark):
         for r in LM.stupid_backoff_score(docs, uni, big, n).collect()
     }
     assert got[1000] > got[1001]
+
+
+# ---------------------------------------------------------------------------
+# winnowing (MOSS)
+# ---------------------------------------------------------------------------
+
+def test_winnow_guarantee_shared_run(spark):
+    """Schleimer et al. §2: a shared substring of length >= k+window-1
+    guarantees at least one shared fingerprint."""
+    from unified_ocr_pipeline_spark.operators import dedup as DD
+
+    shared = "XqWvZpLmNoRt19872AbCdEfGhIjKlMnOp"  # 33 chars >> 8+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+            (2, "zz yy xx ww vv " + shared + " uu tt ss"),
+            (3, "totally unrelated content with no overlap at all 123"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.winnow_pairs(
+        docs, "doc_id", "text", k=8, window=4, min_shared=1, max_fp_df=100
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnow_short_and_empty_docs_no_fps(spark):
+    from unified_ocr_pipeline_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "tiny"), (3, "elevenchars")],  # 11 = k+window-1 exactly
+        "doc_id long, text string",
+    )
+    fps = DD.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    got = {r["id"]: 1 for r in fps.collect()}
+    assert 1 not in got and 2 not in got
+    assert 3 in got  # exactly one window of 4 grams -> one fingerprint
+
+
+def test_winnow_flood_prune_kills_boilerplate(spark):
+    """A fingerprint present in every doc is boilerplate: with
+    max_fp_df below the doc count it must not produce pairs."""
+    from unified_ocr_pipeline_spark.operators import dedup as DD
+
+    boiler = "COMMONBOILERPLATEHEADERSTRING"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique tail {i} {i*7} {i*13}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with_flood = DD.winnow_pairs(
+        docs, "doc_id", "text", min_shared=1, max_fp_df=5
+    ).count()
+    without = DD.winnow_pairs(
+        docs, "doc_id", "text", min_shared=1, max_fp_df=1000
+    ).count()
+    assert without == 45  # all pairs share the boilerplate fingerprints
+    assert with_flood < without

@@ -1130,3 +1130,107 @@ def edit_verified_pairs(
         .when(F.col("similarity") >= possible_threshold, F.lit("possible"))
         .otherwise(F.lit("nonmatch")),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    prefix_chars: int = 400,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every character ``k``-gram, slide a
+    ``window`` over the hash stream, keep each window's minimum, and
+    return the distinct selected hashes per document as
+    ``(id_col, fp bigint)`` rows.
+
+    Winnowing's guarantee (the reason MOSS uses it over plain 0 mod p
+    sampling): any shared substring of length ≥ k + window - 1 yields at
+    least one SHARED fingerprint, and no substring match shorter than k
+    is ever detected — a local algorithm with both density and
+    detection bounds (§2 of the paper).  That makes it the exact-match
+    complement to MinHash (set resemblance) and SimHash (cosine-ish):
+    winnowing catches verbatim plagiarism/quotation spans.
+
+    Only the first ``prefix_chars`` chars are fingerprinted: the k-gram
+    hash stream is O(len) md5 calls as JVM expressions, and a bounded
+    prefix keeps that linear cost capped per row while still covering
+    the lead/template region where near-verbatim crawl dups agree.  The
+    whole computation is ONE narrow projection (transform over a
+    sequence + windowed array_min + array_distinct + explode) — no
+    Python, no shuffle; 60-bit md5 gram hashes so the DuckDB oracle
+    replays every selected fingerprint bit-for-bit.
+    """
+    empty = F.array().cast("array<bigint>")
+    txt = F.substring(F.col(text_col), 1, prefix_chars)
+    n_g = F.length(txt) - k + 1
+    gram = lambda i: F.conv(  # noqa: E731 — md5-60 of the k-gram at i
+        F.substring(F.md5(F.substring(txt, i, F.lit(k))), 1, 15), 16, 10
+    ).cast("long")
+    # Spark's sequence(1, n) DESCENDS when n < 1 — guard empties explicitly
+    grams = F.when(
+        n_g >= 1, F.transform(F.sequence(F.lit(1), n_g), gram)
+    ).otherwise(empty)
+
+    def window_mins(g: Column) -> Column:
+        n_w = F.size(g) - window + 1
+        return F.when(
+            n_w >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_w),
+                lambda j: F.array_min(F.slice(g, j, window)),
+            ),
+        ).otherwise(empty)
+
+    # LET-BINDING, not a direct reference: Catalyst performs no common-
+    # subexpression elimination inside higher-order-function lambdas, so
+    # slice(grams, j, w) inlined per window re-evaluates the WHOLE gram
+    # hash stream for every window — O(n²) md5 calls per row (measured
+    # 181 s for 500×306-char docs).  Binding the evaluated array to a
+    # lambda variable via a 1-element transform makes every window read
+    # a variable instead (4 s for the same input, 44x).
+    mins = F.element_at(F.transform(F.array(grams), window_mins), 1)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    prefix_chars: int = 400,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """Verbatim-overlap candidate pairs by shared winnowing fingerprints:
+    ``(id_a, id_b, n_shared bigint)`` with id_a < id_b and at least
+    ``min_shared`` distinct shared fingerprints.
+
+    Scale posture — identical topology to :func:`ngram_jaccard_pairs`:
+    fingerprint inverted-index self-join; boilerplate fingerprints with
+    document frequency > ``max_fp_df`` are pigeonhole-bounded (at most
+    total_fps / max_fp_df of them), broadcast as the OVER-threshold set,
+    and left-anti'd off before the join — never the corpus-sized
+    complement.  One hash-agg counts shared fingerprints per pair.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, prefix_chars)
+    flood = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_fp_df)
+        .select("fp")
+    )
+    pruned = fps.join(F.broadcast(flood), "fp", "left_anti")
+    return (
+        pruned.alias("l")
+        .join(pruned.alias("r"), "fp")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
