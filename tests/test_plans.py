@@ -402,3 +402,55 @@ def test_bitext_broadcasts_query_side_not_corpus(spark):
     # (filtered) query half or an id-keyed aggregate output
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_winnow_floods_broadcast_anti(spark):
+    # same contract as ngram_jaccard: only the OVER-threshold fingerprint
+    # set (pigeonhole-bounded) may broadcast, as a LEFT ANTI; the
+    # fingerprint inverted-index self-join must stay a shuffle join.
+    import re as _re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(E.queries()["winnow_pairs"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bhj = _re.findall(r"BroadcastHashJoin \w+", plan)
+    assert bhj and all("LeftAnti" in b for b in bhj), plan
+
+
+def test_hrw_rebalance_plan_is_narrow(spark):
+    # rendezvous assignment is a pure projection: zero exchanges, zero
+    # joins — the whole resize report computes scan-local.
+    plan = plan_of(E.queries()["hrw_rebalance"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_shard_manifest_single_aggregation_exchange(spark):
+    # ONE shard-keyed hash agg (partial+final around one hash exchange);
+    # the trailing rangepartitioning exchange only orders the 16-row
+    # manifest. No joins, no Python.
+    import re as _re
+
+    plan = plan_of(E.queries()["shard_manifest"](spark, SF))
+    hashex = _re.findall(r"Arguments: hashpartitioning", plan)
+    assert len(hashex) == 1, plan
+    assert "partial_collect_list" in plan, plan  # map-side combine runs
+    assert "Join" not in plan, plan
+
+
+def test_stupid_backoff_model_stays_distributed(spark):
+    # the Brants model must never ride the driver or a nested loop: with
+    # auto-broadcast off, no broadcast join and no product join may
+    # remain — counts and scoring all flow through keyed shuffle joins.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(E.queries()["stupid_backoff"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
