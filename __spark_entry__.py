@@ -3368,6 +3368,50 @@ def _q_winnow_pairs(spark, sf):
     )
 
 
+def _q_readability(spark, sf):
+    """Flesch reading ease + Flesch-Kincaid grade over the REAL document
+    text: words / sentence-terminator runs / vowel-run syllables, all
+    single codegen regexp counts. The oracle recomputes the three
+    counts with the identical Java∩RE2 regexes and replays the float-op
+    order exactly (round-4 canon)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", *TX.readability_cols(F.col("text")))
+
+
+def _q_yule_k(spark, sf):
+    """Yule's K lexical diversity per document (frequency-spectrum
+    repetitiveness — template/generated text scores high): explode →
+    ONE (doc,token) hash-agg → ONE doc agg, integer math to the end.
+    The oracle replays tokenization and both aggregations."""
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    return ST.lexical_diversity(_t(spark, sf, "documents"))
+
+
+def _q_degree_dist(spark, sf):
+    """In-degree distribution of the parsed link graph (power-law
+    histogram, the Broder et al. 2000 crawl diagnostic) through the
+    REAL HTML parse: two back-to-back hash-aggs, histogram keyed by
+    degree. The oracle replays the link formula and both aggs."""
+    from unified_ocr_pipeline_spark.operators import linkgraph as LG
+
+    d = _t(spark, sf, "documents")
+    edges = LG.outlink_edges(_synthetic_link_pages(d), "url", "html").select(
+        "src_url",
+        F.regexp_extract("href", r"^https?://([^/?#]+)", 1).alias("dst_host"),
+    )
+    return LG.degree_histogram(edges, "dst_host")
+
+
+def _q_curation_funnel(spark, sf):
+    """Cumulative survivor counts through the canonical curation chain
+    (input → English → Gopher gates → C4 line-clean → exact dedup) in
+    ONE scan + ONE global aggregate (count-distinct rides the same
+    reduction), fanned out to stage rows. The oracle recomputes every
+    gate from the raw text with the shared SQL fragments."""
+    return CUR.curation_funnel(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3528,6 +3572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _q_shard_manifest,
         "hrw_rebalance": _q_hrw_rebalance,
         "winnow_pairs": _q_winnow_pairs,
+        "readability": _q_readability,
+        "yule_k": _q_yule_k,
+        "degree_dist": _q_degree_dist,
+        "curation_funnel": _q_curation_funnel,
     }
 
 
@@ -7184,5 +7232,140 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM p l JOIN p r USING (fp) WHERE l.id < r.id
             GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        # readability: identical Java∩RE2 regex counts (ws tokens,
+        # [.!?]+(\s+|$) terminator runs, [aeiouy]+ vowel runs on the
+        # lowered text) and the identical left-assoc float-op order, so
+        # the unrounded doubles are bit-equal before the round-4 canon.
+        "readability": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS w,
+                     len(regexp_extract_all(text, '[.!?]+(\s+|$)')) AS s,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+              FROM documents),
+            c AS (
+              SELECT doc_id, w, s, syl,
+                     CASE WHEN w > 0 AND s > 0 THEN
+                       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                                     - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+                     END AS flesch,
+                     CASE WHEN w > 0 AND s > 0 THEN
+                       round(0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                             + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59, 4)
+                     END AS fk_grade
+              FROM b)
+            SELECT doc_id,
+                   CAST(w AS INT) AS n_words,
+                   CAST(s AS INT) AS n_sentences,
+                   CAST(syl AS INT) AS n_syllables,
+                   flesch, fk_grade,
+                   CASE WHEN flesch IS NULL THEN NULL
+                        WHEN flesch >= 90 THEN 'very_easy'
+                        WHEN flesch >= 60 THEN 'plain'
+                        WHEN flesch >= 30 THEN 'difficult'
+                        ELSE 'very_difficult' END AS band
+            FROM c
+        """,
+        # yule_k: replay tokenization (lower, ws-split, drop empties)
+        # and both aggregations; integer math until the final division,
+        # same 10000.0*x/y association.
+        "yule_k": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                       regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
+              FROM documents),
+            f AS (
+              SELECT doc_id, token, count(*) AS f
+              FROM toks WHERE token <> '' GROUP BY 1, 2),
+            a AS (
+              SELECT doc_id, sum(f) AS n, count(*) AS types,
+                     sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS hapax,
+                     sum(f * f) AS s2
+              FROM f GROUP BY 1)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(types AS BIGINT) AS n_types,
+                   CAST(hapax AS BIGINT) AS n_hapax,
+                   round(10000.0 * CAST(s2 - n AS DOUBLE) / CAST(n * n AS DOUBLE), 4)
+                     AS yule_k
+            FROM a
+        """,
+        # degree_dist: replay the link formula (dst h{(id*7+i)%20}, i <
+        # id%4), per-host in-degree, then the histogram over degrees.
+        "degree_dist": """
+            WITH docs AS (SELECT doc_id, doc_id % 4 AS n FROM documents),
+            e AS (
+              SELECT 'h' || CAST((doc_id * 7 + i.i) % 20 AS VARCHAR)
+                       || '.example.com' AS dst_host
+              FROM docs,
+                   LATERAL unnest(generate_series(0, CAST(n AS INT) - 1))
+                     AS i(i)
+              WHERE n > 0),
+            deg AS (SELECT dst_host, count(*) AS degree FROM e GROUP BY 1),
+            h AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   round(log10(CAST(degree AS DOUBLE)), 4) AS log_degree,
+                   round(log10(CAST(n_nodes AS DOUBLE)), 4) AS log_n_nodes
+            FROM h
+        """,
+        # curation_funnel: recompute every cumulative gate from the raw
+        # text — stopword lang vote, the four Gopher shape signals, the
+        # C4 per-line keep rule (>=5 words, terminal punctuation, no
+        # javascript/lorem ipsum/brace), exact dedup via DuckDB's own
+        # md5 — then the five counts as a UNION ALL funnel.
+        "curation_funnel": rf"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS en,
+                     len(regexp_extract_all(lower(text), '{_STOP_DE}')) AS de,
+                     len(regexp_extract_all(lower(text), '{_STOP_FR}')) AS fr,
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS syms
+              FROM documents),
+            sig AS (
+              SELECT doc_id, text, en, de, fr, ws, syms, len(ws) AS n,
+                     len(list_distinct(ws)) AS nd,
+                     list_sum(list_transform(ws, x -> length(x))) AS total_len
+              FROM base),
+            gate AS (
+              SELECT doc_id, text,
+                     (en >= de AND en >= fr AND en > 0) AS k_lang,
+                     (CASE WHEN n = 0 THEN 0.0 ELSE round(1.0 - nd / CAST(n AS DOUBLE), 4) END <= 0.3
+                      AND CASE WHEN n = 0 THEN 0.0 ELSE round(list_max(list_transform(list_distinct(ws),
+                            d -> len(list_filter(ws, x -> x = d)))) / CAST(n AS DOUBLE), 4) END <= 0.2
+                      AND CASE WHEN n = 0 THEN 0.0 ELSE round(total_len / CAST(n AS DOUBLE), 4) END BETWEEN 2.0 AND 12.0
+                      AND CASE WHEN n = 0 THEN 0.0 ELSE round(syms / CAST(n AS DOUBLE), 4) END <= 0.3) AS k_gopher,
+                     len(list_filter(string_split(text, chr(10)), l ->
+                       (CASE WHEN length(regexp_replace(l, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(regexp_replace(l, '^\s+|\s+$', '', 'g'), '\s+')) END) >= 5
+                       AND regexp_matches(regexp_replace(l, '^\s+|\s+$', '', 'g'), '[.!?"'']$')
+                       AND NOT contains(lower(regexp_replace(l, '^\s+|\s+$', '', 'g')), 'javascript')
+                       AND NOT contains(lower(regexp_replace(l, '^\s+|\s+$', '', 'g')), 'lorem ipsum')
+                       AND NOT contains(regexp_replace(l, '^\s+|\s+$', '', 'g'), '{{'))) > 0 AS k_c4
+              FROM sig),
+            k AS (
+              SELECT doc_id, text, k_lang,
+                     (k_lang AND k_gopher) AS k_gopher2,
+                     (k_lang AND k_gopher AND k_c4) AS k_c42
+              FROM gate)
+            SELECT 0 AS stage_idx, 'input' AS stage,
+                   CAST(count(*) AS BIGINT) AS n_docs FROM k
+            UNION ALL
+            SELECT 1, 'lang_en', CAST(count(*) AS BIGINT)
+            FROM k WHERE k_lang
+            UNION ALL
+            SELECT 2, 'gopher', CAST(count(*) AS BIGINT)
+            FROM k WHERE k_gopher2
+            UNION ALL
+            SELECT 3, 'c4_nonempty', CAST(count(*) AS BIGINT)
+            FROM k WHERE k_c42
+            UNION ALL
+            SELECT 4, 'exact_dedup', CAST(count(DISTINCT md5(text)) AS BIGINT)
+            FROM k WHERE k_c42
         """,
     }

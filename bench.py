@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     "shard_manifest",
     "hrw_rebalance",
     "winnow_pairs",
+    "readability",
+    "yule_k",
+    "degree_dist",
+    "curation_funnel",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -550,3 +550,62 @@ def script_profile(text: Column) -> list[Column]:
     return [c.alias(f"{n}_n") for (n, c) in counts] + [
         dominant.alias("dominant_script")
     ]
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch 1948 / Kincaid et al. 1975)
+# ---------------------------------------------------------------------------
+# Classic pre-neural quality prior for web text (used as a curation
+# signal in C4-era corpora audits): score per document from three
+# counts — words, sentences, vowel-run "syllables". All three are one
+# regexp_count/size over the text in whole-stage codegen; no shuffle,
+# no Python. The vowel-run syllable heuristic (a run of [aeiouy] = one
+# syllable) is the standard cheap approximation; it is deterministic
+# and replayable by any RE2/Java regex engine, which is what makes the
+# score oracle-checkable.
+
+SYLLABLE_REGEX = r"[aeiouy]+"
+
+
+def syllable_count(text: Column) -> Column:
+    """Vowel-run count over the lowercased text — the classic cheap
+    syllable estimate (one run of [aeiouy] per syllable nucleus)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(SYLLABLE_REGEX), F.lit(0))
+    ).cast("int")
+
+
+def readability_cols(text: Column) -> list[Column]:
+    """(n_words, n_sentences, n_syllables, flesch, fk_grade, band).
+
+    flesch   = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+    fk_grade = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+    Both NULL when the text has no words or no sentences. Rounded to 4
+    decimals (the repo's float canon, same as quality_score) so a SQL
+    oracle replaying the identical float-op order hash-matches. Band =
+    the standard Flesch bands (>=90 very_easy, >=60 plain, >=30
+    difficult, else very_difficult)."""
+    w = ws_token_count(text).cast("double")
+    s = sentence_count(text).cast("double")
+    syl = syllable_count(text).cast("double")
+    ok = (w > 0) & (s > 0)
+    wps = w / s
+    spw = syl / w
+    flesch = F.when(ok, F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4))
+    fk = F.when(ok, F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4))
+    band = (
+        F.when(flesch.isNull(), F.lit(None).cast("string"))
+        .when(flesch >= 90, F.lit("very_easy"))
+        .when(flesch >= 60, F.lit("plain"))
+        .when(flesch >= 30, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return [
+        w.cast("int").alias("n_words"),
+        s.cast("int").alias("n_sentences"),
+        syl.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+        fk.alias("fk_grade"),
+        band.alias("band"),
+    ]

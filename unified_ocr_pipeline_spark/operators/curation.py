@@ -424,3 +424,46 @@ def pmi_bigrams(
         .limit(k)
         .select("w1", "w2", "c12", F.log("_ratio").alias("pmi"))
     )
+
+
+def curation_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage-by-stage survivor counts for the canonical web-corpus
+    curation chain (CCNet/C4/Gopher order): input → English → Gopher
+    quality gates → C4 line-cleanup leaves text → exact-dedup distinct.
+    The per-stage yield table is the first dashboard any corpus build
+    publishes (how much mass does each gate drop?) and the regression
+    alarm for gate drift between crawl batches.
+
+    Each stage is CUMULATIVE (applied to the previous stage's
+    survivors). Scale shape: every gate is a pure codegen Column over
+    the text, so the whole funnel is ONE table scan + ONE global
+    aggregate — the five counts ride the same partial-agg reduction
+    (count-distinct via expand on the md5 of survivors only); the
+    result is a single row fanned out to (stage_idx, stage, n_docs)
+    rows by posexplode. No joins, no windows, no second scan, no
+    Python."""
+    from ..functions import text as TX
+
+    t = F.col(text_col)
+    k_lang = TX.lang_guess(t) == "en"
+    k_gopher = k_lang & TX.gopher_keep(t)
+    k_c4 = k_gopher & (F.length(TX.ws_trim(TX.c4_clean(t))) > 0)
+    one = df.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(k_lang.cast("long")).alias("n1"),
+        F.sum(k_gopher.cast("long")).alias("n2"),
+        F.sum(k_c4.cast("long")).alias("n3"),
+        F.count_distinct(F.when(k_c4, F.md5(t))).alias("n4"),
+    )
+    stages = F.array(
+        F.struct(F.lit("input").alias("stage"), F.col("n0").alias("n_docs")),
+        F.struct(F.lit("lang_en").alias("stage"), F.col("n1").alias("n_docs")),
+        F.struct(F.lit("gopher").alias("stage"), F.col("n2").alias("n_docs")),
+        F.struct(F.lit("c4_nonempty").alias("stage"), F.col("n3").alias("n_docs")),
+        F.struct(F.lit("exact_dedup").alias("stage"), F.col("n4").alias("n_docs")),
+    )
+    return one.select(F.posexplode(stages).alias("stage_idx", "s")).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_docs").cast("long").alias("n_docs"),
+    )

@@ -604,3 +604,30 @@ def label_propagation(
             # subtree doubles per iteration; node-sized, cheap to pin
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def degree_histogram(edges: DataFrame, node_col: str) -> DataFrame:
+    """Degree distribution of the link graph: one row per distinct
+    in-degree (n_nodes holding it) plus the log10 pair the power-law
+    fit reads — the Broder et al. 2000 bow-tie-era crawl diagnostic
+    (web in-degree follows a power law; a crawl whose exponent drifts
+    batch-over-batch has a frontier or spam problem).
+
+    Scale shape: TWO hash-aggs back to back — (node) count then
+    (degree) count — both with map-side partial aggregation; the second
+    agg's key space is tiny (distinct degree values), so the histogram
+    relation is dashboard-sized no matter how many nodes the graph has.
+    No windows, no Python."""
+    deg = edges.groupBy(F.col(node_col).alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            "n_nodes",
+            F.round(F.log10(F.col("degree").cast("double")), 4).alias("log_degree"),
+            F.round(F.log10(F.col("n_nodes").cast("double")), 4).alias("log_n_nodes"),
+        )
+    )

@@ -71,3 +71,45 @@ def column_stats(
         ]
     )
     return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity profile: (id, n_tokens, n_types,
+    n_hapax, yule_k).
+
+    Yule's K (Yule 1944) = 10^4 * (sum_f f^2 - N) / N^2 over the
+    token-frequency spectrum — a length-robust repetitiveness measure
+    (machine-generated and template text scores high, natural prose
+    low), used alongside the Gopher gates as a cheap quality prior.
+
+    Scale shape: explode to (doc, token), ONE (doc, token) hash-agg
+    (partial map-side combine absorbs within-partition repeats — the
+    dominant mass for repetitive docs, exactly the ones K flags), then
+    ONE doc-keyed agg. All integer arithmetic until the final division;
+    round-4 float canon. No windows, no Python, no driver state."""
+    toks = df.select(
+        F.col(id_col).alias("_ld_id"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    freq = toks.groupBy("_ld_id", "token").agg(F.count("*").alias("f"))
+    n = F.sum("f")
+    s2 = F.sum(F.col("f") * F.col("f"))
+    return (
+        freq.groupBy("_ld_id")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+            F.round(
+                F.lit(10000.0)
+                * (s2 - n).cast("double")
+                / (n * n).cast("double"),
+                4,
+            ).alias("yule_k"),
+        )
+        .withColumnRenamed("_ld_id", id_col)
+    )
