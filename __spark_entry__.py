@@ -3412,6 +3412,82 @@ def _q_curation_funnel(spark, sf):
     return CUR.curation_funnel(_t(spark, sf, "documents"))
 
 
+def _q_feed_entries(spark, sf):
+    """RSS/Atom feed round trip (the crawl-discovery channel with
+    minutes-not-days freshness): build one feed per host from a formula
+    — hosts cycle RSS <item> / Atom <link href=""/> / empty — parse
+    with the tolerant tag scanner, emit per-entry rows. The oracle
+    predicts ordinal, link, published and guid straight from the
+    formula, covering both link syntaxes and the empty-feed marker."""
+    from unified_ocr_pipeline_spark.sources import feeds as FD
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    fid = did % 10
+    m = fid % 3
+    dd = F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+    link = F.concat(
+        F.lit("http://h"), fid.cast("string"), F.lit(".example.com/a/"),
+        did.cast("string"),
+    )
+    rss = F.concat(
+        F.lit("<item><title>T"), did.cast("string"), F.lit("</title><link>"),
+        link, F.lit("</link><pubDate>2024-02-"), dd,
+        F.lit("</pubDate><guid>g"), did.cast("string"), F.lit("</guid></item>"),
+    )
+    atom = F.concat(
+        F.lit("<entry><title>T"), did.cast("string"),
+        F.lit('</title><link href="'), link,
+        F.lit('"/><updated>2024-02-'), dd, F.lit("</updated><id>g"),
+        did.cast("string"), F.lit("</id></entry>"),
+    )
+    entry = F.when(m == 0, rss).when(m == 1, atom).otherwise(F.lit(""))
+    bodies = (
+        d.select(
+            fid.alias("file_id"), F.struct(did, entry.alias("e")).alias("s")
+        )
+        .groupBy("file_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "file_id",
+            F.concat(
+                F.lit('<?xml version="1.0"?><feed>'),
+                F.aggregate(
+                    "arr", F.lit(""), lambda acc, x: F.concat(acc, x["e"])
+                ),
+                F.lit("</feed>"),
+            ).alias("body"),
+        )
+    )
+    return FD.feed_entries(bodies, "file_id", "body")
+
+
+def _q_component_sizes(spark, sf):
+    """Cluster-size histogram over the planted-copy MinHash components
+    (the dedup audit artifact: how many pairs/triples/mega-clusters did
+    LSH find? a fat tail means a boilerplate flood). Components via
+    pointer-jumping CC, then two tiny hash-aggs; the oracle replays the
+    recursive-CTE reachability and both counts."""
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    d = base.where(F.col("doc_id") < 50)
+    copies = base.where(F.col("doc_id") < 5)
+    corpus = d.unionByName(
+        copies.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        copies.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    sigs = DD.minhash_signatures(corpus, "doc_id", "text", num_hashes=32)
+    pairs = DD.minhash_lsh_pairs(sigs, num_hashes=32, num_bands=8, threshold=0.5)
+    comp = CC.dedup_clusters(corpus, pairs, "doc_id")
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("csize"))
+        .groupBy("csize")
+        .agg(F.count("*").cast("long").alias("n_components"))
+        .select(F.col("csize").cast("long").alias("csize"), "n_components")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3576,6 +3652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yule_k": _q_yule_k,
         "degree_dist": _q_degree_dist,
         "curation_funnel": _q_curation_funnel,
+        "feed_entries": _q_feed_entries,
+        "component_sizes": _q_component_sizes,
     }
 
 
@@ -7368,4 +7446,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT 4, 'exact_dedup', CAST(count(DISTINCT md5(text)) AS BIGINT)
             FROM k WHERE k_c42
         """,
+        # feed_entries: predict every parsed field from the generative
+        # formula — hosts cycle RSS <item> (m=0) / Atom href-link (m=1)
+        # / empty feed (m=2); ordinal = rank within host by doc_id.
+        "feed_entries": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 10 AS file_id,
+                     (doc_id % 10) % 3 AS m
+              FROM documents)
+            SELECT file_id,
+                   CASE WHEN m = 0 THEN 'rss' ELSE 'atom' END AS kind,
+                   CAST(row_number() OVER (PARTITION BY file_id
+                                           ORDER BY doc_id) - 1 AS INT) AS ord,
+                   'T' || CAST(doc_id AS VARCHAR) AS title,
+                   'http://h' || CAST(file_id AS VARCHAR)
+                     || '.example.com/a/' || CAST(doc_id AS VARCHAR) AS link,
+                   '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     AS published,
+                   'g' || CAST(doc_id AS VARCHAR) AS entry_id
+            FROM d WHERE m IN (0, 1)
+            UNION ALL
+            SELECT DISTINCT file_id, 'empty', CAST(NULL AS INT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM d WHERE m = 2
+        """,
+        # component_sizes: the dedup_clusters reachability oracle, then
+        # component -> size -> histogram (two counts).
+        "component_sizes": (
+            "WITH comp AS (" + _dedup_clusters_oracle() + """),
+            s AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+            SELECT CAST(csize AS BIGINT) AS csize,
+                   CAST(count(*) AS BIGINT) AS n_components
+            FROM s GROUP BY csize
+        """
+        ),
     }

@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "yule_k",
     "degree_dist",
     "curation_funnel",
+    "feed_entries",
+    "component_sizes",
     "column_stats",
     "zorder_key",
     "cluster_subsample",
