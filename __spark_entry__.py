@@ -3488,6 +3488,53 @@ def _q_component_sizes(spark, sf):
     )
 
 
+def _q_date_mentions(spark, sf):
+    """Publication-date mining: bodies carry a formula date in one of
+    three formats (ISO / US-slash / long-form month name), one class
+    planted invalid (2024-99-99) — Spark must extract with the regex
+    AND calendar-validate with try_to_date (ANSI-safe NULL, not a job
+    abort). The oracle predicts mention/format/normalized date from the
+    formula, including the invalid-ISO NULL."""
+    from unified_ocr_pipeline_spark.functions import dates as DT
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    m = did % 3
+    dd = (did % 28) + 1
+    mention = (
+        F.when(
+            (m == 0) & (did % 5 == 0), F.lit("2024-99-99")
+        )
+        .when(m == 0, F.concat(F.lit("2024-03-"), F.lpad(dd.cast("string"), 2, "0")))
+        .when(m == 1, F.concat(F.lit("03/"), F.lpad(dd.cast("string"), 2, "0"), F.lit("/2024")))
+        .otherwise(F.concat(F.lit("March "), dd.cast("string"), F.lit(", 2024")))
+    )
+    body = F.concat(F.lit("Published on "), mention, F.lit(" by staff."))
+    cols = DT.date_mention_cols(body)
+    # date rendered as ISO string at the comparison boundary: pandas
+    # materializes a NULL DATE as NaT on the DuckDB side but None on
+    # the Spark side, which the value-hash canon treats differently
+    return d.select(
+        "doc_id", cols[0], cols[1], cols[2].cast("string").alias("date_norm")
+    )
+
+
+def _q_psi_drift(spark, sf):
+    """Population-Stability-Index drift between two crawl batches (even
+    doc_ids = reference; odd doc_ids truncated to n_chars <= 300 =
+    drifted current): fixed-width histogram per side (one scan each),
+    tiny full-outer join, one PSI row per column. The oracle replays
+    bucket arithmetic, the eps floor, and the (p-q)·ln(p/q) sum."""
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    d = _t(spark, sf, "documents")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    cur = d.where((F.col("doc_id") % 2 == 1) & (F.col("n_chars") <= 300))
+    return ST.psi_drift(
+        ref, cur, ["n_chars"], {"n_chars": (0, 600)}, n_buckets=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3654,6 +3701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "feed_entries": _q_feed_entries,
         "component_sizes": _q_component_sizes,
+        "date_mentions": _q_date_mentions,
+        "psi_drift": _q_psi_drift,
     }
 
 
@@ -7473,6 +7522,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         # component_sizes: the dedup_clusters reachability oracle, then
         # component -> size -> histogram (two counts).
+        # date_mentions: predict mention/format/date from the class
+        # formula; the invalid-ISO class (m=0, doc_id%5=0) keeps its
+        # mention but normalizes to NULL (calendar validation).
+        "date_mentions": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 3 AS m, doc_id % 28 + 1 AS dd
+              FROM documents)
+            SELECT doc_id,
+                   CASE
+                     WHEN m = 0 AND doc_id % 5 = 0 THEN '2024-99-99'
+                     WHEN m = 0 THEN '2024-03-' || lpad(CAST(dd AS VARCHAR), 2, '0')
+                     WHEN m = 1 THEN '03/' || lpad(CAST(dd AS VARCHAR), 2, '0') || '/2024'
+                     ELSE 'March ' || CAST(dd AS VARCHAR) || ', 2024'
+                   END AS mention,
+                   CASE WHEN m = 0 THEN 'iso'
+                        WHEN m = 1 THEN 'us'
+                        ELSE 'long' END AS mention_fmt,
+                   CASE WHEN m = 0 AND doc_id % 5 = 0 THEN CAST(NULL AS VARCHAR)
+                        ELSE CAST(make_date(2024, 3, CAST(dd AS INT)) AS VARCHAR)
+                   END AS date_norm
+            FROM d
+        """,
+        # psi_drift: replay the fixed-width bucket arithmetic (same
+        # ((x-lo)/width)*nb float-op order), the occupied-bucket
+        # full-outer join, the 1e-6 share floor, and the PSI sum.
+        "psi_drift": """
+            WITH ref AS (
+              SELECT least(9, greatest(0, CAST(floor(
+                       (CAST(n_chars AS DOUBLE) - 0.0) / 600.0 * 10) AS INT)))
+                       AS bucket, count(*) AS n_ref
+              FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+            cur AS (
+              SELECT least(9, greatest(0, CAST(floor(
+                       (CAST(n_chars AS DOUBLE) - 0.0) / 600.0 * 10) AS INT)))
+                       AS bucket, count(*) AS n_cur
+              FROM documents WHERE doc_id % 2 = 1 AND n_chars <= 300
+              GROUP BY 1),
+            j AS (
+              SELECT coalesce(ref.bucket, cur.bucket) AS bucket,
+                     coalesce(n_ref, 0) AS n_ref,
+                     coalesce(n_cur, 0) AS n_cur
+              FROM ref FULL OUTER JOIN cur ON ref.bucket = cur.bucket),
+            t AS (
+              SELECT bucket, n_ref, n_cur,
+                     greatest(1e-6, n_ref / (SELECT sum(n_ref) FROM j)) AS p,
+                     greatest(1e-6, n_cur / (SELECT sum(n_cur) FROM j)) AS q
+              FROM j)
+            SELECT 'n_chars' AS col,
+                   CAST(sum(n_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(n_cur) AS BIGINT) AS n_cur,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM t
+        """,
         "component_sizes": (
             "WITH comp AS (" + _dedup_clusters_oracle() + """),
             s AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)

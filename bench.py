@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "curation_funnel",
     "feed_entries",
     "component_sizes",
+    "date_mentions",
+    "psi_drift",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -112,4 +112,79 @@ def lexical_diversity(
             ).alias("yule_k"),
         )
         .withColumnRenamed("_ld_id", id_col)
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: Sequence[str],
+    bounds: dict,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per column between a reference batch
+    and a current batch: PSI = sum_buckets (p - q) * ln(p / q) over
+    fixed-width buckets, shares floored at ``eps`` so empty buckets
+    contribute finitely. The standard crawl-batch drift alarm
+    (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted) — column
+    stats say what a batch IS, PSI says how far it MOVED.
+
+    ``bounds`` maps column -> (lo, hi); values clamp into
+    [0, n_buckets-1] so outliers land in the edge buckets instead of
+    vanishing.
+
+    Scale shape: each side is ONE scan (per-row array of (col, bucket)
+    structs, exploded — same constant-scan trick as column_stats) into
+    a (col, bucket) hash-agg; the two tiny histograms full-outer join
+    on (col, bucket) and one final col-keyed agg emits the PSI row.
+    Histogram size = len(cols) * n_buckets regardless of row count."""
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        structs = []
+        for c in cols:
+            lo, hi = bounds[c]
+            frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+                float(hi - lo)
+            )
+            b = F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(F.lit(0), F.floor(frac * n_buckets).cast("int")),
+            )
+            structs.append(
+                F.struct(F.lit(c).alias("col"), b.alias("bucket"))
+            )
+        return (
+            df.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.col", "s.bucket")
+            .groupBy("col", "bucket")
+            .agg(F.count("*").alias(out))
+        )
+
+    r = hist(ref, "n_ref")
+    c = hist(cur, "n_cur")
+    j = r.join(c, ["col", "bucket"], "full_outer").select(
+        "col",
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = Window.partitionBy("col")
+    p = F.greatest(
+        F.lit(eps), F.col("n_ref") / F.sum("n_ref").over(tot)
+    )
+    q = F.greatest(
+        F.lit(eps), F.col("n_cur") / F.sum("n_cur").over(tot)
+    )
+    per_bucket = j.select(
+        "col", "bucket", "n_ref", "n_cur",
+        ((p - q) * F.log(p / q)).alias("_contrib"),
+    )
+    return (
+        per_bucket.groupBy("col")
+        .agg(
+            F.sum("n_ref").cast("long").alias("n_ref"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+            F.round(F.sum("_contrib"), 6).alias("psi"),
+        )
     )
