@@ -3535,6 +3535,56 @@ def _q_psi_drift(spark, sf):
     )
 
 
+def _q_strand_pairs(spark, sf):
+    """STRAND URL-structure bitext candidates (Resnik & Smith 2003):
+    urls synthesized as http://site{g}.example.com/{lang}/p{k} with the
+    lang cycling en/fr/de — pages sharing (host, lang-stripped path)
+    across languages pair up. One key-keyed join after per-(key,lang)
+    min-url collapse; the oracle replays the strip regex and the
+    pivot-vs-rest join."""
+    from unified_ocr_pipeline_spark.operators import bitext as BT
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    lang = (
+        F.when(did % 3 == 0, F.lit("en"))
+        .when(did % 3 == 1, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("http://site"), (did % 7).cast("string"),
+            F.lit(".example.com/"), lang, F.lit("/p"),
+            (did % 40).cast("string"),
+        ).alias("url"),
+        lang.alias("lang"),
+    )
+    return BT.strand_url_pairs(pages, "url", "lang", pivot_lang="en")
+
+
+def _q_luhn_cards(spark, sf):
+    """Payment-card scrub with ISO 7812 Luhn validation: bodies carry a
+    16-digit formula number (~10% pass the checksum) — the engine must
+    count candidates, validate the check digit with pure array
+    arithmetic, and redact ONLY valid numbers (bare-regex scrubs drown
+    in order-id false positives). The oracle recomputes the Luhn sum
+    digit-by-digit in SQL over the same candidate."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    num = F.concat(
+        F.lpad((did * 7919 % 1000000000000000).cast("string"), 15, "0"),
+        (did % 10).cast("string"),
+    )
+    body = F.concat(F.lit("Order ref "), num, F.lit(" was charged."))
+    n_cand, n_valid = PII.card_mentions(body)
+    return d.select(
+        "doc_id",
+        n_cand.alias("n_candidates"),
+        n_valid.alias("n_valid"),
+        PII.redact_cards(body).alias("redacted"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3703,6 +3753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "date_mentions": _q_date_mentions,
         "psi_drift": _q_psi_drift,
+        "strand_pairs": _q_strand_pairs,
+        "luhn_cards": _q_luhn_cards,
     }
 
 
@@ -7574,6 +7626,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_cur) AS BIGINT) AS n_cur,
                    round(sum((p - q) * ln(p / q)), 6) AS psi
             FROM t
+        """,
+        # strand_pairs: replay the lang-strip (host, generic path) key,
+        # the per-(key,lang) min-url collapse, and the pivot join.
+        "strand_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'en'
+                                     WHEN 1 THEN 'fr'
+                                     ELSE 'de' END AS lang,
+                     doc_id % 7 AS g, doc_id % 40 AS k
+              FROM documents),
+            u AS (
+              SELECT 'site' || CAST(g AS VARCHAR) || '.example.com' AS host,
+                     '/p' || CAST(k AS VARCHAR) AS generic_path,
+                     lang,
+                     'http://site' || CAST(g AS VARCHAR) || '.example.com/'
+                       || lang || '/p' || CAST(k AS VARCHAR) AS url
+              FROM d),
+            keyed AS (
+              SELECT host, generic_path, lang, min(url) AS url
+              FROM u GROUP BY 1, 2, 3)
+            SELECT s.host, s.generic_path, s.url AS src_url,
+                   t.url AS dst_url, t.lang AS dst_lang
+            FROM keyed s JOIN keyed t
+              ON s.host = t.host AND s.generic_path = t.generic_path
+            WHERE s.lang = 'en' AND t.lang <> 'en'
+        """,
+        # luhn_cards: recompute the ISO 7812 checksum digit-by-digit in
+        # SQL (1-based substring from the right, double every second,
+        # subtract 9 over 9) over the same formula candidate.
+        "luhn_cards": """
+            WITH d AS (
+              SELECT doc_id,
+                     lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR),
+                          15, '0')
+                       || CAST(doc_id % 10 AS VARCHAR) AS num
+              FROM documents),
+            v AS (
+              SELECT doc_id, num,
+                     (list_sum(list_transform(generate_series(1, 16), i ->
+                        CASE WHEN (i - 1) % 2 = 1 THEN
+                          CASE WHEN CAST(num[17 - i] AS INT) * 2 > 9
+                               THEN CAST(num[17 - i] AS INT) * 2 - 9
+                               ELSE CAST(num[17 - i] AS INT) * 2 END
+                        ELSE CAST(num[17 - i] AS INT) END)) % 10 = 0) AS ok
+              FROM d)
+            SELECT doc_id,
+                   1 AS n_candidates,
+                   CASE WHEN ok THEN 1 ELSE 0 END AS n_valid,
+                   'Order ref '
+                     || CASE WHEN ok THEN '[CARD]' ELSE num END
+                     || ' was charged.' AS redacted
+            FROM v
         """,
         "component_sizes": (
             "WITH comp AS (" + _dedup_clusters_oracle() + """),

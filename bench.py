@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "component_sizes",
     "date_mentions",
     "psi_drift",
+    "strand_pairs",
+    "luhn_cards",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

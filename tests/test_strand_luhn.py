@@ -1,0 +1,100 @@
+"""STRAND URL-pair bitext candidates and Luhn-validated card redaction."""
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# strand_url_pairs
+# ---------------------------------------------------------------------------
+
+def _pairs(spark, rows):
+    from unified_ocr_pipeline_spark.operators import bitext as BT
+
+    df = spark.createDataFrame(rows, "url string, lang string")
+    return BT.strand_url_pairs(df, "url", "lang").collect()
+
+
+def test_strand_pairs_language_mirror(spark):
+    got = _pairs(
+        spark,
+        [
+            ("http://h.com/en/about", "en"),
+            ("http://h.com/fr/about", "fr"),
+            ("http://h.com/de/about", "de"),
+            ("http://h.com/en/only-english", "en"),
+            ("http://other.com/fr/about", "fr"),  # different host: no pair
+        ],
+    )
+    dst = {(r["dst_lang"], r["dst_url"]) for r in got}
+    assert dst == {
+        ("fr", "http://h.com/fr/about"),
+        ("de", "http://h.com/de/about"),
+    }
+    assert all(r["src_url"] == "http://h.com/en/about" for r in got)
+    assert all(r["generic_path"] == "/about" for r in got)
+
+
+def test_strand_template_flood_collapses(spark):
+    # 3 duplicate fr urls on the same key must yield ONE pair (min-url
+    # collapse), not three
+    rows = [("http://h.com/en/x", "en")] + [
+        (f"http://h.com/fr/x?v={i}", "fr") for i in range(3)
+    ]
+    # query strings differ but path is the same after strip
+    got = _pairs(spark, rows)
+    assert len(got) == 1
+    assert got[0]["dst_url"] == "http://h.com/fr/x?v=0"
+
+
+def test_strand_no_lang_segment_no_false_pair(spark):
+    # paths without a recognizable lang segment stay distinct keys
+    got = _pairs(
+        spark,
+        [("http://h.com/press/2024", "en"), ("http://h.com/presse/2024", "fr")],
+    )
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# Luhn
+# ---------------------------------------------------------------------------
+
+def _luhn(spark, values):
+    from unified_ocr_pipeline_spark.functions.pii import luhn_valid
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    return [r["ok"] for r in df.select(luhn_valid(F.col("s")).alias("ok")).collect()]
+
+
+def test_luhn_known_vectors(spark):
+    # canonical test numbers: Visa/Mastercard/Amex test vectors are
+    # Luhn-valid; flipping one digit breaks them
+    assert _luhn(
+        spark,
+        ["4111111111111111", "5500005555555559", "378282246310005",
+         "4111111111111112", "123456789012"],
+    ) == [True, True, True, False, False]  # last: too short (12 digits)
+
+
+def test_card_redaction_only_valid(spark):
+    from unified_ocr_pipeline_spark.functions import pii as PII
+
+    df = spark.createDataFrame(
+        [(1, "pay 4111111111111111 now; order 4111111111111112 shipped")],
+        "id int, t string",
+    )
+    n_cand, n_valid = PII.card_mentions(F.col("t"))
+    r = df.select(
+        n_cand.alias("nc"), n_valid.alias("nv"),
+        PII.redact_cards(F.col("t")).alias("red"),
+    ).first()
+    assert (r["nc"], r["nv"]) == (2, 1)
+    assert r["red"] == "pay [CARD] now; order 4111111111111112 shipped"
+
+
+def test_card_no_candidates_text_unchanged(spark):
+    from unified_ocr_pipeline_spark.functions import pii as PII
+
+    df = spark.createDataFrame([(1, "no numbers at all")], "id int, t string")
+    r = df.select(PII.redact_cards(F.col("t")).alias("red")).first()
+    assert r["red"] == "no numbers at all"

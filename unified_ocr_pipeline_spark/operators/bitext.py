@@ -135,3 +135,51 @@ def bitext_mine(
         )
         .where(F.col("margin") >= threshold)
     )
+
+
+def strand_url_pairs(
+    df: DataFrame,
+    url_col: str,
+    lang_col: str,
+    pivot_lang: str = "en",
+) -> DataFrame:
+    """STRAND-style bitext candidate pairs from URL structure (Resnik &
+    Smith 2003): two pages are translation candidates when their urls
+    differ ONLY by a language path segment — http://h/en/p7 vs
+    http://h/fr/p7. The structural complement to the embedding-margin
+    miner (``mine_bitext``): zero model cost, high precision on
+    language-mirrored sites, the standard first-pass candidate
+    generator real crawl bitext pipelines run before any scoring.
+
+    The language segment is stripped with one Java∩RE2 regexp_replace
+    (first path segment of 2-3 lowercase letters); the remainder is the
+    alignment key. Pairing = pivot-language side joined to every other
+    language on (host, generic path) — ONE key-keyed shuffle join, no
+    cross join; per-(key, lang) duplicates are collapsed to the
+    min-url representative first, so a template flood cannot square
+    itself through the join.
+
+    Returns (host, generic_path, src_url, dst_url, dst_lang)."""
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+([^?#]*)", 1)
+    generic = F.regexp_replace(path, r"^/[a-z]{2,3}(/|$)", "/")
+    keyed = (
+        df.select(
+            host.alias("host"),
+            generic.alias("generic_path"),
+            F.col(lang_col).alias("lang"),
+            F.col(url_col).alias("url"),
+        )
+        .groupBy("host", "generic_path", "lang")
+        .agg(F.min("url").alias("url"))
+    )
+    src = keyed.where(F.col("lang") == pivot_lang).select(
+        "host", "generic_path", F.col("url").alias("src_url")
+    )
+    dst = keyed.where(F.col("lang") != pivot_lang).select(
+        "host",
+        "generic_path",
+        F.col("url").alias("dst_url"),
+        F.col("lang").alias("dst_lang"),
+    )
+    return src.join(dst, ["host", "generic_path"])
