@@ -3585,6 +3585,29 @@ def _q_luhn_cards(spark, sf):
     )
 
 
+def _q_char_entropy(spark, sf):
+    """Shannon character entropy per document (gibberish detector —
+    base64/mash runs high, padding spam runs low): explode to chars,
+    ONE alphabet-bounded (doc,char) hash-agg, ONE doc agg via the
+    ln(N) - Σc·ln(c)/N identity. The oracle replays tokenization and
+    the identity, banding on the rounded value."""
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    return ST.char_entropy(_t(spark, sf, "documents"))
+
+
+def _q_mad_outliers(spark, sf):
+    """Robust per-source page-size outliers via median/MAD (50%
+    breakdown point — a few megapage outliers can't mask themselves by
+    inflating a stddev): two group aggregates with exact interpolated
+    percentile, broadcast back. The oracle replays quantile_cont and
+    the k·MAD flag."""
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return ST.mad_outliers(d, "source", "n_chars", k=3.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3755,6 +3778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "strand_pairs": _q_strand_pairs,
         "luhn_cards": _q_luhn_cards,
+        "char_entropy": _q_char_entropy,
+        "mad_outliers": _q_mad_outliers,
     }
 
 
@@ -7679,6 +7704,61 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN ok THEN '[CARD]' ELSE num END
                      || ' was charged.' AS redacted
             FROM v
+        """,
+        # char_entropy: replay chars (empty-regex split of the raw text), the (doc,char) counts, and the ln(N) - sum(c*ln(c))/N
+        # identity with the same round-6 canon; band on the rounded h.
+        "char_entropy": r"""
+            WITH chars AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text, '')) AS ch
+              FROM documents),
+            freq AS (
+              SELECT doc_id, ch, count(*) AS c
+              FROM chars WHERE ch <> '' GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_chars_counted,
+                     CAST(count(*) AS INT) AS n_unique_chars,
+                     sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       AS clogc
+              FROM freq GROUP BY 1),
+            h AS (
+              SELECT doc_id, n_chars_counted, n_unique_chars,
+                     round(ln(CAST(n_chars_counted AS DOUBLE))
+                           - clogc / CAST(n_chars_counted AS DOUBLE), 6)
+                       AS entropy
+              FROM agg)
+            SELECT doc_id, n_chars_counted, n_unique_chars, entropy,
+                   CASE WHEN entropy < 2.0 THEN 'low'
+                        WHEN entropy > 3.8 THEN 'high'
+                        ELSE 'ok' END AS band
+            FROM h
+        """,
+        # mad_outliers: replay exact interpolated percentile
+        # (quantile_cont == Spark's percentile) for group median and
+        # MAD, then the k*MAD flag with the zero-MAD fallback.
+        "mad_outliers": """
+            WITH med AS (
+              SELECT source,
+                     quantile_cont(CAST(n_chars AS DOUBLE), 0.5)
+                       AS group_median
+              FROM documents GROUP BY 1),
+            wm AS (
+              SELECT d.doc_id, d.source, d.n_chars, m.group_median
+              FROM documents d JOIN med m USING (source)),
+            mad AS (
+              SELECT source,
+                     quantile_cont(abs(CAST(n_chars AS DOUBLE)
+                                       - group_median), 0.5) AS group_mad
+              FROM wm GROUP BY 1)
+            SELECT wm.doc_id, wm.source, wm.n_chars,
+                   wm.group_median, mad.group_mad,
+                   CASE WHEN mad.group_mad > 0
+                        THEN abs(CAST(wm.n_chars AS DOUBLE)
+                                 - wm.group_median) > 3.0 * mad.group_mad
+                        ELSE abs(CAST(wm.n_chars AS DOUBLE)
+                                 - wm.group_median) > 0 END AS is_outlier
+            FROM wm JOIN mad USING (source)
         """,
         "component_sizes": (
             "WITH comp AS (" + _dedup_clusters_oracle() + """),

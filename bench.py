@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "psi_drift",
     "strand_pairs",
     "luhn_cards",
+    "char_entropy",
+    "mad_outliers",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -188,3 +188,95 @@ def psi_drift(
             F.round(F.sum("_contrib"), 6).alias("psi"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the raw character
+    distribution (case NOT folded — all-caps shouting and base64 case
+    mixing are themselves signal) — the classic gibberish detector: keyboard mash and
+    base64 blobs run HIGH (toward ln(alphabet)), repeated-padding spam
+    runs LOW, natural language sits in a narrow band. Cheap complement
+    to the word-level Gopher gates for text with no real words to gate
+    on.
+
+    Returns (id, n_chars_counted, n_unique_chars, entropy, band) with
+    band cut on the ROUNDED entropy (low < 2.0 <= ok <= 3.8 < high —
+    natural language sits ~2.9-3.1 nats, full base64 at ~4.16) so
+    a SQL replay can't flip a boundary row on an ulp.
+
+    Scale shape: same as lexical_diversity one level down — explode to
+    (doc, char), ONE (doc, char) hash-agg whose map-side combine
+    absorbs nearly everything (alphabet-bounded key space), then ONE
+    doc agg. No windows, no Python."""
+    chars = df.select(
+        F.col(id_col).alias("_ce_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("_ce_id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    # entropy needs per-doc totals: aggregate c*ln(c) and N in ONE agg,
+    # then H = ln(N) - sum(c*ln(c))/N  (algebraic identity — avoids a
+    # second shuffle to attach N to each (doc, char) row)
+    agg = freq.groupBy("_ce_id").agg(
+        n.cast("long").alias("n_chars_counted"),
+        F.count("*").cast("int").alias("n_unique_chars"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("_clogc"),
+    )
+    h = F.round(
+        F.log(F.col("n_chars_counted").cast("double"))
+        - F.col("_clogc") / F.col("n_chars_counted").cast("double"),
+        6,
+    )
+    return agg.select(
+        F.col("_ce_id").alias(id_col),
+        "n_chars_counted",
+        "n_unique_chars",
+        h.alias("entropy"),
+        F.when(h < 2.0, F.lit("low"))
+        .when(h > 3.8, F.lit("high"))
+        .otherwise(F.lit("ok"))
+        .alias("band"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags: |x - median| > k * MAD (median
+    absolute deviation). The mean/stddev z-score breaks exactly when
+    needed most — a few huge outliers inflate the stddev until nothing
+    flags; median/MAD have a 50% breakdown point (Hampel). The
+    crawl-ops use: per-host page-size outliers (truncations, payload
+    injection) that survive a global filter because hosts differ 100×
+    in typical size.
+
+    Returns df's columns plus (group_median, group_mad, is_outlier).
+    A zero-MAD group (>= half the values identical) flags only values
+    strictly different from the median.
+
+    Scale shape: TWO group-keyed aggregates (median, then MAD over
+    |x - med|) joined back — group stat relations are host-sized, so
+    both joins broadcast; exact interpolated percentile on both sides
+    keeps it replayable in SQL."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(0.5)).alias("group_median")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile(
+            F.abs(v - F.col("group_median")), F.lit(0.5)
+        ).alias("group_mad")
+    )
+    out = with_med.join(F.broadcast(mad), group_col)
+    dev = F.abs(v - F.col("group_median"))
+    return out.withColumn(
+        "is_outlier",
+        F.when(F.col("group_mad") > 0, dev > F.lit(k) * F.col("group_mad"))
+        .otherwise(dev > 0),
+    )
