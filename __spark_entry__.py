@@ -3608,6 +3608,62 @@ def _q_mad_outliers(spark, sf):
     return ST.mad_outliers(d, "source", "n_chars", k=3.0)
 
 
+def _q_hreflang_graph(spark, sf):
+    """Declared translation graph: heads carry hreflang alternates by
+    class (m=0 three langs, m=1 en + x-default, m=2 none) — parsed with
+    the real attribute-anchored regex fan-out on scan partitions. The
+    oracle predicts every (url, ord, hreflang, alt_url) edge from the
+    formula, m=2 pages contributing nothing."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    m = did % 3
+    g = (did % 7).cast("string")
+    sid = did.cast("string")
+
+    def link(lang):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'), F.lit(lang),
+            F.lit('" href="http://s'), g, F.lit(".example.com/"),
+            F.lit(lang), F.lit("/p"), sid, F.lit('"/>'),
+        )
+
+    head = (
+        F.when(m == 0, F.concat(link("en"), link("fr"), link("de")))
+        .when(m == 1, F.concat(link("en"), link("x-default")))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        F.concat(F.lit("http://s"), g, F.lit(".example.com/p"), sid).alias("url"),
+        F.concat(F.lit("<html><head>"), head, F.lit("</head><body/></html>")).alias("html"),
+    )
+    return MD.hreflang_graph(pages)
+
+
+def _q_og_cards(spark, sf):
+    """OpenGraph card extraction: og:title always, og:type only on even
+    ids, og:image never — four codegen regexp_extracts with the
+    empty→NULL normalization. The oracle predicts each column per
+    class."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    url = F.concat(F.lit("http://s"), (did % 7).cast("string"), F.lit(".example.com/p"), sid)
+    og_type = F.when(
+        did % 2 == 0, F.lit('<meta property="og:type" content="article"/>')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="T'), sid,
+        F.lit('"/>'), og_type,
+        F.lit('<meta property="og:url" content="'), url,
+        F.lit('"/></head><body/></html>'),
+    )
+    return MD.og_cards(d.select(url.alias("url"), html.alias("html")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3780,6 +3836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_cards": _q_luhn_cards,
         "char_entropy": _q_char_entropy,
         "mad_outliers": _q_mad_outliers,
+        "hreflang_graph": _q_hreflang_graph,
+        "og_cards": _q_og_cards,
     }
 
 
@@ -7759,6 +7817,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE abs(CAST(wm.n_chars AS DOUBLE)
                                  - wm.group_median) > 0 END AS is_outlier
             FROM wm JOIN mad USING (source)
+        """,
+        # hreflang_graph: predict every edge from the class formula —
+        # m=0 ord 0/1/2 = en/fr/de, m=1 ord 0/1 = en/x-default, m=2
+        # none.
+        "hreflang_graph": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 3 AS m,
+                     CAST(doc_id % 7 AS VARCHAR) AS g,
+                     CAST(doc_id AS VARCHAR) AS sid
+              FROM documents),
+            e AS (
+              SELECT doc_id, g, sid, o.i AS ord,
+                     CASE WHEN m = 1 AND o.i = 1 THEN 'x-default'
+                          WHEN o.i = 0 THEN 'en'
+                          WHEN o.i = 1 THEN 'fr'
+                          ELSE 'de' END AS hreflang
+              FROM d,
+                   LATERAL unnest(generate_series(0,
+                     CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE -1 END))
+                     AS o(i)
+              WHERE m < 2)
+            SELECT 'http://s' || g || '.example.com/p' || sid AS url,
+                   CAST(ord AS INT) AS ord,
+                   hreflang,
+                   'http://s' || g || '.example.com/' || hreflang
+                     || '/p' || sid AS alt_url
+            FROM e
+        """,
+        # og_cards: predict the four card columns per parity class.
+        "og_cards": """
+            SELECT 'http://s' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                   'T' || CAST(doc_id AS VARCHAR) AS og_title,
+                   CASE WHEN doc_id % 2 = 0 THEN 'article' END AS og_type,
+                   CAST(NULL AS VARCHAR) AS og_image,
+                   'http://s' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.com/p' || CAST(doc_id AS VARCHAR) AS og_url
+            FROM documents
         """,
         "component_sizes": (
             "WITH comp AS (" + _dedup_clusters_oracle() + """),

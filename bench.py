@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "luhn_cards",
     "char_entropy",
     "mad_outliers",
+    "hreflang_graph",
+    "og_cards",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -1,0 +1,65 @@
+"""hreflang translation-graph and OpenGraph card extraction."""
+
+from pyspark.sql import functions as F
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_hreflang_edges(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = (
+        '<html><head>'
+        '<link rel="alternate" hreflang="en" href="http://h/en/x"/>'
+        '<link rel="alternate" hreflang="fr" href="http://h/fr/x"/>'
+        '<link rel="alternate" hreflang="x-default" href="http://h/x"/>'
+        '<link rel="stylesheet" href="http://h/css"/>'
+        '</head></html>'
+    )
+    got = MD.hreflang_graph(_pages(spark, [("http://h/x", html)])).collect()
+    edges = {(r["ord"], r["hreflang"], r["alt_url"]) for r in got}
+    assert edges == {
+        (0, "en", "http://h/en/x"),
+        (1, "fr", "http://h/fr/x"),
+        (2, "x-default", "http://h/x"),
+    }
+
+
+def test_hreflang_case_insensitive_and_no_tags(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    rows = [
+        ("u1", '<LINK REL="alternate" HREFLANG="de" HREF="http://h/de"/>'),
+        ("u2", "<html><head></head></html>"),
+    ]
+    got = MD.hreflang_graph(_pages(spark, rows)).collect()
+    assert [(r["url"], r["hreflang"], r["alt_url"]) for r in got] == [
+        ("u1", "de", "http://h/de")
+    ]
+
+
+def test_og_cards_fields_and_nulls(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = (
+        '<head><meta property="og:title" content="Hello"/>'
+        '<meta property="og:image" content="http://h/img.png"/>'
+        '<meta property="og:url" content="http://h/page"/></head>'
+    )
+    r = MD.og_cards(_pages(spark, [("http://h/page", html)])).first()
+    assert r["og_title"] == "Hello"
+    assert r["og_image"] == "http://h/img.png"
+    assert r["og_type"] is None  # absent property -> NULL, not ''
+    assert r["og_url"] == "http://h/page"
+
+
+def test_og_cards_no_card(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    r = MD.og_cards(_pages(spark, [("u", "<html/>")])).first()
+    assert (
+        r["og_title"] is None and r["og_type"] is None
+        and r["og_image"] is None and r["og_url"] is None
+    )

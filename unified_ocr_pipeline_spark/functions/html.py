@@ -126,3 +126,51 @@ def cell_text(cell: Column) -> Column:
     trimmed. Same normalization recipe as the metadata kernel's titles."""
     stripped = F.regexp_replace(cell, r"(?s)<[^>]*>", " ")
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternates + OpenGraph meta (multilingual site maps, social cards)
+# ---------------------------------------------------------------------------
+# <link rel="alternate" hreflang="fr" href="..."/> is how sites DECLARE
+# their translation graph (Google's multilingual indexing contract) —
+# the metadata-side complement to STRAND's URL-structure inference; a
+# page's hreflang set plus its og:* card (title/type/image/url) is the
+# standard per-page head profile a crawl warehouse materializes.
+# Attribute order is not guaranteed, so each regex anchors on ONE
+# attribute pair per pass (rel+hreflang, then href), lazy and
+# case-insensitive, in the Java∩RE2 dialect.
+
+_HREFLANG_TAG_RE = (
+    r'(?i)<link\b[^>]*rel="alternate"[^>]*hreflang="([^"]*)"[^>]*'
+    r'href="([^"]*)"[^>]*/?>'
+)
+
+
+def hreflang_tags(html: Column) -> Column:
+    """Array of raw ``<link rel="alternate" hreflang=...>`` tags (the
+    rel→hreflang→href attribute order, the overwhelmingly dominant
+    serialization)."""
+    return F.regexp_extract_all(html, F.lit(_HREFLANG_TAG_RE), F.lit(0))
+
+
+def hreflang_lang(tag: Column) -> Column:
+    return F.regexp_extract(tag, _HREFLANG_TAG_RE, 1)
+
+
+def hreflang_href(tag: Column) -> Column:
+    return F.regexp_extract(tag, _HREFLANG_TAG_RE, 2)
+
+
+def _og_re(prop: str) -> str:
+    return rf'(?i)<meta\b[^>]*property="og:{prop}"[^>]*content="([^"]*)"'
+
+
+def og_meta(html: Column) -> list[Column]:
+    """(og_title, og_type, og_image, og_url) from the OpenGraph card;
+    absent properties are NULL (empty-string match → NULL, so "no tag"
+    and "no content" read the same downstream)."""
+    cols = []
+    for prop in ("title", "type", "image", "url"):
+        v = F.regexp_extract(html, _og_re(prop), 1)
+        cols.append(F.when(v != "", v).alias(f"og_{prop}"))
+    return cols

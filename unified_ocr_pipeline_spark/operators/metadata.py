@@ -219,3 +219,40 @@ def template_profile(
             "template_share"
         ),
     )
+
+
+def hreflang_graph(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per declared translation edge: (url, hreflang, alt_url)
+    from ``<link rel="alternate" hreflang>`` head tags — the
+    DECLARED multilingual graph (sites publishing their own translation
+    map per Google's indexing contract), complementing the INFERRED
+    STRAND URL pairs. Pure JVM posexplode fan-out on scan partitions —
+    raw HTML never crosses an exchange; x-default rows kept (they name
+    the fallback page)."""
+    from ..functions import html as H
+
+    tags = H.hreflang_tags(F.col(html_col))
+    exploded = pages.select(
+        F.col(url_col).alias("url"), F.posexplode(tags).alias("ord", "tag")
+    )
+    return exploded.select(
+        "url",
+        F.col("ord").cast("int").alias("ord"),
+        H.hreflang_lang(F.col("tag")).alias("hreflang"),
+        H.hreflang_href(F.col("tag")).alias("alt_url"),
+    )
+
+
+def og_cards(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, og_title, og_type, og_image, og_url): the OpenGraph social
+    card per page — four codegen regexp_extracts, no explode, no
+    shuffle; NULL where the page declares no card."""
+    from ..functions import html as H
+
+    return pages.select(
+        F.col(url_col).alias("url"), *H.og_meta(F.col(html_col))
+    )
