@@ -3664,6 +3664,38 @@ def _q_og_cards(spark, sf):
     return MD.og_cards(d.select(url.alias("url"), html.alias("html")))
 
 
+def _q_feed_discovery(spark, sf):
+    """Feed autodiscovery: heads declare rss/atom/both/none by class;
+    the attribute-anchored regex fan-out finds (type, href) per page.
+    The oracle predicts every link from the formula."""
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    m = did % 4
+    sid = did.cast("string")
+    url = F.concat(F.lit("http://s"), (did % 7).cast("string"), F.lit(".example.com/p"), sid)
+    rss = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" href="http://s'),
+        (did % 7).cast("string"), F.lit(".example.com/feed"), F.lit('"/>'),
+    )
+    atom = F.concat(
+        F.lit('<link rel="alternate" type="application/atom+xml" href="http://s'),
+        (did % 7).cast("string"), F.lit(".example.com/atom"), F.lit('"/>'),
+    )
+    head = (
+        F.when(m == 0, rss)
+        .when(m == 1, atom)
+        .when(m == 2, F.concat(rss, atom))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.concat(F.lit("<html><head>"), head, F.lit("</head></html>")).alias("html"),
+    )
+    return MD.feed_discovery(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3838,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "hreflang_graph": _q_hreflang_graph,
         "og_cards": _q_og_cards,
+        "feed_discovery": _q_feed_discovery,
     }
 
 
@@ -7843,6 +7876,31 @@ def oracle_sql() -> dict[str, str]:
                    hreflang,
                    'http://s' || g || '.example.com/' || hreflang
                      || '/p' || sid AS alt_url
+            FROM e
+        """,
+        # feed_discovery: predict (ord, type, href) per class — m=0 rss,
+        # m=1 atom, m=2 both (rss first), m=3 none.
+        "feed_discovery": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 4 AS m,
+                     CAST(doc_id % 7 AS VARCHAR) AS g,
+                     CAST(doc_id AS VARCHAR) AS sid
+              FROM documents),
+            e AS (
+              SELECT doc_id, g, sid, o.i AS ord,
+                     CASE WHEN m = 1 OR (m = 2 AND o.i = 1)
+                          THEN 'atom' ELSE 'rss' END AS feed_type
+              FROM d,
+                   LATERAL unnest(generate_series(0,
+                     CASE m WHEN 2 THEN 1 WHEN 3 THEN -1 ELSE 0 END))
+                     AS o(i)
+              WHERE m < 3)
+            SELECT 'http://s' || g || '.example.com/p' || sid AS url,
+                   CAST(ord AS INT) AS ord,
+                   feed_type,
+                   'http://s' || g || '.example.com/'
+                     || CASE feed_type WHEN 'rss' THEN 'feed' ELSE 'atom' END
+                     AS feed_url
             FROM e
         """,
         # og_cards: predict the four card columns per parity class.

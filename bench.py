@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "mad_outliers",
     "hreflang_graph",
     "og_cards",
+    "feed_discovery",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -63,3 +63,39 @@ def test_og_cards_no_card(spark):
         r["og_title"] is None and r["og_type"] is None
         and r["og_image"] is None and r["og_url"] is None
     )
+
+
+def test_feed_discovery_types_and_order(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = (
+        '<head>'
+        '<link rel="alternate" type="application/rss+xml" href="http://h/feed"/>'
+        '<link rel="alternate" type="application/atom+xml" href="http://h/atom"/>'
+        '<link rel="alternate" hreflang="fr" href="http://h/fr"/>'
+        '</head>'
+    )
+    got = MD.feed_discovery(_pages(spark, [("u", html)])).collect()
+    assert [(r["ord"], r["feed_type"], r["feed_url"]) for r in got] == [
+        (0, "rss", "http://h/feed"),
+        (1, "atom", "http://h/atom"),
+    ]
+
+
+def test_feed_discovery_none(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    assert MD.feed_discovery(_pages(spark, [("u", "<html/>")])).count() == 0
+
+
+def test_mad_approx_mode_close_to_exact(spark):
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    df = spark.createDataFrame(
+        [(i, "h", v) for i, v in enumerate([10, 11, 12, 13, 14, 500])],
+        "id int, g string, x int",
+    )
+    got = {r["id"]: r for r in ST.mad_outliers(df, "g", "x", approx=True).collect()}
+    # sketch percentile still flags the planted outlier and nothing else
+    assert got[5]["is_outlier"] is True
+    assert not any(got[i]["is_outlier"] for i in range(5))

@@ -174,3 +174,25 @@ def og_meta(html: Column) -> list[Column]:
         v = F.regexp_extract(html, _og_re(prop), 1)
         cols.append(F.when(v != "", v).alias(f"og_{prop}"))
     return cols
+
+
+_FEED_LINK_RE = (
+    r'(?i)<link\b[^>]*rel="alternate"[^>]*'
+    r'type="application/(rss|atom)\+xml"[^>]*href="([^"]*)"[^>]*/?>'
+)
+
+
+def feed_link_tags(html: Column) -> Column:
+    """Raw feed-autodiscovery tags (``rel="alternate"
+    type="application/rss+xml|atom+xml"``) — how a crawler finds a
+    site's feeds from any page's head, the entry point into
+    ``sources/feeds.py``."""
+    return F.regexp_extract_all(html, F.lit(_FEED_LINK_RE), F.lit(0))
+
+
+def feed_link_type(tag: Column) -> Column:
+    return F.lower(F.regexp_extract(tag, _FEED_LINK_RE, 1))
+
+
+def feed_link_href(tag: Column) -> Column:
+    return F.regexp_extract(tag, _FEED_LINK_RE, 2)

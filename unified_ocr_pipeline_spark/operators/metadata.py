@@ -256,3 +256,23 @@ def og_cards(
     return pages.select(
         F.col(url_col).alias("url"), *H.og_meta(F.col(html_col))
     )
+
+
+def feed_discovery(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, ord, feed_type, feed_url): feed-autodiscovery links from
+    page heads — the crawl-side entry point into the RSS/Atom parser
+    (``sources/feeds.py``); same posexplode-on-scan-partitions shape as
+    ``hreflang_graph``, raw HTML never crosses an exchange."""
+    from ..functions import html as H
+
+    tags = H.feed_link_tags(F.col(html_col))
+    return pages.select(
+        F.col(url_col).alias("url"), F.posexplode(tags).alias("ord", "tag")
+    ).select(
+        "url",
+        F.col("ord").cast("int").alias("ord"),
+        H.feed_link_type(F.col("tag")).alias("feed_type"),
+        H.feed_link_href(F.col("tag")).alias("feed_url"),
+    )

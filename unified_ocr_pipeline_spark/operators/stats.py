@@ -246,6 +246,7 @@ def mad_outliers(
     group_col: str,
     value_col: str,
     k: float = 3.0,
+    approx: bool = False,
 ) -> DataFrame:
     """Robust per-group outlier flags: |x - median| > k * MAD (median
     absolute deviation). The mean/stddev z-score breaks exactly when
@@ -261,17 +262,22 @@ def mad_outliers(
 
     Scale shape: TWO group-keyed aggregates (median, then MAD over
     |x - med|) joined back — group stat relations are host-sized, so
-    both joins broadcast; exact interpolated percentile on both sides
-    keeps it replayable in SQL."""
-    v = F.col(value_col).cast("double")
-    med = df.groupBy(group_col).agg(
-        F.percentile(v, F.lit(0.5)).alias("group_median")
+    both joins broadcast. The exact interpolated percentile (the
+    oracle-replayable default) BUFFERS each group's values in the
+    aggregation — fine up to millions of rows per group, wrong for a
+    10^12-row table; pass ``approx=True`` there for the
+    percentile_approx sketch (bounded memory, one pass, off the
+    oracle contract — same split as column_stats' HLL mode)."""
+    pct = (
+        (lambda c: F.percentile_approx(c, F.lit(0.5), F.lit(10000)))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(0.5)))
     )
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(pct(v).alias("group_median"))
     with_med = df.join(F.broadcast(med), group_col)
     mad = with_med.groupBy(group_col).agg(
-        F.percentile(
-            F.abs(v - F.col("group_median")), F.lit(0.5)
-        ).alias("group_mad")
+        pct(F.abs(v - F.col("group_median"))).alias("group_mad")
     )
     out = with_med.join(F.broadcast(mad), group_col)
     dev = F.abs(v - F.col("group_median"))
