@@ -3696,6 +3696,44 @@ def _q_feed_discovery(spark, sf):
     return MD.feed_discovery(pages)
 
 
+def _q_invisible_chars(spark, sf):
+    """Trojan-Source hygiene: bodies planted per class with zero-width
+    padding (m=1, the exact-dedup-evasion trick), an RTL override pair
+    (m=2), or nothing (m=0) — counted, flagged, and stripped with one
+    codegen char class each. The oracle plants the identical
+    codepoints with chr() and replays counts/strip."""
+    from unified_ocr_pipeline_spark.functions import normalize as NZ
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    m = did % 3
+    sid = did.cast("string")
+    body = (
+        F.when(
+            m == 1,
+            F.concat(
+                F.lit("pay"), F.lit("\u200b"), F.lit("load "), sid, F.lit("\ufeff")
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("user "), F.lit("\u202e"), F.lit("cba"), F.lit("\u202c"),
+                F.lit(" "), sid,
+            ),
+        )
+        .otherwise(F.concat(F.lit("clean text "), sid))
+    )
+    zw, bidi = NZ.invisible_counts(body)
+    return d.select(
+        "doc_id",
+        zw.alias("n_zero_width"),
+        bidi.alias("n_bidi"),
+        ((zw > 0) | (bidi > 0)).alias("flagged"),
+        NZ.strip_invisible(body).alias("cleaned"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3871,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_graph": _q_hreflang_graph,
         "og_cards": _q_og_cards,
         "feed_discovery": _q_feed_discovery,
+        "invisible_chars": _q_invisible_chars,
     }
 
 
@@ -7902,6 +7941,25 @@ def oracle_sql() -> dict[str, str]:
                      || CASE feed_type WHEN 'rss' THEN 'feed' ELSE 'atom' END
                      AS feed_url
             FROM e
+        """,
+        # invisible_chars: plant the identical codepoints with chr()
+        # (200B=8203, FEFF=65279, 202E=8238, 202C=8236) and predict
+        # counts/flag/stripped text per class.
+        "invisible_chars": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 3 AS m,
+                     CAST(doc_id AS VARCHAR) AS sid
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN m = 1 THEN 2 ELSE 0 END AS INT)
+                     AS n_zero_width,
+                   CAST(CASE WHEN m = 2 THEN 2 ELSE 0 END AS INT)
+                     AS n_bidi,
+                   m IN (1, 2) AS flagged,
+                   CASE WHEN m = 1 THEN 'payload ' || sid
+                        WHEN m = 2 THEN 'user cba ' || sid
+                        ELSE 'clean text ' || sid END AS cleaned
+            FROM d
         """,
         # og_cards: predict the four card columns per parity class.
         "og_cards": """

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "hreflang_graph",
     "og_cards",
     "feed_discovery",
+    "invisible_chars",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -89,3 +89,42 @@ def test_mad_groups_independent(spark):
     got = _mad(spark, rows)
     assert got[20]["is_outlier"] is True
     assert not any(got[i]["is_outlier"] for i in range(5))
+
+
+def test_invisible_counts_and_strip(spark):
+    from unified_ocr_pipeline_spark.functions import normalize as NZ
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay​load­ x﻿"),   # 3 zero-width class
+            (2, "user ‮evil‬ done"),    # RTL override pair
+            (3, "plain text"),
+        ],
+        "id int, t string",
+    )
+    zw, bidi = NZ.invisible_counts(F.col("t"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", zw.alias("zw"), bidi.alias("bidi"),
+            NZ.strip_invisible(F.col("t")).alias("s"),
+        ).collect()
+    }
+    assert (rows[1]["zw"], rows[1]["bidi"], rows[1]["s"]) == (3, 0, "payload x")
+    assert (rows[2]["zw"], rows[2]["bidi"], rows[2]["s"]) == (0, 2, "user evil done")
+    assert (rows[3]["zw"], rows[3]["bidi"], rows[3]["s"]) == (0, 0, "plain text")
+
+
+def test_invisible_strip_restores_exact_dedup(spark):
+    """The attack this exists for: zero-width padding defeats md5
+    dedup until stripped."""
+    from unified_ocr_pipeline_spark.functions import normalize as NZ
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same​ text")], "id int, t string"
+    )
+    raw = df.select(F.md5(F.col("t")).alias("h")).distinct().count()
+    clean = df.select(
+        F.md5(NZ.strip_invisible(F.col("t"))).alias("h")
+    ).distinct().count()
+    assert raw == 2 and clean == 1

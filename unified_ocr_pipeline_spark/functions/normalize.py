@@ -56,3 +56,35 @@ def fix_mojibake(col: pd.Series) -> pd.Series:
     from unified_ocr_pipeline_spark.kernels.mojibake import fix_mojibake_str
 
     return col.map(fix_mojibake_str)
+
+
+# ---------------------------------------------------------------------------
+# Invisible characters and bidi controls (Trojan-Source hygiene)
+# ---------------------------------------------------------------------------
+# Zero-width and direction-override codepoints are invisible to humans
+# but not to tokenizers or hash-based dedup: spam farms pad duplicates
+# with U+200B to defeat exact dedup, and RTL overrides (Boucher &
+# Anderson 2021, "Trojan Source") reorder what reviewers see. A
+# training corpus wants them counted, flagged, and stripped. One char
+# class each, Java∩RE2∩DuckDB (\x{...} escapes), codegen regexp ops.
+
+ZERO_WIDTH_REGEX = r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]"
+BIDI_CONTROL_REGEX = r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+INVISIBLE_REGEX = (
+    r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+)
+
+
+def invisible_counts(text: Column) -> tuple[Column, Column]:
+    """(n_zero_width, n_bidi_controls) in the raw text."""
+    return (
+        F.regexp_count(text, F.lit(ZERO_WIDTH_REGEX)).cast("int"),
+        F.regexp_count(text, F.lit(BIDI_CONTROL_REGEX)).cast("int"),
+    )
+
+
+def strip_invisible(text: Column) -> Column:
+    """Remove zero-width chars and bidi controls (the dedup-evasion and
+    display-spoofing set). Deliberately narrow: legitimate invisible
+    whitespace (plain space, tab, newline) is untouched."""
+    return F.regexp_replace(text, INVISIBLE_REGEX, "")
