@@ -3734,6 +3734,37 @@ def _q_invisible_chars(spark, sf):
     )
 
 
+def _q_code_switch(spark, sf):
+    """Code-switching detection: multi-line bodies per class (all-en
+    with an und digits line / en-de alternation / en-en-fr) — per-LINE
+    stopword votes via array lambdas, switches counted between decided
+    lines. The oracle predicts the whole profile per class."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    m = did % 3
+    sid = did.cast("string")
+    en = F.concat(F.lit("the cat and a dog is here "), sid)
+    de = F.lit("der hund und die katze ist da")
+    fr = F.lit("le chat et la vache est dans")
+    und = F.lit("12345 67890")
+    body = (
+        F.when(m == 0, F.concat_ws("\n", en, und, en))
+        .when(m == 1, F.concat_ws("\n", en, de, en, de))
+        .otherwise(F.concat_ws("\n", en, en, fr, und))
+    )
+    return d.select("doc_id", *TX.code_switch_cols(body))
+
+
+def _q_quality_calibration(spark, sf):
+    """Reliability table: LR quality score buckets vs the Gopher
+    rule-gate as weak label — ONE scan + ONE 10-row bucket agg over the
+    REAL text. The oracle recomputes both signals from their shared
+    shape CTEs and replays the bucket aggregation."""
+    from unified_ocr_pipeline_spark.operators import evaluate as EV
+
+    return EV.quality_calibration(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3910,6 +3941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_cards": _q_og_cards,
         "feed_discovery": _q_feed_discovery,
         "invisible_chars": _q_invisible_chars,
+        "code_switch": _q_code_switch,
+        "quality_calibration": _q_quality_calibration,
     }
 
 
@@ -7960,6 +7993,77 @@ def oracle_sql() -> dict[str, str]:
                         WHEN m = 2 THEN 'user cba ' || sid
                         ELSE 'clean text ' || sid END AS cleaned
             FROM d
+        """,
+        # code_switch: predict the line-vote profile per class — m=0
+        # en/und/en (0 switches), m=1 en/de/en/de (3), m=2 en/en/fr/und
+        # (1); und lines don't vote.
+        "code_switch": """
+            SELECT doc_id,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 3 ELSE 4 END AS INT)
+                     AS n_lines,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 2
+                                        WHEN 1 THEN 4
+                                        ELSE 3 END AS INT) AS n_lang_lines,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 0
+                                        WHEN 1 THEN 3
+                                        ELSE 1 END AS INT) AS n_switches,
+                   doc_id % 3 <> 0 AS mixed
+            FROM documents
+        """,
+        # quality_calibration: both signals from the shared shape CTEs
+        # (quality_lr's z + gopher's gate), bucket on the rounded
+        # score, one bucket aggregation.
+        "quality_calibration": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS syms,
+                     len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS stop_hits
+              FROM documents),
+            s AS (
+              SELECT doc_id, syms, stop_hits, ws, len(ws) AS n,
+                     len(list_distinct(ws)) AS nd,
+                     list_sum(list_transform(ws, x -> length(x))) AS total_len
+              FROM w),
+            m AS (
+              SELECT doc_id, n, stop_hits,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(1.0 - nd / CAST(n AS DOUBLE), 4) END AS dup_frac,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(list_max(list_transform(list_distinct(ws),
+                                 d -> len(list_filter(ws, x -> x = d))))
+                               / CAST(n AS DOUBLE), 4) END AS top_cov,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(total_len / CAST(n AS DOUBLE), 4) END AS mean_wlen,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE round(syms / CAST(n AS DOUBLE), 4) END AS sym_ratio
+              FROM s),
+            scored AS (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-(
+                       1.0 + 0.8 * least(n / 100.0, 1.0)
+                           + 1.2 * least(stop_hits * 5.0 / greatest(n, 1), 1.0)
+                           - 3.0 * dup_frac - 2.0 * top_cov - 2.5 * sym_ratio
+                           - 0.08 * least(abs(mean_wlen - 5.0), 5.0)))), 4)
+                       AS score,
+                     (dup_frac <= 0.3 AND top_cov <= 0.2
+                      AND mean_wlen BETWEEN 2.0 AND 12.0
+                      AND sym_ratio <= 0.3) AS label
+              FROM m),
+            b AS (
+              SELECT least(9, CAST(floor(score * 10) AS INT)) AS bucket,
+                     score, label
+              FROM scored)
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_keep,
+                   round(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) AS keep_rate,
+                   round(sum(score) / CAST(count(*) AS DOUBLE), 4)
+                     AS avg_score
+            FROM b GROUP BY bucket
         """,
         # og_cards: predict the four card columns per parity class.
         "og_cards": """

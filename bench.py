@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "og_cards",
     "feed_discovery",
     "invisible_chars",
+    "code_switch",
+    "quality_calibration",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

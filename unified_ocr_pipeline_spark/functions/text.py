@@ -609,3 +609,51 @@ def readability_cols(text: Column) -> list[Column]:
         fk.alias("fk_grade"),
         band.alias("band"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Code-switching (per-line language votes)
+# ---------------------------------------------------------------------------
+# A document-level language ID hides mixed-language pages (forum
+# threads, boilerplate-translated sites, spam stitching) — exactly the
+# pages a monolingual training mix wants flagged. Per-LINE stopword
+# votes plus a transition count expose them. All array lambdas over one
+# split — no explode, no shuffle, codegen.
+
+
+def line_lang_votes(text: Column) -> Column:
+    """Array of per-line language votes ('en'/'de'/'fr'/'und') using
+    the same stopword evidence as ``lang_guess``."""
+    return F.transform(
+        F.split(text, r"\n"),
+        lambda l: lang_guess_from_hits(
+            *[stopword_hits(l, lg) for lg in ("en", "de", "fr")]
+        ),
+    )
+
+
+def code_switch_cols(text: Column) -> list[Column]:
+    """(n_lines, n_lang_lines, n_switches, mixed): language-switch
+    profile over the line votes. Switches are counted between
+    consecutive DECIDED lines (und lines — navigation, numbers — don't
+    vote); ``mixed`` = at least one switch."""
+    votes = line_lang_votes(text)
+    decided = F.filter(votes, lambda v: v != "und")
+    nd = F.size(decided)
+    switches = F.when(nd <= 1, F.lit(0)).otherwise(
+        F.aggregate(
+            F.zip_with(
+                F.slice(decided, 1, nd - 1),
+                F.slice(decided, 2, nd - 1),
+                lambda a, b: (a != b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return [
+        F.size(F.split(text, r"\n")).cast("int").alias("n_lines"),
+        nd.cast("int").alias("n_lang_lines"),
+        switches.cast("int").alias("n_switches"),
+        (switches > 0).alias("mixed"),
+    ]

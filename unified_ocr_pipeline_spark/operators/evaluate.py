@@ -224,3 +224,39 @@ def lsh_pr(
         F.round(rec, 4).alias("rec"),
         F.round(f1, 4).alias("f1"),
     )
+
+
+def quality_calibration(
+    df: "DataFrame", text_col: str = "text", n_buckets: int = 10
+) -> "DataFrame":
+    """Reliability table for the LR quality classifier against the
+    Gopher rule-gate as a weak label: per score-bucket counts, label
+    agreement rate, and mean score. The standard pre-deployment check
+    for a learned filter — a well-calibrated score's keep_rate climbs
+    monotonically with the bucket; a flat table means the classifier
+    adds nothing over the rules.
+
+    ONE scan + ONE bucket-keyed hash-agg (both signals are codegen
+    Column expressions); the bucket relation is n_buckets rows."""
+    from ..functions import text as TX
+
+    t = F.col(text_col)
+    score = TX.quality_lr_score(t)
+    label = TX.gopher_keep(t)
+    bucket = F.least(
+        F.lit(n_buckets - 1), F.floor(score * n_buckets).cast("int")
+    )
+    return (
+        df.select(bucket.alias("bucket"), score.alias("_s"), label.alias("_l"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("_l").cast("long")).alias("n_keep"),
+            F.round(
+                F.sum(F.col("_l").cast("long")) / F.count("*").cast("double"), 4
+            ).alias("keep_rate"),
+            F.round(F.sum("_s") / F.count("*").cast("double"), 4).alias(
+                "avg_score"
+            ),
+        )
+    )
