@@ -3765,6 +3765,48 @@ def _q_quality_calibration(spark, sf):
     return EV.quality_calibration(_t(spark, sf, "documents"))
 
 
+def _q_kmv_merge(spark, sf):
+    """KMV mergeability — the law that makes sketches the right
+    statistics for incremental crawl batches: sketch(even docs) ∪
+    sketch(odd docs), re-topped to k, must equal the direct sketch of
+    the whole set, and so must its distinct estimate. No cross join:
+    the two sketches are tagged, unioned, and pivoted in one agg. The
+    oracle replays both constructions and the (k-1)·2^60/h_k
+    estimate."""
+    from unified_ocr_pipeline_spark.operators.sampling import kmv_merge, kmv_sketch
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("key"),
+    )
+    k = 64
+    ev = kmv_sketch(d.where(F.col("doc_id") % 2 == 0), "key", k=k)
+    od = kmv_sketch(d.where(F.col("doc_id") % 2 == 1), "key", k=k)
+    merged = kmv_merge([ev, od], k=k)
+    direct = kmv_sketch(d, "key", k=k)
+    tagged = merged.select(F.lit("merged").alias("side"), "h").unionByName(
+        direct.select(F.lit("direct").alias("side"), "h")
+    )
+    per = tagged.groupBy("side").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("hk")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(2**60))) / F.col("hk")
+    )
+    scored = per.select("side", "n_kept", F.round(est, 4).alias("est"), "hk")
+    return scored.agg(
+        F.max(F.when(F.col("side") == "merged", F.col("n_kept"))).cast("int").alias("n_kept"),
+        F.max(F.when(F.col("side") == "merged", F.col("est"))).alias("est_merged"),
+        F.max(F.when(F.col("side") == "direct", F.col("est"))).alias("est_direct"),
+        (
+            F.max(F.when(F.col("side") == "merged", F.col("hk")))
+            == F.max(F.when(F.col("side") == "direct", F.col("hk")))
+        ).alias("merge_exact"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3943,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invisible_chars": _q_invisible_chars,
         "code_switch": _q_code_switch,
         "quality_calibration": _q_quality_calibration,
+        "kmv_merge": _q_kmv_merge,
     }
 
 
@@ -8064,6 +8107,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(score) / CAST(count(*) AS DOUBLE), 4)
                      AS avg_score
             FROM b GROUP BY bucket
+        """,
+        # kmv_merge: replay both sketch constructions (per-side top-64
+        # of the md5-60 hashes, then union-retop vs direct) and the
+        # estimate; for disjoint halves the merged and direct sketches
+        # are identical by construction.
+        "kmv_merge": """
+            WITH h AS (
+              SELECT CAST('0x' || substr(md5('u'
+                       || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+                     doc_id % 2 AS side
+              FROM documents),
+            ev AS (SELECT h FROM h WHERE side = 0 ORDER BY h LIMIT 64),
+            od AS (SELECT h FROM h WHERE side = 1 ORDER BY h LIMIT 64),
+            mg AS (
+              SELECT DISTINCT h
+              FROM (SELECT h FROM ev UNION ALL SELECT h FROM od)
+              ORDER BY h LIMIT 64),
+            dr AS (
+              SELECT h FROM (SELECT DISTINCT h FROM h)
+              ORDER BY h LIMIT 64),
+            ma AS (SELECT count(*) AS n_kept, max(h) AS hk FROM mg),
+            da AS (SELECT count(*) AS n_kept, max(h) AS hk FROM dr)
+            SELECT CAST(ma.n_kept AS INT) AS n_kept,
+                   round(CASE WHEN ma.n_kept < 64
+                              THEN CAST(ma.n_kept AS DOUBLE)
+                              ELSE (CAST(63 AS DOUBLE)
+                                    * 1152921504606846976.0) / ma.hk
+                         END, 4) AS est_merged,
+                   round(CASE WHEN da.n_kept < 64
+                              THEN CAST(da.n_kept AS DOUBLE)
+                              ELSE (CAST(63 AS DOUBLE)
+                                    * 1152921504606846976.0) / da.hk
+                         END, 4) AS est_direct,
+                   ma.hk = da.hk AS merge_exact
+            FROM ma, da
         """,
         # og_cards: predict the four card columns per parity class.
         "og_cards": """

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "invisible_chars",
     "code_switch",
     "quality_calibration",
+    "kmv_merge",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -437,3 +437,28 @@ def test_unimax_param_validation(spark):
         SAMP.unimax_allocate(df, "source", "n_chars", budget=0)
     with pytest.raises(ValueError):
         SAMP.unimax_allocate(df, "source", "n_chars", budget=10, epoch_cap=0)
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """Mergeability: union-retop of disjoint-batch sketches == the
+    direct whole-set sketch, hash for hash."""
+    from unified_ocr_pipeline_spark.operators.sampling import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k int")
+    a = kmv_sketch(df.where("k < 250"), "k", k=32)
+    b = kmv_sketch(df.where("k >= 250"), "k", k=32)
+    merged = sorted(r["h"] for r in kmv_merge([a, b], k=32).collect())
+    direct = sorted(r["h"] for r in kmv_sketch(df, "k", k=32).collect())
+    assert merged == direct and len(merged) == 32
+
+
+def test_kmv_merge_overlapping_batches_dedup(spark):
+    """Overlap between batches must not bias the union (distinct on
+    hash before the re-top)."""
+    from unified_ocr_pipeline_spark.operators.sampling import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "k int")
+    a = kmv_sketch(df.where("k < 200"), "k", k=16)
+    b = kmv_sketch(df.where("k >= 100"), "k", k=16)  # 100-199 overlap
+    merged = [r["h"] for r in kmv_merge([a, b], k=16).collect()]
+    assert len(merged) == len(set(merged)) == 16

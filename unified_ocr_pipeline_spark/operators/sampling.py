@@ -1096,3 +1096,17 @@ def temperature_sample(
         df.join(F.broadcast(rates), source_col)
         .where(u < F.col("keep_rate"))
     )
+
+
+def kmv_merge(sketches: "list[DataFrame]", k: int = 64) -> DataFrame:
+    """Union KMV sketches: k smallest hashes of the concatenation —
+    the mergeability law that makes sketches the right statistics for
+    an INCREMENTAL crawl (per-batch sketches roll up to the corpus
+    sketch without ever re-reading old batches; same reason Spark's own
+    HLL/theta sketches are partial-aggregable). Input sketches are
+    k-row relations, so the union + top-k is driver-trivial at any
+    corpus size."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.select("h").distinct().orderBy("h").limit(k)
