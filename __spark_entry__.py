@@ -3807,6 +3807,32 @@ def _q_kmv_merge(spark, sf):
     )
 
 
+def _q_linkage_clusters(spark, sf):
+    """End-to-end entity resolution: SNM blocking → normalized-
+    Levenshtein verify → 'match' edges → pointer-jumping components →
+    canonical per entity. The full dedupe-a-record-set loop in one
+    query; the oracle chains the linkage CTEs into the recursive
+    reachability + min-label + canonical pick."""
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.lower(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 32)
+        ).alias("title"),
+    )
+    pairs = DD.sorted_neighborhood_pairs(
+        keyed, "doc_id", "title", window=3, block_col="lang"
+    )
+    verified = DD.edit_verified_pairs(
+        pairs, "key_a", "key_b", match_threshold=0.85, possible_threshold=0.6
+    )
+    matches = verified.where(F.col("decision") == "match").select("id_a", "id_b")
+    return CC.dedup_clusters(d.select("doc_id"), matches, "doc_id").select(
+        "doc_id", "component", "is_canonical"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -3986,6 +4012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_switch": _q_code_switch,
         "quality_calibration": _q_quality_calibration,
         "kmv_merge": _q_kmv_merge,
+        "linkage_clusters": _q_linkage_clusters,
     }
 
 
@@ -8142,6 +8169,49 @@ def oracle_sql() -> dict[str, str]:
                          END, 4) AS est_direct,
                    ma.hk = da.hk AS merge_exact
             FROM ma, da
+        """,
+        # linkage_clusters: the linkage_verify CTE chain filtered to
+        # 'match' edges, then recursive reachability + min-label +
+        # canonical over ALL docs (non-matched docs are singleton
+        # entities).
+        "linkage_clusters": r"""
+            WITH RECURSIVE k AS (
+              SELECT doc_id, lang,
+                     lower(substr(coalesce(text, ''), 1, 32)) AS title
+              FROM documents),
+            n AS (
+              SELECT doc_id AS id_a, title AS key_a,
+                     lead(doc_id, 1) OVER w AS id1, lead(title, 1) OVER w AS k1,
+                     lead(doc_id, 2) OVER w AS id2, lead(title, 2) OVER w AS k2
+              FROM k
+              WINDOW w AS (PARTITION BY lang ORDER BY title, doc_id)),
+            pairs AS (
+              SELECT id_a, key_a, id_b, key_b FROM (
+                SELECT id_a, key_a, id1 AS id_b, k1 AS key_b FROM n
+                UNION ALL SELECT id_a, key_a, id2, k2 FROM n)
+              WHERE id_b IS NOT NULL),
+            mt AS (
+              SELECT id_a, id_b FROM pairs
+              WHERE CASE WHEN greatest(length(key_a), length(key_b)) = 0
+                         THEN 1.0
+                         ELSE 1.0 - levenshtein(key_a, key_b)
+                              / CAST(greatest(length(key_a), length(key_b))
+                                     AS DOUBLE)
+                    END >= 0.85),
+            eb AS (
+              SELECT id_a AS s, id_b AS t FROM mt
+              UNION
+              SELECT id_b, id_a FROM mt),
+            reach(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT eb.t, reach.lbl FROM eb JOIN reach ON eb.s = reach.id),
+            comp AS (
+              SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY 1)
+            SELECT doc_id, component,
+                   doc_id = min(doc_id) OVER (PARTITION BY component)
+                     AS is_canonical
+            FROM comp
         """,
         # og_cards: predict the four card columns per parity class.
         "og_cards": """

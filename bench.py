@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "code_switch",
     "quality_calibration",
     "kmv_merge",
+    "linkage_clusters",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

@@ -64,3 +64,38 @@ def test_calibration_bucket_edges(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     r = EV.quality_calibration(df).first()
     assert 0 <= r["bucket"] <= 9 and r["n"] == 1
+
+
+def test_linkage_clusters_end_to_end(spark):
+    """SNM -> edit-verify -> components: near-identical titles cluster,
+    distinct ones stay singleton entities."""
+    import __spark_entry__ as E
+    from unified_ocr_pipeline_spark.operators import cc as CC
+    from unified_ocr_pipeline_spark.operators import dedup as DD
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "en", "acme corporation annual report"),
+        (2, "en", "acme corporation annual reporT"),  # 1 edit -> match
+        (3, "en", "completely different title here"),
+        (4, "de", "acme corporation annual report"),  # other block: no pair
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    keyed = d.select(
+        "doc_id", "lang",
+        F.lower(F.substring(F.col("text"), 1, 32)).alias("title"),
+    )
+    pairs = DD.sorted_neighborhood_pairs(
+        keyed, "doc_id", "title", window=3, block_col="lang"
+    )
+    verified = DD.edit_verified_pairs(
+        pairs, "key_a", "key_b", match_threshold=0.85, possible_threshold=0.6
+    )
+    matches = verified.where(F.col("decision") == "match").select("id_a", "id_b")
+    got = {
+        r["doc_id"]: r
+        for r in CC.dedup_clusters(d.select("doc_id"), matches, "doc_id").collect()
+    }
+    assert got[1]["component"] == got[2]["component"] == 1
+    assert got[2]["is_canonical"] is False and got[1]["is_canonical"] is True
+    assert got[3]["component"] == 3 and got[4]["component"] == 4

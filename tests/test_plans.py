@@ -8,6 +8,7 @@ extraction stage (no row-at-a-time UDFs anywhere)."""
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -454,3 +455,74 @@ def test_stupid_backoff_model_stays_distributed(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_yule_k_two_aggregates_no_window(spark):
+    """lexical_diversity: explode + two hash-aggs, no window, no join,
+    no Python."""
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(ST.lexical_diversity(d))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_char_entropy_same_shape(spark):
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(ST.char_entropy(d))
+    assert "Window" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_psi_drift_two_scans_one_join(spark):
+    """psi_drift: one scan per side, the join happens on the tiny
+    (col,bucket) histograms — exactly one join in the plan, no
+    corpus-keyed exchange beyond the two bucket aggs."""
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = d.where("doc_id % 2 = 0")
+    cur = d.where("doc_id % 2 = 1")
+    plan = plan_of(ST.psi_drift(ref, cur, ["n_chars"], {"n_chars": (0, 600)}))
+    # count node HEADERS ("(id) Op") — the formatted plan mentions each
+    # node twice (tree + details)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin)", plan))
+    assert n_joins == 1
+
+
+def test_mad_outliers_broadcast_group_stats(spark):
+    """Both group-stat joins broadcast (host-sized relations), never a
+    sort-merge of the corpus against itself."""
+    from unified_ocr_pipeline_spark.operators import stats as ST
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    plan = plan_of(ST.mad_outliers(d, "source", "n_chars"))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_strand_pairs_no_cross_join(spark):
+    """STRAND pairing is a key-equi join after the min-url collapse —
+    no cartesian, no nested-loop."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["strand_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_luhn_cards_pure_codegen(spark):
+    """Luhn validation stays JVM-side: no Python eval, no shuffle at
+    all (pure projection)."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["luhn_cards"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
