@@ -3833,6 +3833,44 @@ def _q_linkage_clusters(spark, sf):
     )
 
 
+def _q_sitemap_coverage(spark, sf):
+    """Crawl-completeness audit: the SAME formula sitemaps as
+    `sitemap_entries` parsed with the real tag scanner, joined against
+    a formula crawl set (docs with doc_id % 3 != 0 fetched) → per-host
+    declared/crawled/coverage. The oracle replays declaration, crawl
+    subset, membership, and the rounded ratio."""
+    from unified_ocr_pipeline_spark.sources import sitemap as SM
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>http://h"), (did % 8).cast("string"),
+        F.lit(".example.com/p/"), did.cast("string"),
+        F.lit("</loc></url>"),
+    )
+    bodies = (
+        d.select((did % 8).alias("file_id"), F.struct(did, entry.alias("e")).alias("s"))
+        .groupBy("file_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "file_id",
+            F.concat(
+                F.lit("<urlset>"),
+                F.aggregate("arr", F.lit(""), lambda acc, x: F.concat(acc, x["e"])),
+                F.lit("</urlset>"),
+            ).alias("body"),
+        )
+    )
+    entries = SM.sitemap_entries(bodies, "file_id", "body")
+    crawled = d.where(did % 3 != 0).select(
+        F.concat(
+            F.lit("http://h"), (did % 8).cast("string"),
+            F.lit(".example.com/p/"), did.cast("string"),
+        ).alias("url")
+    )
+    return SM.sitemap_coverage(entries, crawled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_lang_yield": _q_flagship_lang_yield,
@@ -4013,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": _q_quality_calibration,
         "kmv_merge": _q_kmv_merge,
         "linkage_clusters": _q_linkage_clusters,
+        "sitemap_coverage": _q_sitemap_coverage,
     }
 
 
@@ -8212,6 +8251,30 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = min(doc_id) OVER (PARTITION BY component)
                      AS is_canonical
             FROM comp
+        """,
+        # sitemap_coverage: replay declared urls (sitemap formula),
+        # the crawl subset (doc_id % 3 != 0), membership, and the ratio.
+        "sitemap_coverage": """
+            WITH decl AS (
+              SELECT DISTINCT
+                     'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.com'
+                       AS host,
+                     'http://h' || CAST(doc_id % 8 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS u
+              FROM documents),
+            crawled AS (
+              SELECT DISTINCT
+                     'http://h' || CAST(doc_id % 8 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS u
+              FROM documents WHERE doc_id % 3 <> 0)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_declared,
+                   CAST(sum(CASE WHEN u IN (SELECT u FROM crawled)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled,
+                   round(sum(CASE WHEN u IN (SELECT u FROM crawled)
+                                  THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) AS coverage
+            FROM decl GROUP BY host
         """,
         # og_cards: predict the four card columns per parity class.
         "og_cards": """

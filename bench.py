@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "quality_calibration",
     "kmv_merge",
     "linkage_clusters",
+    "sitemap_coverage",
     "column_stats",
     "zorder_key",
     "cluster_subsample",

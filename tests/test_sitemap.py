@@ -59,3 +59,52 @@ def test_sitemap_entries_dataframe_empty_row(spark):
     assert rows[1]["kind"] == "urlset" and rows[1]["loc"] == "http://a/1"
     # broken file stays visible as a single empty-kind row
     assert rows[2]["kind"] == "empty" and rows[2]["ord"] is None
+
+
+def test_sitemap_coverage_counts(spark):
+    from unified_ocr_pipeline_spark.sources.sitemap import (
+        sitemap_coverage,
+        sitemap_entries,
+    )
+
+    body = (
+        "<urlset>"
+        "<url><loc>http://a.com/1</loc></url>"
+        "<url><loc>http://a.com/2</loc></url>"
+        "<url><loc>http://b.com/1</loc></url>"
+        "</urlset>"
+    )
+    sm = spark.createDataFrame([(1, body)], "file_id int, body string")
+    crawled = spark.createDataFrame(
+        [("http://a.com/1",), ("http://a.com/1",), ("http://c.com/x",)],
+        "url string",
+    )
+    got = {
+        r["host"]: r
+        for r in sitemap_coverage(
+            sitemap_entries(sm, "file_id", "body"), crawled
+        ).collect()
+    }
+    assert (got["a.com"]["n_declared"], got["a.com"]["n_crawled"]) == (2, 1)
+    assert got["a.com"]["coverage"] == 0.5
+    assert got["b.com"]["n_crawled"] == 0 and got["b.com"]["coverage"] == 0.0
+    # urls crawled but never declared don't invent hosts
+    assert "c.com" not in got
+
+
+def test_sitemap_coverage_empty_feed_rows_excluded(spark):
+    from unified_ocr_pipeline_spark.sources.sitemap import (
+        sitemap_coverage,
+        sitemap_entries,
+    )
+
+    sm = spark.createDataFrame(
+        [(1, "<urlset><url><loc>http://a.com/1</loc></url></urlset>"),
+         (2, "not a sitemap at all")],
+        "file_id int, body string",
+    )
+    crawled = spark.createDataFrame([("http://a.com/1",)], "url string")
+    rows = sitemap_coverage(
+        sitemap_entries(sm, "file_id", "body"), crawled
+    ).collect()
+    assert len(rows) == 1 and rows[0]["coverage"] == 1.0

@@ -116,3 +116,46 @@ def sitemap_entries(
             "lastmod string, priority double"
         ),
     )
+
+
+def sitemap_coverage(entries, crawled, loc_col: str = "loc",
+                     url_col: str = "url"):
+    """Crawl-completeness audit per host: of the urls a host DECLARES
+    in its sitemaps (urlset rows), how many has the crawl actually
+    fetched? (host, n_declared, n_crawled, coverage) — the dashboard
+    that catches a dead frontier shard or a host-level fetch policy
+    gone wrong before the corpus ships.
+
+    Scale shape: declared and crawled both reduce to distinct url
+    relations; ONE url-keyed left join + ONE host agg. Coverage rounds
+    to 4 (float canon)."""
+    from pyspark.sql import functions as F
+
+    decl = (
+        entries.where(
+            (F.col("kind") == "urlset") & F.col(loc_col).isNotNull()
+        )
+        .select(
+            F.regexp_extract(F.col(loc_col), r"^https?://([^/?#]+)", 1)
+            .alias("host"),
+            F.col(loc_col).alias("_u"),
+        )
+        .distinct()
+    )
+    got = crawled.select(F.col(url_col).alias("_u")).distinct().withColumn(
+        "_c", F.lit(1)
+    )
+    j = decl.join(got, "_u", "left")
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_declared"),
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_crawled"),
+        )
+        .select(
+            "host", "n_declared", "n_crawled",
+            F.round(
+                F.col("n_crawled") / F.col("n_declared").cast("double"), 4
+            ).alias("coverage"),
+        )
+    )
