@@ -148,7 +148,8 @@ def lm_perplexity_gate(
     sample_mod: int = 4,
     vocab_size: int = 4096,
     n_buckets: int = 4,
-    exact: bool = True,
+    exact: bool | None = None,
+    exact_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Train-and-score convenience: bucket documents by nll.
 
@@ -156,7 +157,7 @@ def lm_perplexity_gate(
     the most-fluent quartile (CCNet keeps head/middle buckets for
     training mixes).
 
-    ``exact=True`` (default, the oracle-replayable form) ranks with ONE
+    ``exact=True`` (the oracle/fixture-replayable form) ranks with ONE
     global ntile window — a single-reducer sort, fine at fixture scale,
     wrong at 100 TB.  ``exact=False`` is the scale path (same
     exact-vs-rate split as mixture_sample/mixture_rate): one
@@ -165,9 +166,20 @@ def lm_perplexity_gate(
     by comparison — all map-side after one partial-aggregated pass, no
     global sort, at the cost of approximate (not exactly equal-count)
     bucket boundaries.
+
+    ``exact=None`` (the default) auto-switches on input size: one cheap
+    count of the input relation (parquet count-star never materializes
+    the payload columns), exact iff rows <= ``exact_threshold``.  Small
+    fixtures therefore keep the ntile semantics the DuckDB oracle
+    replays, while any corpus past the threshold — in particular
+    anything 100 TB-shaped — takes the approx path and the plan never
+    contains an unpartitioned Window.
     """
     from pyspark.sql import Window
 
+    if exact is None:
+        # Bounded driver action: one count job over id_col only.
+        exact = df.select(id_col).count() <= exact_threshold
     lm, meta = lm_train(df, text_col, id_col, sample_mod, vocab_size)
     scored = lm_score(df, lm, meta, text_col, id_col)
     if exact:

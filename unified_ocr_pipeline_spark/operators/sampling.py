@@ -755,11 +755,15 @@ def zipf_fit(
     health check next to the per-document quality gates.
 
     Scale shape: the explode partial-aggregates map-side so the shuffle
-    carries vocabulary-sized counts; the rank window orders the VOCAB
-    relation (bounded, millions of rows at web scale — document the
-    ``max_rank`` head cut for the strict-memory case); the regression
-    itself is one built-in aggregate (regr_slope/intercept/r2), no
-    driver math.
+    carries vocabulary-sized counts.  With ``max_rank`` set, the head
+    cut happens BEFORE ranking via ``orderBy().limit(max_rank)`` —
+    Spark plans that as TakeOrderedAndProject (per-partition heaps, no
+    full sort), so the rank window only ever sees ``max_rank`` rows;
+    this is the strict-memory path for web-scale vocabularies.  With
+    ``max_rank=None`` the window orders the full VOCAB relation
+    (bounded by distinct types, fine up to millions of rows).  The
+    regression itself is one built-in aggregate
+    (regr_slope/intercept/r2), no driver math.
     """
     toks = df.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
@@ -769,10 +773,16 @@ def zipf_fit(
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= min_count)
     )
+    if max_rank is not None:
+        # Head cut FIRST (TakeOrderedAndProject), so the row_number
+        # window ranks a max_rank-bounded relation — identical ranks to
+        # windowing the full vocab then filtering, without the
+        # single-reducer sort over every type >= min_count.
+        counts = counts.orderBy(F.col("n").desc(), F.col("token")).limit(
+            max_rank
+        )
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     ranked = counts.withColumn("rank", F.row_number().over(w))
-    if max_rank is not None:
-        ranked = ranked.where(F.col("rank") <= max_rank)
     x = F.log10(F.col("rank").cast("double"))
     y = F.log10(F.col("n").cast("double"))
     return ranked.agg(
