@@ -128,3 +128,21 @@ def test_invisible_strip_restores_exact_dedup(spark):
         F.md5(NZ.strip_invisible(F.col("t"))).alias("h")
     ).distinct().count()
     assert raw == 2 and clean == 1
+
+
+def test_bidi_marks_lrm_rlm_alm_counted_and_stripped(spark):
+    # implicit directional marks (U+200E LRM, U+200F RLM, U+061C ALM)
+    # also reorder rendered text — they count as bidi controls and do
+    # not survive strip_invisible
+    from unified_ocr_pipeline_spark.functions import normalize as NZ
+
+    t = "a‎b‏c؜d"
+    df = spark.createDataFrame([(t,)], "t string")
+    zw, bidi = NZ.invisible_counts(F.col("t"))
+    r = df.select(
+        zw.alias("zw"), bidi.alias("bidi"),
+        NZ.strip_invisible(F.col("t")).alias("s"),
+    ).first()
+    assert r["zw"] == 0
+    assert r["bidi"] == 3
+    assert r["s"] == "abcd"

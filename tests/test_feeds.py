@@ -84,3 +84,45 @@ def test_component_sizes_histogram(spark):
     assert sum(size * n for size, n in got.items()) == 60
     assert got[3] >= 5
     assert got[1] >= 40
+
+
+def test_parse_atom_prefers_rel_alternate_over_self():
+    # Atom entries commonly list rel="self"/"edit" before the article
+    # link — the fetch url must be the rel="alternate" (or rel-less) one
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = (
+        "<feed><entry><title>T</title>"
+        '<link rel="self" href="http://h/api/entry/1"/>'
+        '<link rel="edit" href="http://h/api/entry/1/edit"/>'
+        '<link rel="alternate" href="http://h/article/1"/>'
+        "<id>a1</id></entry></feed>"
+    )
+    kind, entries = parse_feed(body)
+    assert kind == "atom"
+    assert entries[0][2] == "http://h/article/1"
+
+
+def test_parse_atom_relless_link_counts_as_alternate():
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = (
+        "<feed><entry><title>T</title>"
+        '<link rel="self" href="http://h/api/1"/>'
+        '<link href="http://h/article/1"/>'
+        "<id>a1</id></entry></feed>"
+    )
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/article/1"
+
+
+def test_parse_atom_only_self_falls_back_to_first():
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = (
+        "<feed><entry><title>T</title>"
+        '<link rel="self" href="http://h/api/1"/>'
+        "<id>a1</id></entry></feed>"
+    )
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/api/1"

@@ -99,3 +99,57 @@ def test_mad_approx_mode_close_to_exact(spark):
     # sketch percentile still flags the planted outlier and nothing else
     assert got[5]["is_outlier"] is True
     assert not any(got[i]["is_outlier"] for i in range(5))
+
+
+def test_hreflang_quote_styles_and_attribute_order(spark):
+    # single-quoted, unquoted, and reordered attributes — common in
+    # real crawl HTML — must all extract
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = (
+        "<head>"
+        "<link rel='alternate' hreflang='fr' href='http://h/fr'/>"
+        '<link hreflang="de" href="http://h/de" rel="alternate"/>'
+        "<link rel=alternate hreflang=es href=http://h/es>"
+        '<link rel="stylesheet" hreflang="xx" href="http://h/css"/>'
+        "</head>"
+    )
+    got = MD.hreflang_graph(_pages(spark, [("u", html)])).collect()
+    edges = {(r["hreflang"], r["alt_url"]) for r in got}
+    assert edges == {
+        ("fr", "http://h/fr"),
+        ("de", "http://h/de"),
+        ("es", "http://h/es"),
+    }
+
+
+def test_og_cards_quote_styles_and_order(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = (
+        "<head><meta content='Hello World' property='og:title'/>"
+        '<meta property="og:image:width" content="640"/>'
+        '<meta property="og:image" content="http://h/i.png"/>'
+        "<meta property=og:type content=article></head>"
+    )
+    r = MD.og_cards(_pages(spark, [("u", html)])).first()
+    assert r["og_title"] == "Hello World"
+    assert r["og_image"] == "http://h/i.png"  # not swallowed by :width
+    assert r["og_type"] == "article"
+
+
+def test_feed_discovery_quote_styles_and_order(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = (
+        "<head>"
+        "<link type='application/rss+xml' rel='alternate' href='/feed.rss'/>"
+        '<link rel="alternate" type="application/atom+xml" href="/feed.atom"/>'
+        '<link rel="stylesheet" type="text/css" href="/css"/>'
+        "</head>"
+    )
+    got = MD.feed_discovery(_pages(spark, [("u", html)])).collect()
+    assert {(r["feed_type"], r["feed_url"]) for r in got} == {
+        ("rss", "/feed.rss"),
+        ("atom", "/feed.atom"),
+    }

@@ -98,3 +98,45 @@ def test_card_no_candidates_text_unchanged(spark):
     df = spark.createDataFrame([(1, "no numbers at all")], "id int, t string")
     r = df.select(PII.redact_cards(F.col("t")).alias("red")).first()
     assert r["red"] == "no numbers at all"
+
+
+def test_strand_generic_segment_not_stripped_as_language(spark):
+    # /faq/, /api/, /www/ are 2-3-letter segments but NOT the page's
+    # language — they must stay in the key, so sections can't collapse
+    # onto one generic path and false-pair across languages
+    got = _pairs(
+        spark,
+        [
+            ("http://h.com/faq/billing", "en"),
+            ("http://h.com/api/billing", "fr"),
+            ("http://h.com/www/billing", "de"),
+        ],
+    )
+    assert got == []
+
+
+def test_strand_lang_segment_only_strips_when_it_matches_row_lang(spark):
+    # /en/ on an en page strips; /en/ on a page the detector says is
+    # French does not (mismatched claims are not reliable mirrors)
+    got = _pairs(
+        spark,
+        [
+            ("http://h.com/en/x", "en"),
+            ("http://h.com/en/y", "fr"),
+            ("http://h.com/fr/x", "fr"),
+        ],
+    )
+    assert len(got) == 1
+    assert got[0]["dst_url"] == "http://h.com/fr/x"
+
+
+def test_redact_cards_leaves_longer_digit_runs_intact(spark):
+    # a Luhn-valid card that ALSO occurs inside a >19-digit run must
+    # only be redacted where it stands word-bounded on its own
+    from unified_ocr_pipeline_spark.functions import pii as PII
+
+    valid = "4111111111111111"  # classic Luhn-valid test number
+    t = f"card {valid} ref 9{valid}115 end"
+    df = spark.createDataFrame([(t,)], "t string")
+    r = df.select(PII.redact_cards(F.col("t")).alias("red")).first()
+    assert r["red"] == f"card [CARD] ref 9{valid}115 end"

@@ -136,49 +136,78 @@ def cell_text(cell: Column) -> Column:
 # the metadata-side complement to STRAND's URL-structure inference; a
 # page's hreflang set plus its og:* card (title/type/image/url) is the
 # standard per-page head profile a crawl warehouse materializes.
-# Attribute order is not guaranteed, so each regex anchors on ONE
-# attribute pair per pass (rel+hreflang, then href), lazy and
-# case-insensitive, in the Java∩RE2 dialect.
+# Real crawl HTML serializes attributes in ANY order and with double,
+# single, or no quotes, so extraction is two-pass: one tag-level regex
+# finds the candidate <link>/<meta> tag (anchored on its most selective
+# attribute), then ``_attr_val`` pulls each attribute from the tag
+# independently — order-free and quote-tolerant without backreferences
+# (the patterns stay in the Java∩RE2 dialect; no lookaround either).
 
-_HREFLANG_TAG_RE = (
-    r'(?i)<link\b[^>]*rel="alternate"[^>]*hreflang="([^"]*)"[^>]*'
-    r'href="([^"]*)"[^>]*/?>'
-)
+
+def _attr_val(tag: Column, name: str) -> Column:
+    """Attribute value from one raw tag, tolerant of double-quoted,
+    single-quoted, and unquoted serializations (checked in that order,
+    so a quoted value never half-matches as unquoted). '' when the
+    attribute is absent."""
+    dq = F.regexp_extract(tag, rf'(?i)\b{name}\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(tag, rf"(?i)\b{name}\s*=\s*'([^']*)'", 1)
+    uq = F.regexp_extract(tag, rf"""(?i)\b{name}\s*=\s*([^\s"'>]+)""", 1)
+    return F.when(dq != "", dq).when(sq != "", sq).otherwise(uq)
+
+
+def _rel_is(tag: Column, value: str) -> Column:
+    """True when the tag's rel attribute token-contains ``value``
+    (rel is a space-separated token list per the HTML spec)."""
+    return F.lower(_attr_val(tag, "rel")).rlike(
+        rf"(^|\s){value}($|\s)"
+    )
+
+
+_HREFLANG_TAG_RE = r"(?i)<link\b[^>]*\bhreflang\s*=[^>]*>"
 
 
 def hreflang_tags(html: Column) -> Column:
-    """Array of raw ``<link rel="alternate" hreflang=...>`` tags (the
-    rel→hreflang→href attribute order, the overwhelmingly dominant
-    serialization)."""
-    return F.regexp_extract_all(html, F.lit(_HREFLANG_TAG_RE), F.lit(0))
+    """Array of raw ``<link rel="alternate" hreflang=...>`` tags —
+    candidates anchored on the hreflang attribute (any position, any
+    quote style), then filtered to rel lists containing ``alternate``."""
+    tags = F.regexp_extract_all(html, F.lit(_HREFLANG_TAG_RE), F.lit(0))
+    return F.filter(tags, lambda t: _rel_is(t, "alternate"))
 
 
 def hreflang_lang(tag: Column) -> Column:
-    return F.regexp_extract(tag, _HREFLANG_TAG_RE, 1)
+    return _attr_val(tag, "hreflang")
 
 
 def hreflang_href(tag: Column) -> Column:
-    return F.regexp_extract(tag, _HREFLANG_TAG_RE, 2)
+    return _attr_val(tag, "href")
 
 
-def _og_re(prop: str) -> str:
-    return rf'(?i)<meta\b[^>]*property="og:{prop}"[^>]*content="([^"]*)"'
+def _og_tag_re(prop: str) -> str:
+    # Quoted og:{prop} closes with its quote; unquoted must be followed
+    # by whitespace or '/' so og:image never swallows og:image:width.
+    return (
+        rf"(?i)<meta\b[^>]*\bproperty\s*=\s*"
+        rf"""(?:"og:{prop}"|'og:{prop}'|og:{prop}[\s/])[^>]*>"""
+    )
 
 
 def og_meta(html: Column) -> list[Column]:
     """(og_title, og_type, og_image, og_url) from the OpenGraph card;
     absent properties are NULL (empty-string match → NULL, so "no tag"
-    and "no content" read the same downstream)."""
+    and "no content" read the same downstream). Two-pass per property:
+    find the <meta property="og:..."> tag in either attribute order,
+    then pull content with the quote-tolerant attribute extractor."""
     cols = []
     for prop in ("title", "type", "image", "url"):
-        v = F.regexp_extract(html, _og_re(prop), 1)
+        tag = F.regexp_extract(html, _og_tag_re(prop), 0)
+        v = _attr_val(tag, "content")
         cols.append(F.when(v != "", v).alias(f"og_{prop}"))
     return cols
 
 
 _FEED_LINK_RE = (
-    r'(?i)<link\b[^>]*rel="alternate"[^>]*'
-    r'type="application/(rss|atom)\+xml"[^>]*href="([^"]*)"[^>]*/?>'
+    r"(?i)<link\b[^>]*\btype\s*=\s*[\"']?"
+    r"application/(?:rss|atom)\+xml[\"']?[^>]*>"
 )
 
 
@@ -186,13 +215,19 @@ def feed_link_tags(html: Column) -> Column:
     """Raw feed-autodiscovery tags (``rel="alternate"
     type="application/rss+xml|atom+xml"``) — how a crawler finds a
     site's feeds from any page's head, the entry point into
-    ``sources/feeds.py``."""
-    return F.regexp_extract_all(html, F.lit(_FEED_LINK_RE), F.lit(0))
+    ``sources/feeds.py``. Candidates anchor on the MIME type (any
+    attribute order/quote style); rel must token-contain alternate."""
+    tags = F.regexp_extract_all(html, F.lit(_FEED_LINK_RE), F.lit(0))
+    return F.filter(tags, lambda t: _rel_is(t, "alternate"))
 
 
 def feed_link_type(tag: Column) -> Column:
-    return F.lower(F.regexp_extract(tag, _FEED_LINK_RE, 1))
+    return F.lower(
+        F.regexp_extract(
+            _attr_val(tag, "type"), r"(?i)application/(rss|atom)\+xml", 1
+        )
+    )
 
 
 def feed_link_href(tag: Column) -> Column:
-    return F.regexp_extract(tag, _FEED_LINK_RE, 2)
+    return _attr_val(tag, "href")

@@ -68,10 +68,17 @@ def fix_mojibake(col: pd.Series) -> pd.Series:
 # training corpus wants them counted, flagged, and stripped. One char
 # class each, Java∩RE2∩DuckDB (\x{...} escapes), codegen regexp ops.
 
+# The bidi set covers the explicit overrides/embeddings (U+202A-E) and
+# isolates (U+2066-69) AND the implicit directional marks LRM/RLM
+# (U+200E/200F) + ALM (U+061C) — the marks also reorder rendered text
+# and would otherwise survive the strip.
 ZERO_WIDTH_REGEX = r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]"
-BIDI_CONTROL_REGEX = r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+BIDI_CONTROL_REGEX = (
+    r"[\x{202A}-\x{202E}\x{2066}-\x{2069}\x{200E}\x{200F}\x{061C}]"
+)
 INVISIBLE_REGEX = (
-    r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+    r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}"
+    r"\x{202A}-\x{202E}\x{2066}-\x{2069}\x{200E}\x{200F}\x{061C}]"
 )
 
 

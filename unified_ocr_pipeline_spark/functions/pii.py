@@ -109,11 +109,20 @@ def card_mentions(text: Column) -> tuple[Column, Column]:
 def redact_cards(text: Column) -> Column:
     """Replace Luhn-VALID 13-19-digit runs with [CARD]; leave invalid
     runs (order ids, EAN barcodes) untouched. Array fold over the valid
-    candidates — each replace targets the exact digit run."""
+    candidates; each rewrite is a word-bounded regexp (``\\b`` + digits
+    + ``\\b``, candidates are pure digit strings so no quoting needed)
+    so a valid number that ALSO appears as a substring of a longer
+    digit run elsewhere — a >19-digit run was never a candidate — does
+    not get that longer run partially mangled by a plain substring
+    replace."""
     cands = F.regexp_extract_all(text, F.lit(CARD_REGEX), F.lit(0))
     valid = F.array_distinct(F.filter(cands, luhn_valid))
     return F.aggregate(
         valid,
         text,
-        lambda acc, c: F.replace(acc, c, F.lit("[CARD]")),
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\b"), c, F.lit(r"\b")),
+            F.lit("[CARD]"),
+        ),
     )

@@ -152,8 +152,13 @@ def strand_url_pairs(
     generator real crawl bitext pipelines run before any scoring.
 
     The language segment is stripped with one Java∩RE2 regexp_replace
-    (first path segment of 2-3 lowercase letters); the remainder is the
-    alignment key. Pairing = pivot-language side joined to every other
+    — but ONLY when the first 2-3-lowercase-letter path segment equals
+    the row's own language label (case-insensitive): /en/ on an
+    en-labeled page is a language segment; /faq/, /api/, /www/ — or
+    /en/ on a page whose detector says otherwise — are ordinary path
+    segments and stay in the key, so unrelated sections can't collapse
+    onto one generic path and pair across languages. The remainder is
+    the alignment key. Pairing = pivot-language side joined to every other
     language on (host, generic path) — ONE key-keyed shuffle join, no
     cross join; per-(key, lang) duplicates are collapsed to the
     min-url representative first, so a template flood cannot square
@@ -162,7 +167,11 @@ def strand_url_pairs(
     Returns (host, generic_path, src_url, dst_url, dst_lang)."""
     host = F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1)
     path = F.regexp_extract(F.col(url_col), r"^https?://[^/?#]+([^?#]*)", 1)
-    generic = F.regexp_replace(path, r"^/[a-z]{2,3}(/|$)", "/")
+    seg = F.regexp_extract(path, r"^/([a-z]{2,3})(?:/|$)", 1)
+    generic = F.when(
+        seg == F.lower(F.col(lang_col)),
+        F.regexp_replace(path, r"^/[a-z]{2,3}(/|$)", "/"),
+    ).otherwise(path)
     keyed = (
         df.select(
             host.alias("host"),

@@ -32,6 +32,23 @@ _TEXT_FIELD = re.compile(
     re.S | re.I,
 )
 _ATOM_LINK = re.compile(r"<link\b[^>]*\bhref\s*=\s*\"([^\"]*)\"[^>]*/?>", re.I)
+_ATOM_LINK_REL = re.compile(r"\brel\s*=\s*\"([^\"]*)\"", re.I)
+
+
+def _atom_fetch_link(inner: str) -> str | None:
+    """The entry's FETCH url: Atom entries commonly list rel="self" /
+    rel="edit" links before the article link, so prefer a <link> whose
+    rel is "alternate" (or absent — the spec default), falling back to
+    the first href only when no such link exists."""
+    first = None
+    for am in _ATOM_LINK.finditer(inner):
+        tag = am.group(0)
+        if first is None:
+            first = am.group(1)
+        rel = _ATOM_LINK_REL.search(tag)
+        if rel is None or rel.group(1).strip().lower() in ("", "alternate"):
+            return am.group(1)
+    return first
 
 
 def parse_feed(body: str) -> tuple[str, list[tuple]]:
@@ -50,8 +67,8 @@ def parse_feed(body: str) -> tuple[str, list[tuple]]:
         fields = {k.lower(): v.strip() for k, v in _TEXT_FIELD.findall(inner)}
         link = fields.get("link")
         if not link:
-            am = _ATOM_LINK.search(inner)
-            link = am.group(1).strip() if am else None
+            fl = _atom_fetch_link(inner)
+            link = fl.strip() if fl else None
         if not link:
             continue
         kinds.add("rss" if tag == "item" else "atom")
