@@ -3871,8 +3871,31 @@ def _q_sitemap_coverage(spark, sf):
     return SM.sitemap_coverage(entries, crawled)
 
 
+def _q_text_embed(spark, sf):
+    """Deterministic hashed char-3-gram text embedding (the featurizer
+    that makes the embedding-side family — semantic_dedup / ivf_topk /
+    mine_bitext — runnable end-to-end from raw ``documents`` text):
+    every gram md5-60-hashed to a (bucket, sign), bucket sums
+    L2-normalized, one narrow Arrow pass, no shuffle. Exploded to
+    (doc_id, dim, val) so the oracle replays the projection
+    gram-by-gram in SQL (same md5-60, same integer bucket sums, same
+    sqrt+divide)."""
+    from unified_ocr_pipeline_spark.operators import featurize as FZ
+
+    d = _t(spark, sf, "documents")
+    emb = FZ.text_embed(d, "text", "doc_id", dim=16, n=3)
+    return emb.select(
+        "doc_id", F.posexplode("emb").alias("dim", "val")
+    ).select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("val", 6).alias("val"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_embed": _q_text_embed,
         "flagship_lang_yield": _q_flagship_lang_yield,
         "scan_filter_project": _q_scan_filter_project,
         "token_stats": _q_token_stats,
@@ -4751,6 +4774,41 @@ def _proto_prune_oracle(
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # text_embed: replay the hashing-trick projection gram-by-gram
+        # — md5-60 bucket/sign, integer bucket sums densified over all
+        # 16 dims, one sqrt + one divide (IEEE-identical on both
+        # sides), zero-norm docs dropped.
+        "text_embed": """
+            WITH g AS (
+              SELECT doc_id, substr(text, i, 3) AS gram
+              FROM documents
+              CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(
+                         1, greatest(length(text) - 2, 0))) AS i) t
+              WHERE text IS NOT NULL),
+            b AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                          % 16 AS INT) AS dim,
+                     CASE WHEN (CAST('0x' || substr(md5(gram), 1, 15)
+                                     AS BIGINT) // 16) % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM g),
+            raw AS (
+              SELECT doc_id, dim, CAST(sum(s) AS DOUBLE) AS r
+              FROM b GROUP BY 1, 2),
+            nrm AS (
+              SELECT doc_id, sqrt(sum(r * r)) AS nv
+              FROM raw GROUP BY 1),
+            dims AS (SELECT unnest(generate_series(0, 15)) AS dim),
+            dense AS (
+              SELECT n.doc_id, dims.dim, coalesce(raw.r, 0.0) AS r, n.nv
+              FROM nrm n CROSS JOIN dims
+              LEFT JOIN raw ON raw.doc_id = n.doc_id
+                           AND raw.dim = dims.dim)
+            SELECT doc_id, dim, round(r / nv, 6) AS val
+            FROM dense WHERE nv > 0
+        """,
         "flagship_lang_yield": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

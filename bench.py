@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "simhash_dups",
     "ngram_jaccard",
     "snm_pairs",
+    "text_embed",
     "embedding_topk",
     "embedding_lsh_topk",
     "ivf_topk",
