@@ -3871,6 +3871,20 @@ def _q_sitemap_coverage(spark, sf):
     return SM.sitemap_coverage(entries, crawled)
 
 
+def _q_quality_lr_train(spark, sf):
+    """TRAINED quality classifier: full-batch GD logistic regression
+    distilling the Gopher rule-gate into a smooth score over the shape
+    features — zero init, 4 fixed iterations, lr 0.5, weights rounded
+    to 9 decimals per update so the oracle's CTE chain walks the
+    identical float trajectory. Output is the 7-row weight artifact."""
+    from unified_ocr_pipeline_spark.operators import featurize as FZ
+
+    d = _t(spark, sf, "documents")
+    wts = FZ.quality_lr_train(d, "text", iters=4, lr=0.5)
+    rows = [(f, float(round(wts[f], 6))) for f in FZ.QUALITY_FEATURES]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
 def _q_text_embed(spark, sf):
     """Deterministic hashed char-3-gram text embedding (the featurizer
     that makes the embedding-side family — semantic_dedup / ivf_topk /
@@ -3896,6 +3910,7 @@ def _q_text_embed(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_embed": _q_text_embed,
+        "quality_lr_train": _q_quality_lr_train,
         "flagship_lang_yield": _q_flagship_lang_yield,
         "scan_filter_project": _q_scan_filter_project,
         "token_stats": _q_token_stats,
@@ -4533,6 +4548,93 @@ _STOP_FR = r"\b(le|la|les|et|est|un|une|dans)\b"
 _BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _lr_train_oracle(iters: int = 4, lr: float = 0.5) -> str:
+    """Replays quality_lr_train's full-batch GD float-op-for-float-op:
+    the shared quality shape CTEs feed (y, x*) features, then one
+    (predict → avg-gradient → round-9 update) CTE triple per iteration,
+    chained through 1-row weight relations — the same fixed iteration
+    count and per-update rounding the Spark side applies, so both sides
+    walk identical weight trajectories."""
+    cols = ("b", "l", "s", "d", "t", "y", "m")
+    xs = ("1.0", "xl", "xs", "xd", "xt", "xy", "xm")
+    ctes = [
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS c{c}" for c in cols)
+        + ")"
+    ]
+    for k in range(1, iters + 1):
+        z = " + ".join(
+            f"c{c} * {x}" if x != "1.0" else f"c{c}"
+            for c, x in zip(cols, xs)
+        )
+        ctes.append(
+            f"p{k} AS (SELECT feat.*, "
+            f"1.0 / (1.0 + exp(-({z}))) - y AS e "
+            f"FROM feat CROSS JOIN w{k - 1})"
+        )
+        ctes.append(
+            f"g{k} AS (SELECT "
+            + ", ".join(
+                f"avg(e{'' if x == '1.0' else ' * ' + x}) AS g{c}"
+                for c, x in zip(cols, xs)
+            )
+            + f" FROM p{k})"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT "
+            + ", ".join(
+                f"round(c{c} - {lr} * g{c}, 9) AS c{c}" for c in cols
+            )
+            + f" FROM w{k - 1} CROSS JOIN g{k})"
+        )
+    names = (
+        "bias", "len_feat", "stop_feat", "dup_frac",
+        "top_cov", "sym_ratio", "mwl_dist",
+    )
+    final = " UNION ALL ".join(
+        f"SELECT '{n}' AS feature, round(c{c}, 6) AS weight FROM w{iters}"
+        for n, c in zip(names, cols)
+    )
+    return rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS syms,
+                 len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS stop_hits
+          FROM documents),
+        s AS (
+          SELECT doc_id, syms, stop_hits, ws, len(ws) AS n,
+                 len(list_distinct(ws)) AS nd,
+                 list_sum(list_transform(ws, x -> length(x))) AS total_len
+          FROM w),
+        m AS (
+          SELECT doc_id, n, stop_hits,
+                 CASE WHEN n = 0 THEN 0.0
+                      ELSE round(1.0 - nd / CAST(n AS DOUBLE), 4) END AS dup_frac,
+                 CASE WHEN n = 0 THEN 0.0
+                      ELSE round(list_max(list_transform(list_distinct(ws),
+                             d -> len(list_filter(ws, x -> x = d))))
+                           / CAST(n AS DOUBLE), 4) END AS top_cov,
+                 CASE WHEN n = 0 THEN 0.0
+                      ELSE round(total_len / CAST(n AS DOUBLE), 4) END AS mean_wlen,
+                 CASE WHEN n = 0 THEN 0.0
+                      ELSE round(syms / CAST(n AS DOUBLE), 4) END AS sym_ratio
+          FROM s),
+        feat AS (
+          SELECT CASE WHEN dup_frac <= 0.3 AND top_cov <= 0.2
+                       AND mean_wlen BETWEEN 2.0 AND 12.0
+                       AND sym_ratio <= 0.3 THEN 1.0 ELSE 0.0 END AS y,
+                 least(n / 100.0, 1.0) AS xl,
+                 least(stop_hits * 5.0 / greatest(n, 1), 1.0) AS xs,
+                 dup_frac AS xd, top_cov AS xt, sym_ratio AS xy,
+                 least(abs(mean_wlen - 5.0), 5.0) AS xm
+          FROM m),
+        {", ".join(ctes)}
+        {final}
+    """
+
+
 def _url_canon_oracle() -> str:
     """Replays functions/url.py regex-for-regex (Java∩RE2 dialect)."""
     from unified_ocr_pipeline_spark.functions.url import TRACKING_PARAM_REGEX
@@ -4809,6 +4911,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dim, round(r / nv, 6) AS val
             FROM dense WHERE nv > 0
         """,
+        "quality_lr_train": _lr_train_oracle(iters=4, lr=0.5),
         "flagship_lang_yield": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "snm_pairs",
     "text_embed",
+    "quality_lr_train",
     "embedding_topk",
     "embedding_lsh_topk",
     "ivf_topk",

@@ -94,3 +94,124 @@ def text_embed(
     return df.select(id_col, text_col).mapInPandas(
         gen, schema=f"{id_col} {id_type}, emb array<double>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier: distributed logistic regression
+# ---------------------------------------------------------------------------
+
+# Feature order is part of the contract (the oracle and the NumPy
+# differential replay it positionally).
+QUALITY_FEATURES = (
+    "bias", "len_feat", "stop_feat", "dup_frac",
+    "top_cov", "sym_ratio", "mwl_dist",
+)
+
+
+def quality_feature_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(y, len_feat, stop_feat, dup_frac, top_cov, sym_ratio, mwl_dist):
+    the quality_lr_score feature vector per document plus the Gopher
+    rule-gate as the 0/1 weak label — ONE codegen scan, same rounded
+    signals as the gates (so the trained model scores exactly what the
+    fixed-weight ``quality_lr_score`` scores)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TX
+
+    t = F.col(text_col)
+    w = TX.words_of(t)
+    n = F.size(w)
+    return df.select(
+        TX.gopher_keep(t).cast("double").alias("y"),
+        F.least(n / F.lit(100.0), F.lit(1.0)).alias("len_feat"),
+        F.least(
+            TX.stopword_hits(t, "en") * F.lit(5.0) / F.greatest(n, F.lit(1)),
+            F.lit(1.0),
+        ).alias("stop_feat"),
+        TX.dup_word_fraction(t).alias("dup_frac"),
+        TX.top_word_coverage(t).alias("top_cov"),
+        TX.symbol_word_ratio(t).alias("sym_ratio"),
+        F.least(
+            F.abs(TX.mean_word_length(t) - F.lit(5.0)), F.lit(5.0)
+        ).alias("mwl_dist"),
+    )
+
+
+def quality_lr_train(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 4,
+    lr: float = 0.5,
+) -> dict[str, float]:
+    """Full-batch gradient-descent logistic regression distilling the
+    Gopher rule-gate into a smooth classifier over the quality shape
+    features.  Returns ``{feature: weight}`` (driver-side artifact, the
+    ``kmeans_train`` pattern) — apply with ``quality_lr_score_trained``.
+
+    Deterministic by construction so a SQL oracle can replay the float
+    ops: zero init, FIXED iteration count, and every weight rounded to
+    9 decimals after each update — the rounding absorbs summation-order
+    differences between Spark's partition-ordered avg and any replayer's,
+    so iteration k+1 starts from bit-comparable weights on both sides.
+
+    Scale shape: the feature frame is ONE codegen scan, persisted; each
+    iteration is ONE partially-aggregated pass (map-side combine — the
+    shuffle carries 7 doubles per task) with a 1-row collect, mirroring
+    the bounded per-round driver actions of bpe/cc.  ``iters`` is a
+    constant, so total work is O(iters × scan) with no growing state;
+    at a real 100 TB you'd train on a hash sample (the ``lm_train``
+    discipline) — the aggregation shape is already the scale-safe one.
+    """
+    from pyspark.sql import functions as F
+
+    feat = quality_feature_frame(df, text_col).persist()
+    try:
+        names = QUALITY_FEATURES[1:]
+        wts = {f: 0.0 for f in QUALITY_FEATURES}
+        for _ in range(iters):
+            z = F.lit(wts["bias"])
+            for f in names:
+                z = z + F.lit(wts[f]) * F.col(f)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("y")
+            row = feat.agg(
+                F.avg(err).alias("bias"),
+                *[F.avg(err * F.col(f)).alias(f) for f in names],
+            ).first()
+            wts = {
+                f: round(wts[f] - lr * row[f], 9) for f in QUALITY_FEATURES
+            }
+        return wts
+    finally:
+        feat.unpersist()
+
+
+def quality_lr_score_trained(
+    text_col, weights: dict[str, float]
+):
+    """Sigmoid score Column from a ``quality_lr_train`` artifact — same
+    featurization, trained weights, round(4) like ``quality_lr_score``."""
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TX
+
+    t = text_col if not isinstance(text_col, str) else F.col(text_col)
+    w = TX.words_of(t)
+    n = F.size(w)
+    feats = {
+        "len_feat": F.least(n / F.lit(100.0), F.lit(1.0)),
+        "stop_feat": F.least(
+            TX.stopword_hits(t, "en") * F.lit(5.0) / F.greatest(n, F.lit(1)),
+            F.lit(1.0),
+        ),
+        "dup_frac": TX.dup_word_fraction(t),
+        "top_cov": TX.top_word_coverage(t),
+        "sym_ratio": TX.symbol_word_ratio(t),
+        "mwl_dist": F.least(
+            F.abs(TX.mean_word_length(t) - F.lit(5.0)), F.lit(5.0)
+        ),
+    }
+    z = F.lit(weights["bias"])
+    for f, c in feats.items():
+        z = z + F.lit(weights[f]) * c
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
