@@ -113,3 +113,52 @@ def test_bitext_id_collision_between_sets(spark):
         _to_df(spark, src), _to_df(spark, tgt), k=2, threshold=1.0, mutual=True
     ).collect()
     assert (0, 0) in {(r["src_id"], r["tgt_id"]) for r in mined}
+
+
+def test_bitext_ann_path_recovers_planted_alignment(spark):
+    """Above ann_threshold the two directional searches route through
+    the IVF machinery (trained cells, exclude_self=False) — the planted
+    diagonal must still be recovered at high recall."""
+    rng = np.random.default_rng(31)
+    n = 24
+    base = [rng.normal(size=16) for _ in range(n)]
+    src = {i: base[i] for i in range(n)}
+    tgt = {100 + i: base[i] + rng.normal(scale=0.01, size=16) for i in range(n)}
+    for j in range(n, n + 8):
+        tgt[100 + j] = rng.normal(size=16)
+    mined = BT.bitext_mine(
+        _to_df(spark, src), _to_df(spark, tgt), k=3, threshold=1.0,
+        mutual=True, ann_threshold=0, n_cells=4, nprobe=2,
+    ).collect()
+    pairs = {(r["src_id"], r["tgt_id"]) for r in mined}
+    planted = {(i, 100 + i) for i in range(n)}
+    recall = len(pairs & planted) / n
+    assert recall >= 0.9, (recall, sorted(planted - pairs))
+    assert not (pairs - planted)  # no false pairs
+    # id-collision contract holds on the ANN path too: nothing dropped
+    # by a spurious qid != nid exclusion
+    assert all(r["sim"] > 0.99 for r in mined if (r["src_id"], r["tgt_id"]) in planted)
+
+
+def test_bitext_ann_path_plan_has_no_cross_product(spark):
+    """The verdict-r3 contract: above the vector-count threshold the
+    plan carries NO cartesian/nested-loop product — the quadratic
+    search is replaced by the cell-keyed equi-join."""
+    rng = np.random.default_rng(37)
+    src = {i: rng.normal(size=8) for i in range(10)}
+    tgt = {50 + i: rng.normal(size=8) for i in range(10)}
+    df = BT.bitext_mine(
+        _to_df(spark, src), _to_df(spark, tgt), k=2,
+        ann_threshold=0, n_cells=2, nprobe=1,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the exact path below threshold still carries its documented
+    # broadcast product
+    plan_exact = (
+        BT.bitext_mine(
+            _to_df(spark, src), _to_df(spark, tgt), k=2, ann_threshold=None
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan_exact

@@ -108,8 +108,9 @@ def test_no_python_udfs_in_driver_queries(spark):
 # other product join in any driver query is a scale bug.
 _PRODUCT_JOIN_OK = {
     "embedding_topk",      # documented exact brute-force baseline
-    "bitext_mine",         # exact directional top-k (broadcast queries),
-                           # ANN-swappable per operators/bitext.py docstring
+    "bitext_mine",         # exact directional top-k (broadcast queries)
+                           # BELOW ann_threshold only; above it the IVF
+                           # path has no product join (test_bitext)
     "cosine_near_dups",    # LSH candidates verified vs broadcast queries
     "hits_scores",         # one-row L1 normalizer cross joins
     "pagerank",            # one-row dangling-mass scalar

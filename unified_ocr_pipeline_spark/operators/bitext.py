@@ -80,6 +80,10 @@ def bitext_mine(
     k: int = 4,
     threshold: float = 1.0,
     mutual: bool = True,
+    ann_threshold: int | None = 100_000,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Mine aligned pairs across two embedding sets → ``(src_id, tgt_id,
     sim, margin)``, margin-best per source (and per target when
@@ -89,9 +93,48 @@ def bitext_mine(
     only one side ranks highly still gets scored; neighborhood averages
     cover EVERY src and tgt vector (they come from the full top-k
     relations, not the surviving candidates).
+
+    ANN routing: when either side holds more than ``ann_threshold``
+    vectors (two cheap count jobs — parquet count-star reads no
+    payload), the two directional searches route through the IVF
+    machinery (``ivf.ivf_topk``, kmeans-trained cells, ``nprobe``
+    probes, ``exclude_self=False``) instead of the exact
+    broadcast-product — no cross product anywhere in the plan above the
+    threshold, which is what survives two corpus-sized sides at 100 TB.
+    Below it (fixtures, the oracle) the exact product is both faster
+    and bit-replayable. ``ann_threshold=None`` forces the exact path;
+    ``ann_threshold=0`` forces ANN. The downstream margin pipeline is
+    IDENTICAL either way — both searches emit the same (qid, nid, sim)
+    shape; ANN sims arrive rounded to 4 (the ivf_topk canon), which
+    only perturbs margins at the 4th decimal — inherent to the
+    approximate path and inside its recall tolerance anyway.
     """
-    fwd = _directional_topk(tgt, src, id_col, vec_col, k)
-    bwd = _directional_topk(src, tgt, id_col, vec_col, k)
+    use_ann = False
+    if ann_threshold is not None:
+        n_src = src.select(id_col).count()
+        n_tgt = tgt.select(id_col).count()
+        use_ann = max(n_src, n_tgt) > ann_threshold
+    if use_ann:
+        from .ivf import ivf_topk, kmeans_train
+
+        cents = centroids
+        if cents is None:
+            cents = kmeans_train(
+                tgt.select(vec_col).unionByName(src.select(vec_col)),
+                vec_col,
+                n_cells=n_cells,
+            )
+        fwd = ivf_topk(
+            tgt, src, id_col, vec_col, k=k, nprobe=nprobe,
+            centroids=cents, exclude_self=False,
+        )
+        bwd = ivf_topk(
+            src, tgt, id_col, vec_col, k=k, nprobe=nprobe,
+            centroids=cents, exclude_self=False,
+        )
+    else:
+        fwd = _directional_topk(tgt, src, id_col, vec_col, k)
+        bwd = _directional_topk(src, tgt, id_col, vec_col, k)
 
     avg_src = fwd.groupBy("qid").agg(F.avg("sim").alias("a_src")).withColumnRenamed("qid", "src_id")
     avg_tgt = bwd.groupBy("qid").agg(F.avg("sim").alias("a_tgt")).withColumnRenamed("qid", "tgt_id")

@@ -198,6 +198,7 @@ def ivf_topk(
     centroids: Optional[List[List[float]]] = None,
     dim: int = 64,
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: candidates are corpus vectors in
     the query's ``nprobe`` nearest cells; exact cosine re-rank within them.
@@ -207,6 +208,11 @@ def ivf_topk(
     corpus-side cell assignment streams (one matmul per batch, never
     shuffles raw vectors beyond the candidate join); the probe side is tiny
     (n_queries × nprobe) and broadcast.
+
+    ``exclude_self=False`` keeps (qid == nid) matches: when queries and
+    corpus are DISTINCT sets (bitext mining's two languages) an id
+    collision across them is legitimate, the same contract distinction
+    as ``bitext._directional_topk`` vs ``similarity.brute_force_topk``.
     """
     import numpy as np
     import pandas as pd
@@ -216,11 +222,10 @@ def ivf_topk(
         F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell"
     )
     qb = probe_cells(queries, id_col, vec_col, cents, nprobe)
-    cand = (
-        cb.join(F.broadcast(qb), ["cell"])
-        .where(F.col("nid") != F.col("qid"))
-        .select("qid", "qv", "nid", "nv")
-    )
+    cand = cb.join(F.broadcast(qb), ["cell"])
+    if exclude_self:
+        cand = cand.where(F.col("nid") != F.col("qid"))
+    cand = cand.select("qid", "qv", "nid", "nv")
 
     # exact verify: one NumPy pass per Arrow batch — the shared kernel
     # also used by similarity.cosine_near_dup_pairs (one zero-norm
