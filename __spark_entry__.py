@@ -3871,6 +3871,38 @@ def _q_sitemap_coverage(spark, sf):
     return SM.sitemap_coverage(entries, crawled)
 
 
+def _q_pii_extended(spark, sf):
+    """IBAN (ISO 7064 mod-97 validated) + SSN-shaped id scrub: bodies
+    plant a known-valid IBAN + structurally-valid SSN (m=0), shape-
+    matching but INVALID ones (m=1 — wrong check digits / 666 area),
+    a second valid IBAN country shape (m=2), or nothing (m=3). The
+    engine must count candidates vs validated and redact ONLY the
+    valid ones; the oracle predicts every column from the class."""
+    from unified_ocr_pipeline_spark.functions import pii as PII
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    m = did % 4
+    sid = did.cast("string")
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit("acct DE89370400440532013000 ssn 219-09-9999 ref "), sid))
+        .when(m == 1, F.concat(
+            F.lit("acct DE89370400440532013001 ssn 666-12-3456 ref "), sid))
+        .when(m == 2, F.concat(
+            F.lit("acct GB82WEST12345698765432 ref "), sid))
+        .otherwise(F.concat(F.lit("clean note "), sid))
+    )
+    ic, iv = PII.iban_mentions(body)
+    sc, sv = PII.ssn_mentions(body)
+    return d.select(
+        "doc_id",
+        ic.alias("n_iban_cand"), iv.alias("n_iban_valid"),
+        sc.alias("n_ssn_cand"), sv.alias("n_ssn_valid"),
+        PII.redact_ssns(PII.redact_ibans(body)).alias("redacted"),
+    )
+
+
 def _q_quality_lr_train(spark, sf):
     """TRAINED quality classifier: full-batch GD logistic regression
     distilling the Gopher rule-gate into a smooth score over the shape
@@ -3911,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_embed": _q_text_embed,
         "quality_lr_train": _q_quality_lr_train,
+        "pii_extended": _q_pii_extended,
         "flagship_lang_yield": _q_flagship_lang_yield,
         "scan_filter_project": _q_scan_filter_project,
         "token_stats": _q_token_stats,
@@ -4912,6 +4945,27 @@ def oracle_sql() -> dict[str, str]:
             FROM dense WHERE nv > 0
         """,
         "quality_lr_train": _lr_train_oracle(iters=4, lr=0.5),
+        # pii_extended: every column predicted from the planted class
+        # (the m=0 literals are valid by the real mod-97 / SSA rules,
+        # the m=1 literals are their corrupted twins).
+        "pii_extended": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END
+                        AS INT) AS n_iban_cand,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END
+                        AS INT) AS n_iban_valid,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END
+                        AS INT) AS n_ssn_cand,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS INT) AS n_ssn_valid,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'acct [IBAN] ssn [SSN] ref '
+                     WHEN 1 THEN 'acct DE89370400440532013001 ssn 666-12-3456 ref '
+                     WHEN 2 THEN 'acct [IBAN] ref '
+                     ELSE 'clean note ' END
+                     || CAST(doc_id AS VARCHAR) AS redacted
+            FROM documents
+        """,
         "flagship_lang_yield": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

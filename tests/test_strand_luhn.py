@@ -2,6 +2,8 @@
 
 from pyspark.sql import functions as F
 
+from unified_ocr_pipeline_spark.functions import pii as PII
+
 
 # ---------------------------------------------------------------------------
 # strand_url_pairs
@@ -140,3 +142,53 @@ def test_redact_cards_leaves_longer_digit_runs_intact(spark):
     df = spark.createDataFrame([(t,)], "t string")
     r = df.select(PII.redact_cards(F.col("t")).alias("red")).first()
     assert r["red"] == f"card [CARD] ref 9{valid}115 end"
+
+
+# ---------------------------------------------------------------------------
+# IBAN / SSN
+# ---------------------------------------------------------------------------
+
+def test_iban_mod97_validation_and_redaction(spark):
+    t = ("send to DE89370400440532013000 or GB82WEST12345698765432 "
+         "but not DE89370400440532013001 ok")
+    df = spark.createDataFrame([(t,)], "t string")
+    n_cand, n_valid = PII.iban_mentions(F.col("t"))
+    r = df.select(
+        n_cand.alias("c"), n_valid.alias("v"),
+        PII.redact_ibans(F.col("t")).alias("red"),
+    ).first()
+    assert (r["c"], r["v"]) == (3, 2)
+    assert r["red"] == ("send to [IBAN] or [IBAN] "
+                        "but not DE89370400440532013001 ok")
+
+
+def test_iban_not_matched_inside_longer_alnum_run(spark):
+    # no word boundary inside an alnum run: an IBAN glued to more
+    # alphanumerics is not a candidate
+    t = "XXDE89370400440532013000YY"
+    df = spark.createDataFrame([(t,)], "t string")
+    n_cand, _ = PII.iban_mentions(F.col("t"))
+    assert df.select(n_cand.alias("c")).first()["c"] == 0
+
+
+def test_ssn_structural_exclusions(spark):
+    t = ("real 219-09-9999 fake area 000-12-3456 and 666-12-3456 and "
+         "987-65-4320 group 123-00-4567 serial 123-45-0000")
+    df = spark.createDataFrame([(t,)], "t string")
+    n_cand, n_valid = PII.ssn_mentions(F.col("t"))
+    r = df.select(
+        n_cand.alias("c"), n_valid.alias("v"),
+        PII.redact_ssns(F.col("t")).alias("red"),
+    ).first()
+    # every 9xx area (including the 987-65-432x ad specimens) is
+    # never issued -> excluded
+    assert (r["c"], r["v"]) == (6, 1)
+    assert "[SSN]" in r["red"]
+    assert "666-12-3456" in r["red"] and "000-12-3456" in r["red"]
+    assert "219-09-9999" not in r["red"] and "987-65-4320" in r["red"]
+
+
+def test_ssn_9xx_area_excluded(spark):
+    df = spark.createDataFrame([("id 923-45-6789 here",)], "t string")
+    _, n_valid = PII.ssn_mentions(F.col("t"))
+    assert df.select(n_valid.alias("v")).first()["v"] == 0

@@ -126,3 +126,100 @@ def redact_cards(text: Column) -> Column:
             F.lit("[CARD]"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# IBAN (ISO 13616) with mod-97 validation; SSN-shaped ids
+# ---------------------------------------------------------------------------
+# Same scope stamp as the rest of this module: recall-oriented
+# training-data scrubs in the Java∩RE2 dialect (no lookaround, no
+# backrefs), NOT production PII systems — no per-country BBAN length
+# tables, no SSN issuance-history model. The IBAN check IS the real
+# ISO 7064 mod-97 (pure integer fold, like the Luhn kernel); the SSN
+# check applies the published structural exclusions (000/666/9xx area,
+# 00 group, 0000 serial).
+
+IBAN_REGEX = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+SSN_REGEX = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def iban_valid(candidate: Column) -> Column:
+    """ISO 7064 mod-97-10 over the rearranged IBAN (first 4 chars moved
+    to the end, letters mapped A=10..Z=35): valid iff the resulting
+    number ≡ 1 (mod 97). The fold keeps the accumulator < 97 at every
+    step — acc·100 + 35 < 2^31, no overflow, ANSI-mode safe."""
+    rearranged = F.concat(
+        F.substring(candidate, 5, 34), F.substring(candidate, 1, 4)
+    )
+    chars = F.filter(F.split(rearranged, ""), lambda c: c != F.lit(""))
+    acc = F.aggregate(
+        chars,
+        F.lit(0),
+        lambda a, c: F.when(
+            c.rlike("^[0-9]$"), (a * 10 + (F.ascii(c) - 48)) % 97
+        ).otherwise((a * 100 + (F.ascii(c) - 55)) % 97),
+    )
+    return (F.length(candidate) >= 15) & (acc == 1)
+
+
+def iban_mentions(text: Column) -> tuple[Column, Column]:
+    """(n_candidates, n_valid): IBAN-shaped runs found, and how many
+    pass mod-97 — redact only the valid ones."""
+    cands = F.regexp_extract_all(text, F.lit(IBAN_REGEX), F.lit(0))
+    valid = F.filter(cands, iban_valid)
+    return F.size(cands).cast("int"), F.size(valid).cast("int")
+
+
+def redact_ibans(text: Column) -> Column:
+    """Replace mod-97-VALID IBAN-shaped runs with [IBAN]; leave invalid
+    runs (product codes that happen to match the shape) untouched.
+    Word-bounded per candidate, same discipline as ``redact_cards``
+    (candidates are pure [A-Z0-9] so no regex quoting needed)."""
+    cands = F.regexp_extract_all(text, F.lit(IBAN_REGEX), F.lit(0))
+    valid = F.array_distinct(F.filter(cands, iban_valid))
+    return F.aggregate(
+        valid,
+        text,
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\b"), c, F.lit(r"\b")),
+            F.lit("[IBAN]"),
+        ),
+    )
+
+
+def ssn_valid(candidate: Column) -> Column:
+    """Structural SSN validity (SSA published rules): area not 000/666
+    and below 900, group not 00, serial not 0000. Shape is already
+    guaranteed by SSN_REGEX."""
+    area = F.substring(candidate, 1, 3)
+    group = F.substring(candidate, 5, 2)
+    serial = F.substring(candidate, 8, 4)
+    return (
+        (area != "000") & (area != "666") & (area < "900")
+        & (group != "00") & (serial != "0000")
+    )
+
+
+def ssn_mentions(text: Column) -> tuple[Column, Column]:
+    """(n_candidates, n_valid) for SSN-shaped ddd-dd-dddd runs."""
+    cands = F.regexp_extract_all(text, F.lit(SSN_REGEX), F.lit(0))
+    valid = F.filter(cands, ssn_valid)
+    return F.size(cands).cast("int"), F.size(valid).cast("int")
+
+
+def redact_ssns(text: Column) -> Column:
+    """Replace structurally-valid SSN-shaped runs with [SSN]; leave
+    excluded shapes (000/666/9xx areas etc.) untouched — they are
+    never issued, so they are props/examples, not PII."""
+    cands = F.regexp_extract_all(text, F.lit(SSN_REGEX), F.lit(0))
+    valid = F.array_distinct(F.filter(cands, ssn_valid))
+    return F.aggregate(
+        valid,
+        text,
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\b"), c, F.lit(r"\b")),
+            F.lit("[SSN]"),
+        ),
+    )
