@@ -126,3 +126,16 @@ def test_parse_atom_only_self_falls_back_to_first():
     )
     _, entries = parse_feed(body)
     assert entries[0][2] == "http://h/api/1"
+
+
+def test_parse_atom_quote_styles():
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = (
+        "<feed><entry><title>T</title>"
+        "<link rel='self' href='http://h/api/1'/>"
+        "<link rel=alternate href=http://h/article/1>"
+        "<id>a1</id></entry></feed>"
+    )
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/article/1"

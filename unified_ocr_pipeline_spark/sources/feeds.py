@@ -31,8 +31,20 @@ _TEXT_FIELD = re.compile(
     r"\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</\1>",
     re.S | re.I,
 )
-_ATOM_LINK = re.compile(r"<link\b[^>]*\bhref\s*=\s*\"([^\"]*)\"[^>]*/?>", re.I)
-_ATOM_LINK_REL = re.compile(r"\brel\s*=\s*\"([^\"]*)\"", re.I)
+# Either quote style or unquoted (feeds in the wild mix all three; no
+# backreference — group per style, first non-None wins).
+_ATOM_LINK = re.compile(
+    r"<link\b[^>]*\bhref\s*=\s*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))[^>]*/?>",
+    re.I,
+)
+_ATOM_LINK_REL = re.compile(
+    r"\brel\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))", re.I
+)
+
+
+def _first_group(m: "re.Match[str]") -> str:
+    return next(g for g in m.groups() if g is not None)
 
 
 def _atom_fetch_link(inner: str) -> str | None:
@@ -43,11 +55,14 @@ def _atom_fetch_link(inner: str) -> str | None:
     first = None
     for am in _ATOM_LINK.finditer(inner):
         tag = am.group(0)
+        href = _first_group(am)
         if first is None:
-            first = am.group(1)
+            first = href
         rel = _ATOM_LINK_REL.search(tag)
-        if rel is None or rel.group(1).strip().lower() in ("", "alternate"):
-            return am.group(1)
+        if rel is None or _first_group(rel).strip().lower() in (
+            "", "alternate",
+        ):
+            return href
     return first
 
 
