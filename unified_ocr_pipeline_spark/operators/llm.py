@@ -51,6 +51,87 @@ def stub_client() -> Callable[[str], Dict[str, object]]:
     return _call
 
 
+def http_client(
+    base_url: str,
+    model: str = "llama3.2:1b",
+    timeout: float = 120.0,
+    probe: bool = True,
+    prompt_format: Optional[str] = "json",
+) -> Callable[[str], Dict[str, object]]:
+    """REAL Ollama-protocol HTTP client over ONE persistent connection
+    (the per-worker connection pool ``llm_extract``'s factory seam
+    exists for). Mirrors the reference's call contract
+    (/root/reference/scripts/unified_ocr_pipeline.py:929-1005):
+
+    - availability probe ``GET /api/tags`` at construction (:931-938) —
+      fail fast on a dead endpoint instead of per-row timeouts;
+    - ``POST /api/generate`` with ``{model, prompt, stream: false,
+      format: "json"}`` (:988-996);
+    - on a 5xx, ONE in-call retry without the ``format`` hint (:997-1005
+      — "often fixes 500s");
+    - the endpoint's ``response`` field (a string of model output) is
+      parsed as JSON and returned as the record dict.
+
+    ``http.client.HTTPConnection`` with keep-alive: the TCP connection is
+    reused across every row the worker processes (reconnect-once on a
+    stale socket); per-request urllib would re-handshake per document —
+    at 10^12 calls the handshakes alone would dominate.  Row-level retry
+    policy stays in ``llm_extract`` (bounded attempts, quarantine rows).
+    """
+    import http.client
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(base_url)
+    if parts.scheme not in ("http", ""):
+        raise ValueError(f"http_client supports http:// urls, got {base_url}")
+    host = parts.hostname or "localhost"
+    port = parts.port or 11434
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+
+    def _request(method: str, path: str, body: Optional[bytes]) -> tuple[int, bytes]:
+        headers = {"Content-Type": "application/json"} if body else {}
+        try:
+            conn.request(method, path, body=body, headers=headers)
+            r = conn.getresponse()
+            return r.status, r.read()
+        except (http.client.HTTPException, ConnectionError, OSError):
+            # stale keep-alive socket: reconnect ONCE and replay
+            conn.close()
+            conn.request(method, path, body=body, headers=headers)
+            r = conn.getresponse()
+            return r.status, r.read()
+
+    if probe:
+        status, _ = _request("GET", "/api/tags", None)
+        if status != 200:
+            raise ConnectionError(
+                f"LLM endpoint probe failed: GET /api/tags -> {status}"
+            )
+
+    def _generate(prompt: str, fmt: Optional[str]) -> tuple[int, bytes]:
+        payload: Dict[str, object] = {
+            "model": model, "prompt": prompt, "stream": False,
+        }
+        if fmt:
+            payload["format"] = fmt
+        return _request(
+            "POST", "/api/generate", json.dumps(payload).encode("utf-8")
+        )
+
+    def _call(prompt: str) -> Dict[str, object]:
+        status, body = _generate(prompt, prompt_format)
+        if 500 <= status <= 599 and prompt_format:
+            status, body = _generate(
+                prompt + "\n\nReturn only valid JSON.", None
+            )
+        if status != 200:
+            raise ConnectionError(f"/api/generate -> {status}")
+        outer = json.loads(body.decode("utf-8"))
+        return json.loads(outer["response"])
+
+    return _call
+
+
 def llm_extract(
     df: DataFrame,
     id_col: str,
