@@ -16,7 +16,14 @@ testdata documents table shape. Stages:
      components → keep the highest-quality doc per cluster
   2b. (optional, when a benchmark parquet is given) eval-benchmark
      decontamination: drop docs sharing 8-grams with the held-out set
+  2c. semantic dedup from RAW TEXT: deterministic hashed-n-gram
+     featurizer (text_embed) -> kmeans-trained IVF cells -> SemDeDup
+     keep-set — catches paraphrase-level duplicates token-level LSH
+     misses, with no external embedding model
   3. per-lang quality gate (keep the top half by Gopher-style score)
+  3b. learned quality gate: quality_lr_train distills the rule gate
+     into a trained LR (bounded gradient passes), gated at the corpus's
+     own per-lang score median
   4. per-source stratified sample (balance the corpus); for token-budget
      mixtures use SAMP.mixture_sample / mixture_sample_rate instead
   5. concat-and-chunk packing into 4096-char context windows
@@ -30,6 +37,8 @@ from unified_ocr_pipeline_spark.functions import text as TX
 from unified_ocr_pipeline_spark.operators import cc as CC
 from unified_ocr_pipeline_spark.operators import curation as CUR
 from unified_ocr_pipeline_spark.operators import dedup as DD
+from unified_ocr_pipeline_spark.operators import featurize as FZ
+from unified_ocr_pipeline_spark.operators import ivf as IVF
 from unified_ocr_pipeline_spark.operators import sampling as SAMP
 
 
@@ -88,6 +97,18 @@ def main() -> None:
             "doc_id", "left_semi",
         )
 
+    # 2c. semantic dedup from raw text: the featurizer makes the
+    # embedding path runnable with zero model dependencies; cells are
+    # trained on a bounded sample, candidate pairs stay cell-local
+    emb = FZ.text_embed(d, "text", "doc_id", dim=64)
+    cents = IVF.kmeans_train(emb, "emb", n_cells=16, sample_rows=100_000)
+    sem = IVF.semantic_dedup(emb, "doc_id", "emb", cents, threshold=0.97)
+    sem_drop = sem.where(~F.col("is_canonical")).select(
+        F.col("id").alias("doc_id")
+    )
+    d = d.join(sem_drop, "doc_id", "left_anti")
+    n2c = d.count()
+
     # 3. quality gate: Gopher-style score (computed above for the
     # canonical pick), keep top half per lang.
     # Persist here: everything above (exact-dedup join + MinHash UDF +
@@ -96,6 +117,18 @@ def main() -> None:
         d, ["lang"], "q", 0.5, tie_cols=["doc_id"]
     ).persist()
     n3 = d.count()
+
+    # 3b. learned gate on top of the rule gate: train the LR on the
+    # surviving corpus (one feature scan, 4 bounded gradient passes),
+    # then gate at the corpus's own score median — deployment picks the
+    # threshold from a quantile, not an absolute 0.5 (a skewed corpus
+    # shifts the whole score distribution)
+    wts = FZ.quality_lr_train(d, "text", iters=4, lr=0.5)
+    d = d.withColumn("lr_q", FZ.quality_lr_score_trained("text", wts))
+    d = SAMP.quantile_gate_per_group(
+        d, ["lang"], "lr_q", 0.5, tie_cols=["doc_id"]
+    ).drop("lr_q")
+    n3b = d.count()
 
     # 4. balance per source
     d = SAMP.sample_per_group(d, ["source"], "doc_id", 1_000_000)
@@ -106,7 +139,8 @@ def main() -> None:
     windows = packed.agg(F.max("pack_window")).first()[0]
 
     print(f"docs: raw={n0} exact_dedup={n1} near_dedup={n2} "
-          f"quality_gated={n3} windows<=?{windows}")
+          f"sem_dedup={n2c} quality_gated={n3} lr_gated={n3b} "
+          f"windows<=?{windows}")
     spark.stop()
 
 
