@@ -153,3 +153,11 @@ def test_feed_discovery_quote_styles_and_order(spark):
         ("rss", "/feed.rss"),
         ("atom", "/feed.atom"),
     }
+
+
+def test_og_unquoted_property_as_final_attribute(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = '<head><meta content="article" property=og:type></head>'
+    r = MD.og_cards(_pages(spark, [("u", html)])).first()
+    assert r["og_type"] == "article"

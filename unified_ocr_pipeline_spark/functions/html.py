@@ -184,10 +184,13 @@ def hreflang_href(tag: Column) -> Column:
 
 def _og_tag_re(prop: str) -> str:
     # Quoted og:{prop} closes with its quote; unquoted must be followed
-    # by whitespace or '/' so og:image never swallows og:image:width.
+    # by whitespace, '/', or the tag close — so og:image never swallows
+    # og:image:width. No lookaround (Java∩RE2): the final alternative
+    # binds og:{prop} directly to '>'.
     return (
         rf"(?i)<meta\b[^>]*\bproperty\s*=\s*"
-        rf"""(?:"og:{prop}"|'og:{prop}'|og:{prop}[\s/])[^>]*>"""
+        rf"""(?:"og:{prop}"[^>]*|'og:{prop}'[^>]*|og:{prop}[\s/][^>]*"""
+        rf"|og:{prop})>"
     )
 
 
