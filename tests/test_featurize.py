@@ -99,3 +99,45 @@ def test_semantic_dedup_end_to_end_from_raw_text(spark):
         if k > 2:
             assert all(k2 % 2 == k % 2 for k2, v2 in comps.items()
                        if k2 > 2 and v2 == v)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties (pure-Python kernel level — no Spark session per
+# example, same discipline as test_ingest_fuzz)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300), st.integers(min_value=1, max_value=64))
+def test_gram_bucket_sign_total_and_deterministic(text, dim):
+    # the kernel the Arrow pass applies per distinct gram: defined for
+    # ANY unicode gram, bucket in range, sign in {-1, 1}, and stable
+    import unified_ocr_pipeline_spark.operators.featurize as FZ
+
+    for i in range(max(0, len(text) - 2)):
+        g = text[i : i + 3]
+        b, s = FZ._gram_bucket_sign(g, dim)
+        assert 0 <= b < dim and s in (-1, 1)
+        assert (b, s) == FZ._gram_bucket_sign(g, dim)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 -", max_size=80))
+def test_iban_regex_never_partial_matches_inside_runs(s):
+    # every extracted candidate is a maximal [A-Z0-9] run of the IBAN
+    # shape — word boundaries guarantee no mid-run partial matches
+    import re
+
+    from unified_ocr_pipeline_spark.functions.pii import IBAN_REGEX
+
+    java_equiv = IBAN_REGEX  # \b, classes, braces: same in Python re
+    for m in re.finditer(java_equiv, s):
+        lo, hi = m.span()
+        assert lo == 0 or not s[lo - 1].isalnum()
+        assert hi == len(s) or not s[hi].isalnum()
+        body = m.group(0)
+        assert 15 <= len(body) <= 34
+        assert body[:2].isalpha() and body[2:4].isdigit()
