@@ -142,6 +142,8 @@ def quality_lr_train(
     text_col: str = "text",
     iters: int = 4,
     lr: float = 0.5,
+    sample_mod: int | None = None,
+    id_col: str = "doc_id",
 ) -> dict[str, float]:
     """Full-batch gradient-descent logistic regression distilling the
     Gopher rule-gate into a smooth classifier over the quality shape
@@ -158,12 +160,21 @@ def quality_lr_train(
     iteration is ONE partially-aggregated pass (map-side combine — the
     shuffle carries 7 doubles per task) with a 1-row collect, mirroring
     the bounded per-round driver actions of bpe/cc.  ``iters`` is a
-    constant, so total work is O(iters × scan) with no growing state;
-    at a real 100 TB you'd train on a hash sample (the ``lm_train``
-    discipline) — the aggregation shape is already the scale-safe one.
+    constant, so total work is O(iters × scan) with no growing state.
+    ``sample_mod`` is the 100 TB path: train on the deterministic md5-60
+    hash sample of ``id_col`` (the ``lm_train`` discipline — re-runs and
+    incremental batches pick identical docs), so the persisted feature
+    frame is corpus/``sample_mod`` sized instead of corpus sized; LR
+    gradients concentrate fast, so a fixed-rate sample loses nothing a
+    full-batch pass would find.  ``None`` (the oracle/fixture default)
+    trains on everything.
     """
     from pyspark.sql import functions as F
 
+    from .sampling import md5_60
+
+    if sample_mod is not None:
+        df = df.where(md5_60(F.col(id_col)) % sample_mod == 0)
     feat = quality_feature_frame(df, text_col).persist()
     try:
         names = QUALITY_FEATURES[1:]
