@@ -3871,6 +3871,28 @@ def _q_sitemap_coverage(spark, sf):
     return SM.sitemap_coverage(entries, crawled)
 
 
+def _q_lang_lr_train(spark, sf):
+    """Trained multiclass language classifier (fastText-style softmax
+    regression over the hashed char-n-gram embedding): zero init, 2
+    fixed full-batch GD iterations, lr 1.0, round-9 updates, softmax
+    denominator summed in sorted-class order — the oracle's CTE chain
+    replays the identical float trajectory over the same projected
+    features. Output is the (lang, feature, weight) artifact."""
+    from unified_ocr_pipeline_spark.operators import featurize as FZ
+
+    d = _t(spark, sf, "documents")
+    W = FZ.lang_lr_train(
+        d, "text", "lang", "doc_id", dim=8, n=3, iters=2, lr=1.0
+    )
+    fnames = ["bias"] + [f"e{j}" for j in range(8)]
+    rows = [
+        (c, f, float(round(W[c][f], 6)))
+        for c in sorted(W)
+        for f in fnames
+    ]
+    return spark.createDataFrame(rows, "lang string, feature string, weight double")
+
+
 def _q_pii_extended(spark, sf):
     """IBAN (ISO 7064 mod-97 validated) + SSN-shaped id scrub: bodies
     plant a known-valid IBAN + structurally-valid SSN (m=0), shape-
@@ -3943,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_embed": _q_text_embed,
         "quality_lr_train": _q_quality_lr_train,
+        "lang_lr_train": _q_lang_lr_train,
         "pii_extended": _q_pii_extended,
         "flagship_lang_yield": _q_flagship_lang_yield,
         "scan_filter_project": _q_scan_filter_project,
@@ -4581,6 +4604,114 @@ _STOP_FR = r"\b(le|la|les|et|est|un|une|dans)\b"
 _BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _lang_lr_oracle(
+    dim: int = 8,
+    iters: int = 2,
+    lr: float = 1.0,
+    classes: tuple = ("de", "en", "es", "fr", "zh"),
+) -> str:
+    """Replays lang_lr_train float-op-for-float-op: the text_embed
+    projection CTEs pivot to per-doc feature columns, the lang label
+    joins back, then per iteration one (softmax → avg-gradient →
+    round-9 update) CTE triple chained through 1-row weight relations —
+    denominator summed in sorted-class order exactly as the Spark fold.
+    ``classes`` pins the fixture's stable label set (sorted)."""
+    nc = len(classes)
+    xs = [f"x{j}" for j in range(dim)]
+
+    def z_expr(ci: int) -> str:
+        t = f"c_{ci}_b"
+        for j in range(dim):
+            t += f" + c_{ci}_{j} * x{j}"
+        return t
+
+    ctes = [
+        "w0 AS (SELECT "
+        + ", ".join(
+            f"0.0 AS c_{ci}_{f}"
+            for ci in range(nc)
+            for f in ["b"] + list(range(dim))
+        )
+        + ")"
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"p{k} AS (SELECT feat.*, "
+            + ", ".join(
+                f"exp({z_expr(ci)}) AS ex_{ci}" for ci in range(nc)
+            )
+            + f" FROM feat CROSS JOIN w{k - 1})"
+        )
+        den = " + ".join(f"ex_{ci}" for ci in range(nc))
+        ctes.append(f"s{k} AS (SELECT *, {den} AS den FROM p{k})")
+        gsel = []
+        for ci, c in enumerate(classes):
+            err = (
+                f"ex_{ci} / den - CASE WHEN y = '{c}' "
+                "THEN 1.0 ELSE 0.0 END"
+            )
+            gsel.append(f"avg({err}) AS g_{ci}_b")
+            for j in range(dim):
+                gsel.append(f"avg(({err}) * x{j}) AS g_{ci}_{j}")
+        ctes.append(f"g{k} AS (SELECT " + ", ".join(gsel) + f" FROM s{k})")
+        ctes.append(
+            f"w{k} AS (SELECT "
+            + ", ".join(
+                f"round(c_{ci}_{f} - {lr} * g_{ci}_{f}, 9) AS c_{ci}_{f}"
+                for ci in range(nc)
+                for f in ["b"] + list(range(dim))
+            )
+            + f" FROM w{k - 1} CROSS JOIN g{k})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT '{c}' AS lang, '{fn}' AS feature, "
+        f"round(c_{ci}_{f}, 6) AS weight FROM w{iters}"
+        for ci, c in enumerate(classes)
+        for fn, f in [("bias", "b")] + [(f"e{j}", j) for j in range(dim)]
+    )
+    xsel = ", ".join(
+        f"max(CASE WHEN dim = {j} THEN r / nv END) AS x{j}"
+        for j in range(dim)
+    )
+    return rf"""
+        WITH g AS (
+          SELECT doc_id, substr(text, i, 3) AS gram
+          FROM documents
+          CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                     1, greatest(length(text) - 2, 0))) AS i) t
+          WHERE text IS NOT NULL),
+        b AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                      % {dim} AS INT) AS dim,
+                 CASE WHEN (CAST('0x' || substr(md5(gram), 1, 15)
+                                 AS BIGINT) // {dim}) % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM g),
+        raw AS (
+          SELECT doc_id, dim, CAST(sum(s) AS DOUBLE) AS r
+          FROM b GROUP BY 1, 2),
+        nrm AS (
+          SELECT doc_id, sqrt(sum(r * r)) AS nv
+          FROM raw GROUP BY 1),
+        dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS dim),
+        dense AS (
+          SELECT n.doc_id, dims.dim, coalesce(raw.r, 0.0) AS r, n.nv
+          FROM nrm n CROSS JOIN dims
+          LEFT JOIN raw ON raw.doc_id = n.doc_id
+                       AND raw.dim = dims.dim),
+        x AS (
+          SELECT doc_id, {xsel}
+          FROM dense WHERE nv > 0 GROUP BY doc_id),
+        feat AS (
+          SELECT d.lang AS y, {", ".join("x." + c for c in xs)}
+          FROM x JOIN documents d USING (doc_id)),
+        {", ".join(ctes)}
+        {final}
+    """
+
+
 def _lr_train_oracle(iters: int = 4, lr: float = 0.5) -> str:
     """Replays quality_lr_train's full-batch GD float-op-for-float-op:
     the shared quality shape CTEs feed (y, x*) features, then one
@@ -4945,6 +5076,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dense WHERE nv > 0
         """,
         "quality_lr_train": _lr_train_oracle(iters=4, lr=0.5),
+        "lang_lr_train": _lang_lr_oracle(dim=8, iters=2, lr=1.0),
         # pii_extended: every column predicted from the planted class
         # (the m=0 literals are valid by the real mod-97 / SSA rules,
         # the m=1 literals are their corrupted twins).

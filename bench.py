@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "snm_pairs",
     "text_embed",
     "quality_lr_train",
+    "lang_lr_train",
     "pii_extended",
     "embedding_topk",
     "embedding_lsh_topk",

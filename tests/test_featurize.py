@@ -141,3 +141,57 @@ def test_iban_regex_never_partial_matches_inside_runs(s):
         body = m.group(0)
         assert 15 <= len(body) <= 34
         assert body[:2].isalpha() and body[2:4].isdigit()
+
+
+# ---------------------------------------------------------------------------
+# Trained multiclass language classifier
+# ---------------------------------------------------------------------------
+
+def _lang_corpus(spark):
+    # three synthetic "languages" with disjoint character distributions
+    # — separable by char-3-gram features by construction
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append((i, "aaa bbb aab aba bab abba baab " * 3, "aa"))
+        elif i % 3 == 1:
+            rows.append((i, "xxy yyx xyx yxy xxyy yxxy xyyx " * 3, "xx"))
+        else:
+            rows.append((i, "momo nono mono nomo mnmn onon " * 3, "mm"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_lang_lr_train_separates_planted_languages(spark):
+    df = _lang_corpus(spark)
+    W = FZ.lang_lr_train(df, dim=16, iters=8, lr=2.0)
+    assert set(W) == {"aa", "xx", "mm"}
+    emb = FZ.text_embed(df, dim=16)
+    pred = emb.join(df.select("doc_id", "lang"), "doc_id").select(
+        "lang", FZ.lang_lr_predict("emb", W).alias("pred")
+    )
+    acc = pred.where(F.col("pred") == F.col("lang")).count() / pred.count()
+    assert acc == 1.0  # fully separable -> fully separated
+
+
+def test_lang_lr_train_deterministic_across_runs(spark):
+    df = _lang_corpus(spark)
+    a = FZ.lang_lr_train(df, dim=8, iters=2)
+    b = FZ.lang_lr_train(df, dim=8, iters=2)
+    assert a == b
+    # softmax gradients sum to ~0 across classes at every feature
+    # (property of the multinomial gradient with all-classes update)
+    for f in a["aa"]:
+        s = sum(a[c][f] for c in a)
+        assert abs(s) < 1e-6, (f, s)
+
+
+def test_lang_lr_predict_tie_break_deterministic(spark):
+    # zero weights -> all scores equal -> tie breaks to LAST class in
+    # sort order, every row, deterministically
+    df = _lang_corpus(spark)
+    W = {c: {"bias": 0.0, **{f"e{j}": 0.0 for j in range(8)}}
+         for c in ("aa", "mm", "xx")}
+    emb = FZ.text_embed(df, dim=8)
+    preds = {r["p"] for r in emb.select(
+        FZ.lang_lr_predict("emb", W).alias("p")).collect()}
+    assert preds == {"xx"}

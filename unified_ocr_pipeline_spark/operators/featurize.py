@@ -197,6 +197,103 @@ def quality_lr_train(
         feat.unpersist()
 
 
+def lang_lr_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    dim: int = 8,
+    n: int = 3,
+    iters: int = 2,
+    lr: float = 1.0,
+) -> dict[str, dict[str, float]]:
+    """fastText-style supervised language classifier: multinomial
+    (softmax) logistic regression over the hashed char-n-gram embedding,
+    trained full-batch by gradient descent.  Returns
+    ``{class: {feature: weight}}`` with features ``bias, e0..e{dim-1}``
+    — apply with :func:`lang_lr_predict`.
+
+    Deterministic replay contract (the ``quality_lr_train`` discipline):
+    zero init, FIXED iteration count, weights rounded to 9 decimals per
+    update, and the softmax denominator summed in sorted-class order on
+    both sides — the DuckDB oracle walks the identical float trajectory.
+
+    Scale shape: features are ONE Arrow pass (``text_embed``) + one
+    id-keyed join to the label column, persisted; each iteration is ONE
+    partially-aggregated pass computing all ``n_classes × (dim+1)``
+    gradient averages (map-side combine) with a 1-row collect; the
+    class list is a bounded distinct-collect (languages, not documents).
+    """
+    from pyspark.sql import functions as F
+
+    emb = text_embed(df, text_col, id_col, dim=dim, n=n)
+    lab = df.select(
+        F.col(id_col).alias("_lid"), F.col(label_col).alias("_y")
+    )
+    feat = (
+        emb.join(lab, emb[id_col] == lab["_lid"])
+        .select("_y", "emb")
+        .persist()
+    )
+    try:
+        classes = sorted(
+            r["_y"] for r in feat.select("_y").distinct().collect()
+        )
+        fnames = ["bias"] + [f"e{j}" for j in range(dim)]
+        W: dict[str, dict[str, float]] = {
+            c: {f: 0.0 for f in fnames} for c in classes
+        }
+        for _ in range(iters):
+            exps = []
+            for c in classes:
+                z = F.lit(W[c]["bias"])
+                for j in range(dim):
+                    z = z + F.lit(W[c][f"e{j}"]) * F.element_at("emb", j + 1)
+                exps.append(F.exp(z))
+            den = exps[0]
+            for e in exps[1:]:  # sorted-class left fold, mirrored in SQL
+                den = den + e
+            aggs = []
+            for ci, c in enumerate(classes):
+                err = exps[ci] / den - (F.col("_y") == c).cast("double")
+                aggs.append(F.avg(err).alias(f"g_{ci}_bias"))
+                for j in range(dim):
+                    aggs.append(
+                        F.avg(err * F.element_at("emb", j + 1)).alias(
+                            f"g_{ci}_e{j}"
+                        )
+                    )
+            row = feat.agg(*aggs).first()
+            for ci, c in enumerate(classes):
+                W[c]["bias"] = round(
+                    W[c]["bias"] - lr * row[f"g_{ci}_bias"], 9
+                )
+                for j in range(dim):
+                    W[c][f"e{j}"] = round(
+                        W[c][f"e{j}"] - lr * row[f"g_{ci}_e{j}"], 9
+                    )
+        return W
+    finally:
+        feat.unpersist()
+
+
+def lang_lr_predict(emb_col, weights: dict[str, dict[str, float]]):
+    """argmax-class Column from a ``lang_lr_train`` artifact applied to
+    a ``text_embed`` vector column.  Ties break to the LAST class in
+    sort order (array_max on (score, class) structs — deterministic)."""
+    from pyspark.sql import functions as F
+
+    e = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    scored = []
+    for c in sorted(weights):
+        w = weights[c]
+        z = F.lit(w["bias"])
+        for j in range(len(w) - 1):
+            z = z + F.lit(w[f"e{j}"]) * F.element_at(e, j + 1)
+        scored.append(F.struct(z.alias("z"), F.lit(c).alias("cls")))
+    return F.array_max(F.array(*scored))["cls"]
+
+
 def quality_lr_score_trained(
     text_col, weights: dict[str, float]
 ):
