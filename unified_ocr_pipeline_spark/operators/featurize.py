@@ -49,9 +49,10 @@ def text_embed(
     id_col: str = "doc_id",
     dim: int = 16,
     n: int = 3,
+    passthrough_cols: tuple = (),
 ) -> DataFrame:
-    """(id_col, emb array<double>): L2-normalized hashed char-n-gram
-    embedding per document.
+    """(id_col, emb array<double>[, *passthrough_cols]): L2-normalized
+    hashed char-n-gram embedding per document.
 
     Grams are ALL consecutive length-``n`` character substrings of the
     raw text (no case folding — Python/JVM/DuckDB lowercasing disagree
@@ -59,6 +60,11 @@ def text_embed(
     with no gram (null/short text) or an all-cancelling bucket sum
     (zero norm) are dropped — a zero vector has no direction and every
     consumer (cosine top-k, IVF cells, SemDeDup) would misbehave on it.
+
+    ``passthrough_cols`` ride the same Arrow pass (copied per surviving
+    row), so a consumer that needs labels or metadata next to the
+    vector (``lang_lr_train``) gets them WITHOUT an id-keyed join —
+    the pass stays one narrow stage, zero exchanges.
     """
     import numpy as np
     import pandas as pd
@@ -66,14 +72,19 @@ def text_embed(
     if dim <= 0 or n <= 0:
         raise ValueError(f"dim {dim} and n {n} must be positive")
     id_type = df.schema[id_col].dataType.simpleString()
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}"
+        for c in passthrough_cols
+    )
 
     def gen(batches):
         cache: dict[str, tuple[int, int]] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, vecs = [], []
-            for rid, text in zip(pdf[id_col], pdf[text_col]):
+            keep_idx, vecs = [], []
+            texts = pdf[text_col]
+            for pos, (rid, text) in enumerate(zip(pdf[id_col], texts)):
                 if text is None or len(text) < n:
                     continue
                 raw = np.zeros(dim, dtype=np.float64)
@@ -86,13 +97,20 @@ def text_embed(
                 nrm = float(np.sqrt(np.dot(raw, raw)))
                 if nrm == 0.0:
                     continue
-                ids.append(rid)
+                keep_idx.append(pos)
                 vecs.append(raw / nrm)
-            if ids:
-                yield pd.DataFrame({id_col: ids, "emb": vecs})
+            if keep_idx:
+                out = {
+                    id_col: pdf[id_col].iloc[keep_idx].to_numpy(),
+                    "emb": vecs,
+                }
+                for c in passthrough_cols:
+                    out[c] = pdf[c].iloc[keep_idx].to_numpy()
+                yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(
-        gen, schema=f"{id_col} {id_type}, emb array<double>"
+    cols = [id_col, text_col, *passthrough_cols]
+    return df.select(*cols).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, emb array<double>{extra_schema}"
     )
 
 
@@ -226,13 +244,12 @@ def lang_lr_train(
     """
     from pyspark.sql import functions as F
 
-    emb = text_embed(df, text_col, id_col, dim=dim, n=n)
-    lab = df.select(
-        F.col(id_col).alias("_lid"), F.col(label_col).alias("_y")
-    )
     feat = (
-        emb.join(lab, emb[id_col] == lab["_lid"])
-        .select("_y", "emb")
+        text_embed(
+            df, text_col, id_col, dim=dim, n=n,
+            passthrough_cols=(label_col,),
+        )
+        .select(F.col(label_col).alias("_y"), "emb")
         .persist()
     )
     try:
