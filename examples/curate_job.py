@@ -83,6 +83,9 @@ def main() -> None:
         CC.dedup_clusters(d, pairs, "doc_id", prefer_col="q")
         .where("is_canonical")
         .drop("component", "is_canonical")
+        # persist: the decontamination join, the featurizer pass, and
+        # the semantic-dedup anti-join below all re-read this relation
+        .persist()
     )
     n2 = d.count()
 
@@ -100,14 +103,19 @@ def main() -> None:
     # 2c. semantic dedup from raw text: the featurizer makes the
     # embedding path runnable with zero model dependencies; cells are
     # trained on a bounded sample, candidate pairs stay cell-local
-    emb = FZ.text_embed(d, "text", "doc_id", dim=64)
+    emb = FZ.text_embed(d, "text", "doc_id", dim=64).persist()
     cents = IVF.kmeans_train(emb, "emb", n_cells=16, sample_rows=100_000)
     sem = IVF.semantic_dedup(emb, "doc_id", "emb", cents, threshold=0.97)
     sem_drop = sem.where(~F.col("is_canonical")).select(
         F.col("id").alias("doc_id")
     )
-    d = d.join(sem_drop, "doc_id", "left_anti")
+    # persist the post-near-dup corpus BEFORE the semantic stage: the
+    # kmeans sample collect, the SemDeDup pair join, and the two counts
+    # below would otherwise each re-execute the exact-dedup + MinHash +
+    # CC chain above
+    d = d.join(sem_drop, "doc_id", "left_anti").persist()
     n2c = d.count()
+    emb.unpersist()
 
     # 3. quality gate: Gopher-style score (computed above for the
     # canonical pick), keep top half per lang.

@@ -139,3 +139,18 @@ def test_parse_atom_quote_styles():
     )
     _, entries = parse_feed(body)
     assert entries[0][2] == "http://h/article/1"
+
+
+def test_parse_atom_rel_inside_href_value_not_misread():
+    # 'rel=' inside a URL query string is not the rel ATTRIBUTE: the
+    # rel-less first link is the spec-default alternate and must win
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = (
+        "<feed><entry><title>T</title>"
+        '<link href="http://h/a?rel=bookmark"/>'
+        '<link rel="alternate" href="http://h/other"/>'
+        "<id>a1</id></entry></feed>"
+    )
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/a?rel=bookmark"

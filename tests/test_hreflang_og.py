@@ -161,3 +161,34 @@ def test_og_unquoted_property_as_final_attribute(spark):
     html = '<head><meta content="article" property=og:type></head>'
     r = MD.og_cards(_pages(spark, [("u", html)])).first()
     assert r["og_type"] == "article"
+
+
+def test_og_content_with_angle_bracket_not_truncated(spark):
+    # '>' inside a quoted attribute value must not truncate the tag
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = '<head><meta property="og:title" content="Home > Products"/></head>'
+    r = MD.og_cards(_pages(spark, [("u", html)])).first()
+    assert r["og_title"] == "Home > Products"
+
+
+def test_feed_discovery_ignores_data_type_attribute(spark):
+    # data-type must not satisfy the type anchor ('-' is a word
+    # boundary, so \btype would have matched)
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = ('<head><link rel="alternate" data-type="application/rss+xml" '
+            'href="/not-a-feed"/>'
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="/feed"/></head>')
+    got = MD.feed_discovery(_pages(spark, [("u", html)])).collect()
+    assert [(r["feed_type"], r["feed_url"]) for r in got] == [("rss", "/feed")]
+
+
+def test_hreflang_without_href_yields_no_edge(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = ('<head><link rel="alternate" hreflang="fr"/>'
+            '<link rel="alternate" hreflang="de" href="http://h/de"/></head>')
+    got = MD.hreflang_graph(_pages(spark, [("u", html)])).collect()
+    assert [(r["hreflang"], r["alt_url"]) for r in got] == [("de", "http://h/de")]

@@ -316,3 +316,27 @@ def test_http_client_probe_fails_fast():
             L.http_client(url)
     finally:
         srv.shutdown()
+
+
+def test_http_client_rejects_bad_urls():
+    from unified_ocr_pipeline_spark.operators import llm as L
+
+    for bad in ("https://h:1/x", "//h", "justahost", ""):
+        with pytest.raises(ValueError):
+            L.http_client(bad)
+
+
+def test_http_client_keeps_reverse_proxy_path_prefix():
+    from unified_ocr_pipeline_spark.operators import llm as L
+
+    srv, url = _server()
+    try:
+        # handler answers under the bare paths; point the client at a
+        # prefix and watch the request land prefixed -> 404 -> probe
+        # error proves the prefix was SENT (not silently dropped)
+        with pytest.raises(ConnectionError, match="probe failed"):
+            L.http_client(url + "/ollama")
+        # and the un-prefixed client still probes fine
+        assert L.http_client(url)("hi")["vendor"]
+    finally:
+        srv.shutdown()

@@ -142,16 +142,31 @@ def cell_text(cell: Column) -> Column:
 # attribute), then ``_attr_val`` pulls each attribute from the tag
 # independently — order-free and quote-tolerant without backreferences
 # (the patterns stay in the Java∩RE2 dialect; no lookaround either).
+#
+# Two hazards the patterns guard against: (1) a '>' INSIDE a quoted
+# attribute value ("Home > Products") must not truncate the tag, so the
+# tag-body atom ``_TAG_BODY`` skips quoted strings wholesale instead of
+# using a bare [^>]*; (2) ``\bname`` would also match hyphenated data-*
+# attributes ('-' is a word boundary), so attribute anchors require a
+# whitespace-or-quote BEFORE the name (every attribute in a tag follows
+# one — the tag name itself is excluded by construction).
+
+# Tag body: any run of non-delimiter chars or complete quoted strings —
+# mutually-exclusive first chars, so no pathological backtracking.
+_TAG_BODY = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
 
 
 def _attr_val(tag: Column, name: str) -> Column:
     """Attribute value from one raw tag, tolerant of double-quoted,
     single-quoted, and unquoted serializations (checked in that order,
     so a quoted value never half-matches as unquoted). '' when the
-    attribute is absent."""
-    dq = F.regexp_extract(tag, rf'(?i)\b{name}\s*=\s*"([^"]*)"', 1)
-    sq = F.regexp_extract(tag, rf"(?i)\b{name}\s*=\s*'([^']*)'", 1)
-    uq = F.regexp_extract(tag, rf"""(?i)\b{name}\s*=\s*([^\s"'>]+)""", 1)
+    attribute is absent. The ``[\\s"']`` anchor before the name keeps
+    ``data-{name}`` from matching as ``{name}``."""
+    dq = F.regexp_extract(tag, rf'(?i)[\s"\']{name}\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(tag, rf"(?i)[\s\"']{name}\s*=\s*'([^']*)'", 1)
+    uq = F.regexp_extract(
+        tag, rf"""(?i)[\s"']{name}\s*=\s*([^\s"'>]+)""", 1
+    )
     return F.when(dq != "", dq).when(sq != "", sq).otherwise(uq)
 
 
@@ -163,15 +178,22 @@ def _rel_is(tag: Column, value: str) -> Column:
     )
 
 
-_HREFLANG_TAG_RE = r"(?i)<link\b[^>]*\bhreflang\s*=[^>]*>"
+_HREFLANG_TAG_RE = (
+    rf"(?i)<link\b{_TAG_BODY}[\s\"']hreflang\s*={_TAG_BODY}>"
+)
 
 
 def hreflang_tags(html: Column) -> Column:
     """Array of raw ``<link rel="alternate" hreflang=...>`` tags —
     candidates anchored on the hreflang attribute (any position, any
-    quote style), then filtered to rel lists containing ``alternate``."""
+    quote style), then filtered to rel lists containing ``alternate``
+    AND a non-empty href (a declaration with nothing to fetch is not
+    an edge — the single-regex predecessor enforced the same)."""
     tags = F.regexp_extract_all(html, F.lit(_HREFLANG_TAG_RE), F.lit(0))
-    return F.filter(tags, lambda t: _rel_is(t, "alternate"))
+    return F.filter(
+        tags,
+        lambda t: _rel_is(t, "alternate") & (_attr_val(t, "href") != ""),
+    )
 
 
 def hreflang_lang(tag: Column) -> Column:
@@ -186,11 +208,12 @@ def _og_tag_re(prop: str) -> str:
     # Quoted og:{prop} closes with its quote; unquoted must be followed
     # by whitespace, '/', or the tag close — so og:image never swallows
     # og:image:width. No lookaround (Java∩RE2): the final alternative
-    # binds og:{prop} directly to '>'.
+    # binds og:{prop} directly to '>'. _TAG_BODY (not [^>]*) so a '>'
+    # inside a quoted content value never truncates the tag.
     return (
-        rf"(?i)<meta\b[^>]*\bproperty\s*=\s*"
-        rf"""(?:"og:{prop}"[^>]*|'og:{prop}'[^>]*|og:{prop}[\s/][^>]*"""
-        rf"|og:{prop})>"
+        rf"(?i)<meta\b{_TAG_BODY}[\s\"']property\s*=\s*"
+        rf"""(?:"og:{prop}"{_TAG_BODY}|'og:{prop}'{_TAG_BODY}"""
+        rf"|og:{prop}[\s/]{_TAG_BODY}|og:{prop})>"
     )
 
 
@@ -209,8 +232,8 @@ def og_meta(html: Column) -> list[Column]:
 
 
 _FEED_LINK_RE = (
-    r"(?i)<link\b[^>]*\btype\s*=\s*[\"']?"
-    r"application/(?:rss|atom)\+xml[\"']?[^>]*>"
+    rf"(?i)<link\b{_TAG_BODY}[\s\"']type\s*=\s*[\"']?"
+    rf"application/(?:rss|atom)\+xml[\"']?{_TAG_BODY}>"
 )
 
 
@@ -219,9 +242,14 @@ def feed_link_tags(html: Column) -> Column:
     type="application/rss+xml|atom+xml"``) — how a crawler finds a
     site's feeds from any page's head, the entry point into
     ``sources/feeds.py``. Candidates anchor on the MIME type (any
-    attribute order/quote style); rel must token-contain alternate."""
+    attribute order/quote style, ``data-type`` excluded by the
+    whitespace-or-quote anchor); rel must token-contain alternate and
+    an href must be present (nothing to fetch otherwise)."""
     tags = F.regexp_extract_all(html, F.lit(_FEED_LINK_RE), F.lit(0))
-    return F.filter(tags, lambda t: _rel_is(t, "alternate"))
+    return F.filter(
+        tags,
+        lambda t: _rel_is(t, "alternate") & (_attr_val(t, "href") != ""),
+    )
 
 
 def feed_link_type(tag: Column) -> Column:

@@ -150,9 +150,18 @@ def bitext_mine(
         .agg(F.max("sim").alias("sim"))  # both directions compute the identical cosine
     )
 
+    # LEFT joins + coalesce: on the exact path every query has a top-k
+    # relation so both averages always exist (identical to the former
+    # inner joins); on the ANN path a query whose probed cells were all
+    # empty has NO rows in its direction's top-k — its pairs (contributed
+    # by the OTHER direction) must still score, so the missing side's
+    # neighborhood average falls back to the present one rather than the
+    # inner join silently dropping the pair.
     scored = (
-        cand.join(avg_src, "src_id")
-        .join(avg_tgt, "tgt_id")
+        cand.join(avg_src, "src_id", "left")
+        .join(avg_tgt, "tgt_id", "left")
+        .withColumn("a_src", F.coalesce("a_src", "a_tgt"))
+        .withColumn("a_tgt", F.coalesce("a_tgt", "a_src"))
         .withColumn(
             "margin", F.col("sim") / ((F.col("a_src") + F.col("a_tgt")) / 2)
         )

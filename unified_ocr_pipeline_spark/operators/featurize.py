@@ -31,15 +31,18 @@ every value exactly.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 
 
 def _gram_bucket_sign(gram: str, dim: int) -> tuple[int, int]:
-    """(bucket, sign) for one n-gram: md5-60 of the utf-8 bytes, bucket
-    = h % dim, sign from the next bit above the bucket field."""
-    h = int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+    """(bucket, sign) for one n-gram: md5-60 of the utf-8 bytes (the
+    ONE 60-bit hash convention — ``operators/dedup._md5_60``, mirrored
+    JVM-side by ``operators/sampling.md5_60`` and in every DuckDB
+    oracle), bucket = h % dim, sign from the next bit above the bucket
+    field."""
+    from .dedup import _md5_60
+
+    h = _md5_60(gram.encode("utf-8"))
     return h % dim, 1 if (h // dim) % 2 == 0 else -1
 
 
@@ -236,11 +239,12 @@ def lang_lr_train(
     update, and the softmax denominator summed in sorted-class order on
     both sides — the DuckDB oracle walks the identical float trajectory.
 
-    Scale shape: features are ONE Arrow pass (``text_embed``) + one
-    id-keyed join to the label column, persisted; each iteration is ONE
-    partially-aggregated pass computing all ``n_classes × (dim+1)``
-    gradient averages (map-side combine) with a 1-row collect; the
-    class list is a bounded distinct-collect (languages, not documents).
+    Scale shape: features are ONE Arrow pass (``text_embed`` with the
+    label riding ``passthrough_cols`` — zero exchanges), persisted; each
+    iteration is ONE partially-aggregated pass computing all
+    ``n_classes × (dim+1)`` gradient averages (map-side combine) with a
+    1-row collect; the class list is a bounded distinct-collect
+    (languages, not documents).
     """
     from pyspark.sql import functions as F
 

@@ -82,13 +82,21 @@ def http_client(
     from urllib.parse import urlsplit
 
     parts = urlsplit(base_url)
-    if parts.scheme not in ("http", ""):
-        raise ValueError(f"http_client supports http:// urls, got {base_url}")
-    host = parts.hostname or "localhost"
+    if parts.scheme != "http" or not parts.hostname:
+        raise ValueError(
+            f"http_client needs an http://host[:port][/prefix] url, "
+            f"got {base_url!r}"
+        )
+    host = parts.hostname
     port = parts.port or 11434
+    # a reverse-proxied endpoint mounts the API under a path prefix —
+    # keep it (the reference concatenates f"{ollama_url}/api/...", same
+    # behavior)
+    prefix = parts.path.rstrip("/")
     conn = http.client.HTTPConnection(host, port, timeout=timeout)
 
     def _request(method: str, path: str, body: Optional[bytes]) -> tuple[int, bytes]:
+        path = prefix + path
         headers = {"Content-Type": "application/json"} if body else {}
         try:
             conn.request(method, path, body=body, headers=headers)

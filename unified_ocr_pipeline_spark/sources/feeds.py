@@ -38,8 +38,11 @@ _ATOM_LINK = re.compile(
     r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))[^>]*/?>",
     re.I,
 )
+# rel must follow whitespace (attribute position) — a bare \b would
+# also match 'rel=' inside an href VALUE ("...?rel=bookmark") and
+# misclassify a rel-less (spec-default alternate) link.
 _ATOM_LINK_REL = re.compile(
-    r"\brel\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))", re.I
+    r"(?:^|\s)rel\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))", re.I
 )
 
 
