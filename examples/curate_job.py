@@ -79,14 +79,16 @@ def main() -> None:
         sigs, num_hashes=32, num_bands=8, threshold=0.7, max_band_bucket=10_000
     )
     d = d.withColumn("q", TX.quality_score(F.col("text")))
-    d = (
+    # persist: the decontamination join, the featurizer pass, and the
+    # semantic-dedup anti-join below all re-read this relation (released
+    # once the post-semantic corpus is materialized)
+    d_cc = (
         CC.dedup_clusters(d, pairs, "doc_id", prefer_col="q")
         .where("is_canonical")
         .drop("component", "is_canonical")
-        # persist: the decontamination join, the featurizer pass, and
-        # the semantic-dedup anti-join below all re-read this relation
         .persist()
     )
+    d = d_cc
     n2 = d.count()
 
     # 2b. optional eval-benchmark decontamination (GPT-3/Gopher hygiene)
@@ -109,22 +111,24 @@ def main() -> None:
     sem_drop = sem.where(~F.col("is_canonical")).select(
         F.col("id").alias("doc_id")
     )
-    # persist the post-near-dup corpus BEFORE the semantic stage: the
-    # kmeans sample collect, the SemDeDup pair join, and the two counts
-    # below would otherwise each re-execute the exact-dedup + MinHash +
-    # CC chain above
+    # persist the post-SEMANTIC corpus (the relation every later stage
+    # reads), materialize it, then release the superseded upstream
+    # caches — exactly one corpus-sized cache stays live at a time
     d = d.join(sem_drop, "doc_id", "left_anti").persist()
     n2c = d.count()
     emb.unpersist()
+    d_cc.unpersist()
 
     # 3. quality gate: Gopher-style score (computed above for the
     # canonical pick), keep top half per lang.
     # Persist here: everything above (exact-dedup join + MinHash UDF +
     # LSH self-join + CC) is the dominant cost and feeds three more actions.
+    d_sem = d
     d = SAMP.quantile_gate_per_group(
         d, ["lang"], "q", 0.5, tie_cols=["doc_id"]
     ).persist()
     n3 = d.count()
+    d_sem.unpersist()
 
     # 3b. learned gate on top of the rule gate: train the LR on the
     # surviving corpus (one feature scan, 4 bounded gradient passes),

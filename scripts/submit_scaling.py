@@ -80,12 +80,25 @@ def main() -> None:
              os.environ.get("SPARK_DRIVER_MEM", "24g"),
              "--py-files", zip_path, drv,
              str(cores), pages + "/shard*", out],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
         )
+        if p.returncode != 0:
+            # surface the actual failure (OOM stack, missing class) —
+            # it is the whole reason this script exists
+            sys.stderr.write(p.stderr[-4000:])
+            raise SystemExit(
+                f"spark-submit local[{cores}] exited {p.returncode}"
+            )
         line = next(
-            ln for ln in p.stdout.splitlines()
-            if ln.startswith("SUBMIT_TRIAL ")
+            (ln for ln in p.stdout.splitlines()
+             if ln.startswith("SUBMIT_TRIAL ")),
+            None,
         )
+        if line is None:
+            sys.stderr.write(p.stdout[-2000:])
+            raise SystemExit(
+                f"local[{cores}] run produced no SUBMIT_TRIAL line"
+            )
         results[cores] = json.loads(line[len("SUBMIT_TRIAL "):])
         results[cores]["submit_wall_sec"] = round(time.time() - t0, 1)
         print(f"  spark-submit local[{cores}]: {results[cores]}",

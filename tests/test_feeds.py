@@ -154,3 +154,32 @@ def test_parse_atom_rel_inside_href_value_not_misread():
     )
     _, entries = parse_feed(body)
     assert entries[0][2] == "http://h/a?rel=bookmark"
+
+
+def test_parse_atom_link_with_angle_bracket_in_title_attr():
+    # raw '>' is legal in XML attribute values — it must not truncate
+    # the link tag (same guard as the html.py head extractors)
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = (
+        "<feed><entry><title>T</title>"
+        '<link rel="self" href="http://h/api/1"/>'
+        '<link rel="alternate" title="A > B" href="http://h/art"/>'
+        "<id>a1</id></entry></feed>"
+    )
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/art"
+
+
+def test_parse_atom_rel_after_closing_quote_still_attribute():
+    # minimized markup: rel directly after the previous value's quote
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = (
+        "<feed><entry><title>T</title>"
+        '<link href="http://h/self.xml"rel="self"/>'
+        '<link rel="alternate" href="http://h/art"/>'
+        "<id>a1</id></entry></feed>"
+    )
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/art"

@@ -192,3 +192,16 @@ def test_hreflang_without_href_yields_no_edge(spark):
             '<link rel="alternate" hreflang="de" href="http://h/de"/></head>')
     got = MD.hreflang_graph(_pages(spark, [("u", html)])).collect()
     assert [(r["hreflang"], r["alt_url"]) for r in got] == [("de", "http://h/de")]
+
+
+def test_feed_discovery_type_with_charset_param(spark):
+    from unified_ocr_pipeline_spark.operators import metadata as MD
+
+    html = ('<head><link rel="alternate" '
+            'type="application/rss+xml; charset=utf-8" href="/feed"/>'
+            "<link rel='alternate' type='application/atom+xml ' "
+            "href='/a'/></head>")
+    got = MD.feed_discovery(_pages(spark, [("u", html)])).collect()
+    assert {(r["feed_type"], r["feed_url"]) for r in got} == {
+        ("rss", "/feed"), ("atom", "/a"),
+    }

@@ -231,9 +231,15 @@ def og_meta(html: Column) -> list[Column]:
     return cols
 
 
+# The quoted alternatives allow content after the MIME (";
+# charset=utf-8" params, trailing space) up to the value's own closing
+# quote; the unquoted one runs to the next delimiter.
 _FEED_LINK_RE = (
-    rf"(?i)<link\b{_TAG_BODY}[\s\"']type\s*=\s*[\"']?"
-    rf"application/(?:rss|atom)\+xml[\"']?{_TAG_BODY}>"
+    rf"(?i)<link\b{_TAG_BODY}[\s\"']type\s*=\s*"
+    rf"(?:\"application/(?:rss|atom)\+xml[^\"]*\""
+    rf"|'application/(?:rss|atom)\+xml[^']*'"
+    rf"|application/(?:rss|atom)\+xml[^\s\"'>]*)"
+    rf"{_TAG_BODY}>"
 )
 
 

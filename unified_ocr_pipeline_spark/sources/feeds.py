@@ -31,18 +31,26 @@ _TEXT_FIELD = re.compile(
     r"\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</\1>",
     re.S | re.I,
 )
+# Tag body that skips quoted strings wholesale, so a raw '>' inside an
+# attribute value (legal in XML: title="A > B") never truncates the
+# tag — same guard as functions/html._TAG_BODY.
+_XML_TAG_BODY = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
 # Either quote style or unquoted (feeds in the wild mix all three; no
-# backreference — group per style, first non-None wins).
+# backreference — group per style, first non-None wins). href must
+# follow whitespace or a quote (attribute position), so data-href never
+# matches as href.
 _ATOM_LINK = re.compile(
-    r"<link\b[^>]*\bhref\s*=\s*"
-    r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))[^>]*/?>",
+    rf"<link\b{_XML_TAG_BODY}[\s\"']href\s*=\s*"
+    rf"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+)){_XML_TAG_BODY}/?>",
     re.I,
 )
-# rel must follow whitespace (attribute position) — a bare \b would
+# rel must be in attribute position — whitespace OR a closing quote
+# before it (minimized markup: href="..."rel="self"); a bare \b would
 # also match 'rel=' inside an href VALUE ("...?rel=bookmark") and
 # misclassify a rel-less (spec-default alternate) link.
 _ATOM_LINK_REL = re.compile(
-    r"(?:^|\s)rel\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))", re.I
+    r"(?:^|[\s\"'])rel\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))",
+    re.I,
 )
 
 
