@@ -183,3 +183,34 @@ def test_parse_atom_rel_after_closing_quote_still_attribute():
     )
     _, entries = parse_feed(body)
     assert entries[0][2] == "http://h/art"
+
+
+def test_parse_atom_minimized_rel_before_href():
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = ('<feed><entry><title>T</title>'
+            '<link rel="alternate"href="http://h/art"/>'
+            "<id>a1</id></entry></feed>")
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/art"
+
+
+def test_parse_atom_unbalanced_quote_in_other_attr():
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = ("<feed><entry><title>T</title>"
+            "<link title=o'brien href=\"http://h/art\"/>"
+            "<id>a1</id></entry></feed>")
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/art"
+
+
+def test_parse_atom_rel_like_text_inside_href_value_with_quote():
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = ("<feed><entry><title>T</title>"
+            "<link href=\"http://h/article?t='rel=x\"/>"
+            '<link href="http://h/comments"/>'
+            "<id>a1</id></entry></feed>")
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/article?t='rel=x"

@@ -31,48 +31,51 @@ _TEXT_FIELD = re.compile(
     r"\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</\1>",
     re.S | re.I,
 )
-# Tag body that skips quoted strings wholesale, so a raw '>' inside an
-# attribute value (legal in XML: title="A > B") never truncates the
-# tag — same guard as functions/html._TAG_BODY.
-_XML_TAG_BODY = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
-# Either quote style or unquoted (feeds in the wild mix all three; no
-# backreference — group per style, first non-None wins). href must
-# follow whitespace or a quote (attribute position), so data-href never
-# matches as href.
-_ATOM_LINK = re.compile(
-    rf"<link\b{_XML_TAG_BODY}[\s\"']href\s*=\s*"
-    rf"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+)){_XML_TAG_BODY}/?>",
-    re.I,
-)
-# rel must be in attribute position — whitespace OR a closing quote
-# before it (minimized markup: href="..."rel="self"); a bare \b would
-# also match 'rel=' inside an href VALUE ("...?rel=bookmark") and
-# misclassify a rel-less (spec-default alternate) link.
-_ATOM_LINK_REL = re.compile(
-    r"(?:^|[\s\"'])rel\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))",
-    re.I,
+# Locating <link> tags: the primary pattern reuses functions/html's
+# quote-skipping tag body (one shared atom — a raw '>' inside a quoted
+# attribute value, legal in XML, never truncates the tag); the loose
+# fallback is the classic [^>]* form, which tolerates UNBALANCED quotes
+# (title=o'brien) at the cost of '>'-in-value truncation. Trying
+# strict-then-loose per entry covers both damage classes.
+from ..functions.html import _TAG_BODY as _XML_TAG_BODY
+
+_LINK_TAG = re.compile(rf"<link\b{_XML_TAG_BODY}/?>", re.I)
+_LINK_TAG_LOOSE = re.compile(r"<link\b[^>]*/?>", re.I)
+# Attribute scanner: sequential name=value tokens, quoted values
+# consumed WHOLE — so 'rel=' or 'href=' inside some other attribute's
+# VALUE can never surface as an attribute (the misclassification the
+# old position-anchored regexes kept re-admitting through edge chars).
+_ATTR_SCAN = re.compile(
+    r"([A-Za-z][\w-]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)"
 )
 
 
-def _first_group(m: "re.Match[str]") -> str:
-    return next(g for g in m.groups() if g is not None)
+def _tag_attrs(tag: str) -> dict:
+    """{lowercased-name: unquoted-value} for one raw tag; on duplicate
+    names the first wins (browser behavior)."""
+    out: dict = {}
+    for m in _ATTR_SCAN.finditer(tag):
+        out.setdefault(m.group(1).lower(), m.group(2).strip("\"'"))
+    return out
 
 
 def _atom_fetch_link(inner: str) -> str | None:
     """The entry's FETCH url: Atom entries commonly list rel="self" /
     rel="edit" links before the article link, so prefer a <link> whose
-    rel is "alternate" (or absent — the spec default), falling back to
-    the first href only when no such link exists."""
+    rel token-list contains "alternate" (or has no rel — the spec
+    default), falling back to the first href only when no such link
+    exists."""
+    tags = _LINK_TAG.findall(inner) or _LINK_TAG_LOOSE.findall(inner)
     first = None
-    for am in _ATOM_LINK.finditer(inner):
-        tag = am.group(0)
-        href = _first_group(am)
+    for tag in tags:
+        attrs = _tag_attrs(tag)
+        href = attrs.get("href")
+        if not href:
+            continue
         if first is None:
             first = href
-        rel = _ATOM_LINK_REL.search(tag)
-        if rel is None or _first_group(rel).strip().lower() in (
-            "", "alternate",
-        ):
+        rel = attrs.get("rel", "").strip().lower()
+        if rel == "" or "alternate" in rel.split():
             return href
     return first
 
