@@ -214,3 +214,28 @@ def test_parse_atom_rel_like_text_inside_href_value_with_quote():
             "<id>a1</id></entry></feed>")
     _, entries = parse_feed(body)
     assert entries[0][2] == "http://h/article?t='rel=x"
+
+
+def test_parse_atom_href_preserves_other_quote_kind_at_edges():
+    # stripping must remove exactly the ONE enclosing pair — an
+    # apostrophe that legitimately ends the value survives
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = ("<feed><entry><title>T</title>"
+            "<link href=\"http://h/art?q='x'\"/>"
+            "<id>a1</id></entry></feed>")
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/art?q='x'"
+
+
+def test_parse_atom_broken_link_recovered_next_to_clean_one():
+    # per-position fallback: the unbalanced-quote alternate link is
+    # recovered even though a sibling link parsed strictly
+    from unified_ocr_pipeline_spark.sources.feeds import parse_feed
+
+    body = ("<feed><entry><title>T</title>"
+            '<link rel="self" href="http://h/self"/>'
+            "<link title=o'brien rel=\"alternate\" href=\"http://h/art\"/>"
+            "<id>a1</id></entry></feed>")
+    _, entries = parse_feed(body)
+    assert entries[0][2] == "http://h/art"

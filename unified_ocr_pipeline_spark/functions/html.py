@@ -153,7 +153,9 @@ def cell_text(cell: Column) -> Column:
 
 # Tag body: any run of non-delimiter chars or complete quoted strings —
 # mutually-exclusive first chars, so no pathological backtracking.
-_TAG_BODY = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+# Public (TAG_BODY): sources/feeds.py reuses the same atom for XML tags.
+TAG_BODY = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+_TAG_BODY = TAG_BODY
 
 
 def _attr_val(tag: Column, name: str) -> Column:

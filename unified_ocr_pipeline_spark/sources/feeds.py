@@ -23,6 +23,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions.html import TAG_BODY as _XML_TAG_BODY
+
 _ENTRY = re.compile(r"<(item|entry)\b[^>]*>(.*?)</\1>", re.S | re.I)
 # RSS uses <link>url</link>; Atom uses <link href="url"/>. One regex
 # per shape, CDATA-tolerant, case-insensitive.
@@ -31,14 +33,13 @@ _TEXT_FIELD = re.compile(
     r"\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</\1>",
     re.S | re.I,
 )
-# Locating <link> tags: the primary pattern reuses functions/html's
-# quote-skipping tag body (one shared atom — a raw '>' inside a quoted
+# Locating <link> tags: the strict pattern uses the quote-skipping tag
+# body shared with functions/html (one atom — a raw '>' inside a quoted
 # attribute value, legal in XML, never truncates the tag); the loose
-# fallback is the classic [^>]* form, which tolerates UNBALANCED quotes
-# (title=o'brien) at the cost of '>'-in-value truncation. Trying
-# strict-then-loose per entry covers both damage classes.
-from ..functions.html import _TAG_BODY as _XML_TAG_BODY
-
+# [^>]* form tolerates UNBALANCED quotes (title=o'brien) at the cost
+# of '>'-in-value truncation. ``_link_tags`` merges both per POSITION
+# (strict wins where it matched), so a broken link next to a
+# well-formed one is still recovered.
 _LINK_TAG = re.compile(rf"<link\b{_XML_TAG_BODY}/?>", re.I)
 _LINK_TAG_LOOSE = re.compile(r"<link\b[^>]*/?>", re.I)
 # Attribute scanner: sequential name=value tokens, quoted values
@@ -50,13 +51,35 @@ _ATTR_SCAN = re.compile(
 )
 
 
+def _unquote(v: str) -> str:
+    """Strip exactly ONE matching quote pair — never a quote of the
+    other kind that legitimately starts/ends the value."""
+    if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+        return v[1:-1]
+    return v
+
+
 def _tag_attrs(tag: str) -> dict:
     """{lowercased-name: unquoted-value} for one raw tag; on duplicate
     names the first wins (browser behavior)."""
     out: dict = {}
     for m in _ATTR_SCAN.finditer(tag):
-        out.setdefault(m.group(1).lower(), m.group(2).strip("\"'"))
+        out.setdefault(m.group(1).lower(), _unquote(m.group(2)))
     return out
+
+
+def _link_tags(inner: str) -> list:
+    """All <link> tags in document order: strict matches plus any loose
+    match that starts OUTSIDE every strict span (per-position fallback,
+    not all-or-nothing — one unbalanced-quote link must not vanish just
+    because a sibling parsed cleanly)."""
+    strict = list(_LINK_TAG.finditer(inner))
+    spans = [m.span() for m in strict]
+    merged = [(m.start(), m.group(0)) for m in strict]
+    for m in _LINK_TAG_LOOSE.finditer(inner):
+        if not any(lo <= m.start() < hi for lo, hi in spans):
+            merged.append((m.start(), m.group(0)))
+    return [tag for _, tag in sorted(merged)]
 
 
 def _atom_fetch_link(inner: str) -> str | None:
@@ -65,7 +88,7 @@ def _atom_fetch_link(inner: str) -> str | None:
     rel token-list contains "alternate" (or has no rel — the spec
     default), falling back to the first href only when no such link
     exists."""
-    tags = _LINK_TAG.findall(inner) or _LINK_TAG_LOOSE.findall(inner)
+    tags = _link_tags(inner)
     first = None
     for tag in tags:
         attrs = _tag_attrs(tag)
