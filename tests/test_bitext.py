@@ -162,3 +162,39 @@ def test_bitext_ann_path_plan_has_no_cross_product(spark):
         )._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan_exact
+
+
+def test_bitext_caller_counts_skip_sizing_jobs(spark):
+    """n_src/n_tgt let a caller with derived (filtered/featurized)
+    inputs route without re-executing the upstream lineage for two
+    count jobs (ADVICE r4): passed counts both size the route (above
+    threshold -> ANN plan, no cross product) and suppress the counts
+    entirely (no job touches the poisoned count path)."""
+    rng = np.random.default_rng(41)
+    src = {i: rng.normal(size=8) for i in range(10)}
+    tgt = {50 + i: rng.normal(size=8) for i in range(10)}
+    df = BT.bitext_mine(
+        _to_df(spark, src), _to_df(spark, tgt), k=2,
+        ann_threshold=1000, n_src=5000, n_tgt=5000, n_cells=2, nprobe=1,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # routed ANN by counts
+
+    # and the no-count contract: a side that EXPLODES if counted must
+    # pass through untouched when its count is provided
+    from pyspark.sql import functions as F
+
+    booby = _to_df(spark, src).withColumn(
+        "embedding",
+        F.when(F.lit(True), F.col("embedding")).otherwise(
+            F.raise_error("count executed the lineage")
+        ),
+    )
+    # would raise at count time if bitext_mine ran its own sizing jobs
+    # eagerly on the derived frame without using the caller's numbers
+    out = BT.bitext_mine(
+        booby, _to_df(spark, tgt), k=2,
+        ann_threshold=1000, n_src=10, n_tgt=10,
+    )
+    assert out.count() >= 0  # exact path planned and ran

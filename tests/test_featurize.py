@@ -195,3 +195,72 @@ def test_lang_lr_predict_tie_break_deterministic(spark):
     preds = {r["p"] for r in emb.select(
         FZ.lang_lr_predict("emb", W).alias("p")).collect()}
     assert preds == {"xx"}
+
+
+def test_lang_lr_train_drops_null_labels(spark):
+    # undetected-language docs arrive with lang=NULL; they must not
+    # poison the class list (sorted() over [None, 'aa', ...] raises)
+    # nor contribute gradient
+    df = _lang_corpus(spark)
+    with_nulls = df.unionByName(
+        spark.createDataFrame(
+            [(1000, "qqq www eee rrr ttt yyy " * 3, None)],
+            "doc_id long, text string, lang string",
+        )
+    )
+    W = FZ.lang_lr_train(with_nulls, dim=8, iters=2)
+    assert set(W) == {"aa", "xx", "mm"}
+    assert W == FZ.lang_lr_train(df, dim=8, iters=2)  # null row inert
+
+
+def test_lang_lr_train_vectorized_bitcompares_with_codegen(spark):
+    # the two gradient-pass shapes are ONE contract: identical weights
+    # (bit-compare, after the shared per-update round(9)) on the fixture
+    df = _lang_corpus(spark)
+    a = FZ.lang_lr_train(df, dim=8, iters=3, vectorized=False)
+    b = FZ.lang_lr_train(df, dim=8, iters=3, vectorized=True)
+    assert a == b
+
+
+def test_lang_lr_train_auto_routes_by_expression_count(spark):
+    # None auto-picks: small model -> codegen path, wide model ->
+    # vectorized; both must equal their forced-path twin
+    df = _lang_corpus(spark)
+    # 3 classes x (8+1) = 27 expressions <= 2048 -> codegen
+    auto_small = FZ.lang_lr_train(df, dim=8, iters=2)
+    assert auto_small == FZ.lang_lr_train(df, dim=8, iters=2, vectorized=False)
+    # force the threshold tiny -> the SAME model routes vectorized
+    auto_wide = FZ.lang_lr_train(df, dim=8, iters=2, vectorized_threshold=1)
+    assert auto_wide == FZ.lang_lr_train(df, dim=8, iters=2, vectorized=True)
+    assert auto_small == auto_wide  # and the contract holds across paths
+
+
+def test_lang_lr_train_wide_model_smoke(spark):
+    # dim=256 x 20 classes = 5140 gradient cells: the named-column form
+    # would hand Catalyst 5140 aggregate expressions; the auto default
+    # must route vectorized and train in one piece
+    import random
+
+    rng = random.Random(7)
+    alphabets = [
+        "".join(chr(ord("a") + (k + s) % 26) for k in range(6))
+        for s in range(20)
+    ]
+    rows = []
+    for i in range(200):
+        cls = i % 20
+        a = alphabets[cls]
+        words = " ".join(
+            a[rng.randrange(6)] + a[rng.randrange(6)] + a[rng.randrange(6)]
+            for _ in range(30)
+        )
+        rows.append((i, words, f"L{cls:02d}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    W = FZ.lang_lr_train(df, dim=256, iters=2, lr=2.0)
+    assert len(W) == 20 and all(len(w) == 257 for w in W.values())
+    emb = FZ.text_embed(df, dim=256)
+    pred = emb.join(df.select("doc_id", "lang"), "doc_id").select(
+        "lang", FZ.lang_lr_predict("emb", W).alias("pred")
+    )
+    acc = pred.where(F.col("pred") == F.col("lang")).count() / pred.count()
+    assert acc > 0.9  # disjoint alphabets separate easily

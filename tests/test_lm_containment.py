@@ -294,3 +294,29 @@ def test_zipf_fit_max_rank_precuts_before_rank_window(spark):
     assert row["n_types"] == 10
     # ranks 1..10 of the planted power law -> still slope ~ -1
     assert abs(row["slope"] + 1.0) < 0.03
+
+
+def test_zipf_fit_default_is_head_cut(spark):
+    """The DEFAULT path (no max_rank argument) must carry the head cut:
+    TakeOrderedAndProject in the plan, so a web-scale vocabulary never
+    hits a single-reducer sort unless max_rank=None is passed
+    explicitly (verdict r4 next-round item #2)."""
+    from unified_ocr_pipeline_spark.operators import sampling as SAMP
+
+    df = spark.createDataFrame([("a b c a b a",)], "text string")
+    default_plan = (
+        SAMP.zipf_fit(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in default_plan
+    # and None stays the explicit full-vocab override (no head cut)
+    full_plan = (
+        SAMP.zipf_fit(df, "text", max_rank=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" not in full_plan
+    # fixture vocab < default head -> identical fit either way
+    assert (
+        SAMP.zipf_fit(df, "text").first()
+        == SAMP.zipf_fit(df, "text", max_rank=None).first()
+    )

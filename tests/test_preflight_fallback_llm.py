@@ -321,9 +321,92 @@ def test_http_client_probe_fails_fast():
 def test_http_client_rejects_bad_urls():
     from unified_ocr_pipeline_spark.operators import llm as L
 
-    for bad in ("https://h:1/x", "//h", "justahost", ""):
+    for bad in ("ftp://h:1/x", "//h", "justahost", ""):
         with pytest.raises(ValueError):
             L.http_client(bad)
+
+
+class _FakeConn:
+    """Stand-in http(s) connection: records requests, optionally fails
+    the next one with a stale-socket error, always answers 200/JSON."""
+
+    instances = []
+
+    def __init__(self, host, port, timeout=None):
+        self.host, self.port = host, port
+        self.requests = []
+        self.fail_next = False
+        _FakeConn.instances.append(self)
+
+    def request(self, method, path, body=None, headers=None):
+        self.requests.append((method, path))
+        if self.fail_next:
+            self.fail_next = False
+            raise ConnectionResetError("stale keep-alive socket")
+
+    def getresponse(self):
+        class _R:
+            status = 200
+
+            @staticmethod
+            def read():
+                return json.dumps({"response": "{\"vendor\": \"V\"}"}).encode()
+
+        return _R()
+
+    def close(self):
+        pass
+
+
+def test_http_client_https_scheme_selects_tls_connection(monkeypatch):
+    """An https:// base_url must work (TLS-terminated reverse proxy is
+    the normal model-endpoint deployment) via HTTPSConnection:443."""
+    import http.client
+
+    from unified_ocr_pipeline_spark.operators import llm as L
+
+    _FakeConn.instances.clear()
+    monkeypatch.setattr(http.client, "HTTPSConnection", _FakeConn)
+    client = L.http_client("https://model.example/ollama", model="m1")
+    conn = _FakeConn.instances[-1]
+    assert (conn.host, conn.port) == ("model.example", 443)
+    assert conn.requests[0] == ("GET", "/ollama/api/tags")
+    assert client("hi")["vendor"] == "V"
+
+
+def test_http_client_stale_socket_replays_get_not_post(monkeypatch):
+    """Reconnect-and-replay is GET-only: a dropped POST /api/generate may
+    already have executed server-side, so it surfaces to llm_extract's
+    row-level retry instead of silently generating twice."""
+    import http.client
+
+    from unified_ocr_pipeline_spark.operators import llm as L
+
+    _FakeConn.instances.clear()
+    monkeypatch.setattr(http.client, "HTTPConnection", _FakeConn)
+
+    # GET (idempotent): stale socket -> reconnect and replay succeeds
+    class _FailFirstConn(_FakeConn):
+        def __init__(self, host, port, timeout=None):
+            super().__init__(host, port, timeout)
+            self.fail_next = True  # first request (the probe GET) dies
+
+    monkeypatch.setattr(http.client, "HTTPConnection", _FailFirstConn)
+    L.http_client("http://h:1234", model="m1")  # probe survives via replay
+    get_conn = _FakeConn.instances[-1]
+    assert [m for m, _ in get_conn.requests] == ["GET", "GET"]
+
+    # POST (non-idempotent): stale socket -> raises, NO blind replay
+    monkeypatch.setattr(http.client, "HTTPConnection", _FakeConn)
+    client = L.http_client("http://h:1234", model="m1")
+    conn = _FakeConn.instances[-1]
+    conn.requests.clear()
+    conn.fail_next = True
+    with pytest.raises(ConnectionError):
+        client("will-fail")
+    assert [m for m, _ in conn.requests] == ["POST"]
+    # llm_extract quarantines exactly this: a factory-made client raising
+    # on a row yields ok=false after bounded row-level attempts.
 
 
 def test_http_client_keeps_reverse_proxy_path_prefix():

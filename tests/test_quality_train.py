@@ -102,3 +102,19 @@ def test_quality_lr_train_hash_sample_path(spark):
     full = FZ.quality_lr_train(df, "text", iters=3, lr=0.5)
     assert a != full  # genuinely trained on a subset
     assert all(math.isfinite(v) for v in a.values())
+
+
+def test_quality_lr_train_auto_switch_samples_past_threshold(spark):
+    # the lm_perplexity_gate convention: sample_mod=None counts the
+    # input and auto-samples past auto_threshold. Below it (fixtures)
+    # the trajectory is the explicit train-on-everything one; above it,
+    # it is EXACTLY the md5-sample trajectory with the auto-chosen mod.
+    df = _corpus(spark)  # 40 docs
+    below = FZ.quality_lr_train(df, "text", iters=2, auto_threshold=100)
+    full = FZ.quality_lr_train(df, "text", iters=2, sample_mod=1)
+    assert below == full
+    above = FZ.quality_lr_train(df, "text", iters=2, auto_threshold=10)
+    # auto mod = ceil(40/10) = 4 -> identical to the explicit sample
+    explicit = FZ.quality_lr_train(df, "text", iters=2, sample_mod=4)
+    assert above == explicit
+    assert above != full  # genuinely trained on the subset

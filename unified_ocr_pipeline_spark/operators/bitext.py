@@ -84,6 +84,8 @@ def bitext_mine(
     n_cells: int = 64,
     nprobe: int = 8,
     centroids: list[list[float]] | None = None,
+    n_src: int | None = None,
+    n_tgt: int | None = None,
 ) -> DataFrame:
     """Mine aligned pairs across two embedding sets → ``(src_id, tgt_id,
     sim, margin)``, margin-best per source (and per target when
@@ -95,8 +97,7 @@ def bitext_mine(
     relations, not the surviving candidates).
 
     ANN routing: when either side holds more than ``ann_threshold``
-    vectors (two cheap count jobs — parquet count-star reads no
-    payload), the two directional searches route through the IVF
+    vectors, the two directional searches route through the IVF
     machinery (``ivf.ivf_topk``, kmeans-trained cells, ``nprobe``
     probes, ``exclude_self=False``) instead of the exact
     broadcast-product — no cross product anywhere in the plan above the
@@ -108,11 +109,23 @@ def bitext_mine(
     shape; ANN sims arrive rounded to 4 (the ivf_topk canon), which
     only perturbs margins at the 4th decimal — inherent to the
     approximate path and inside its recall tolerance anyway.
+
+    Sizing the route costs a count per side UNLESS the caller passes
+    ``n_src``/``n_tgt``.  Against a materialized parquet relation that
+    count is a metadata read, but when ``src``/``tgt`` arrive as
+    DERIVED frames (filtered/featurized — the common case) each count
+    executes the full upstream lineage once ON TOP of the search
+    itself.  Callers in that position should either pass known (even
+    approximate — only the >threshold comparison matters) counts, or
+    persist the inputs first; ``examples/curate_job.py`` shows the
+    persist-then-mine shape.
     """
     use_ann = False
     if ann_threshold is not None:
-        n_src = src.select(id_col).count()
-        n_tgt = tgt.select(id_col).count()
+        if n_src is None:
+            n_src = src.select(id_col).count()
+        if n_tgt is None:
+            n_tgt = tgt.select(id_col).count()
         use_ann = max(n_src, n_tgt) > ann_threshold
     if use_ann:
         from .ivf import ivf_topk, kmeans_train

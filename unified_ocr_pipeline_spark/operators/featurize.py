@@ -165,6 +165,7 @@ def quality_lr_train(
     lr: float = 0.5,
     sample_mod: int | None = None,
     id_col: str = "doc_id",
+    auto_threshold: int = 1_000_000,
 ) -> dict[str, float]:
     """Full-batch gradient-descent logistic regression distilling the
     Gopher rule-gate into a smooth classifier over the quality shape
@@ -187,14 +188,30 @@ def quality_lr_train(
     incremental batches pick identical docs), so the persisted feature
     frame is corpus/``sample_mod`` sized instead of corpus sized; LR
     gradients concentrate fast, so a fixed-rate sample loses nothing a
-    full-batch pass would find.  ``None`` (the oracle/fixture default)
-    trains on everything.
+    full-batch pass would find.
+
+    ``sample_mod=None`` (the default) auto-switches on input size — the
+    ``lm_perplexity_gate`` convention, ONE exact-vs-scale rule across
+    the codebase: one cheap count of ``id_col`` (parquet count-star
+    never materializes the payload columns); at or below
+    ``auto_threshold`` rows it trains on everything (the fixture/oracle
+    semantics, unchanged), past it the mod is auto-set so roughly
+    ``auto_threshold`` documents train — a 100 TB corpus never persists
+    a corpus-sized feature frame by default.  ``sample_mod=1`` is the
+    explicit train-on-everything override regardless of size.
     """
     from pyspark.sql import functions as F
 
     from .sampling import md5_60
 
-    if sample_mod is not None:
+    if sample_mod is None:
+        # Bounded driver action: one count job over id_col only.
+        n_rows = df.select(id_col).count()
+        sample_mod = (
+            1 if n_rows <= auto_threshold
+            else -(-n_rows // auto_threshold)  # ceil div
+        )
+    if sample_mod > 1:
         df = df.where(md5_60(F.col(id_col)) % sample_mod == 0)
     feat = quality_feature_frame(df, text_col).persist()
     try:
@@ -227,12 +244,17 @@ def lang_lr_train(
     n: int = 3,
     iters: int = 2,
     lr: float = 1.0,
+    vectorized: bool | None = None,
+    vectorized_threshold: int = 2048,
 ) -> dict[str, dict[str, float]]:
     """fastText-style supervised language classifier: multinomial
     (softmax) logistic regression over the hashed char-n-gram embedding,
     trained full-batch by gradient descent.  Returns
     ``{class: {feature: weight}}`` with features ``bias, e0..e{dim-1}``
-    — apply with :func:`lang_lr_predict`.
+    — apply with :func:`lang_lr_predict`.  Rows with a NULL label
+    (undetected-language docs are common) are dropped before training —
+    they define no gradient target and would previously have poisoned
+    the class list.
 
     Deterministic replay contract (the ``quality_lr_train`` discipline):
     zero init, FIXED iteration count, weights rounded to 9 decimals per
@@ -241,10 +263,30 @@ def lang_lr_train(
 
     Scale shape: features are ONE Arrow pass (``text_embed`` with the
     label riding ``passthrough_cols`` — zero exchanges), persisted; each
-    iteration is ONE partially-aggregated pass computing all
-    ``n_classes × (dim+1)`` gradient averages (map-side combine) with a
-    1-row collect; the class list is a bounded distinct-collect
-    (languages, not documents).
+    iteration is ONE pass computing all ``n_classes × (dim+1)`` gradient
+    averages with a 1-row driver action; the class list is a bounded
+    distinct-collect (languages, not documents).
+
+    The gradient pass has two shapes behind one contract
+    (``vectorized=None`` auto-picks by expression count — the
+    exact-vs-scale convention of ``lm_perplexity_gate``):
+
+    - **codegen** (``False``; auto when ``n_classes × (dim+1) <=
+      vectorized_threshold``): every gradient average is a named JVM
+      ``avg`` expression — whole-stage codegen, map-side combine, and
+      the form the DuckDB oracle replays column-for-column.
+    - **vectorized** (``True``; auto above the threshold): at dim 1024
+      × 100 languages the codegen form would hand Catalyst ~100k
+      aggregate expressions — the OPTIMIZER chokes before the executors
+      do.  Instead ONE ``mapInPandas`` pass emits a per-partition
+      partial ``(cnt, sum-gradient matrix)`` row (NumPy BLAS inside:
+      ``(P - Y)ᵀ · X``), and a single built-in aggregate
+      (``F.aggregate``/``zip_with`` over ``collect_list``) folds the
+      task-count-bounded partials element-wise — still one job, one
+      1-row collect, no corpus-sized driver state.  The per-update
+      round(9) absorbs the summation-order difference, so both shapes
+      land on identical weights (bit-compared in
+      ``tests/test_featurize.py``).
     """
     from pyspark.sql import functions as F
 
@@ -254,48 +296,125 @@ def lang_lr_train(
             passthrough_cols=(label_col,),
         )
         .select(F.col(label_col).alias("_y"), "emb")
+        # NULL labels carry no supervision signal; sorted() over a class
+        # list containing None would TypeError (ADVICE r4).
+        .where(F.col("_y").isNotNull())
         .persist()
     )
     try:
         classes = sorted(
             r["_y"] for r in feat.select("_y").distinct().collect()
         )
+        if vectorized is None:
+            vectorized = len(classes) * (dim + 1) > vectorized_threshold
         fnames = ["bias"] + [f"e{j}" for j in range(dim)]
         W: dict[str, dict[str, float]] = {
             c: {f: 0.0 for f in fnames} for c in classes
         }
         for _ in range(iters):
-            exps = []
-            for c in classes:
-                z = F.lit(W[c]["bias"])
-                for j in range(dim):
-                    z = z + F.lit(W[c][f"e{j}"]) * F.element_at("emb", j + 1)
-                exps.append(F.exp(z))
-            den = exps[0]
-            for e in exps[1:]:  # sorted-class left fold, mirrored in SQL
-                den = den + e
-            aggs = []
+            if vectorized:
+                g_avg = _softmax_grad_avg_vec(feat, W, classes, dim)
+            else:
+                g_avg = _softmax_grad_avg_codegen(feat, W, classes, dim)
             for ci, c in enumerate(classes):
-                err = exps[ci] / den - (F.col("_y") == c).cast("double")
-                aggs.append(F.avg(err).alias(f"g_{ci}_bias"))
-                for j in range(dim):
-                    aggs.append(
-                        F.avg(err * F.element_at("emb", j + 1)).alias(
-                            f"g_{ci}_e{j}"
-                        )
-                    )
-            row = feat.agg(*aggs).first()
-            for ci, c in enumerate(classes):
-                W[c]["bias"] = round(
-                    W[c]["bias"] - lr * row[f"g_{ci}_bias"], 9
-                )
-                for j in range(dim):
-                    W[c][f"e{j}"] = round(
-                        W[c][f"e{j}"] - lr * row[f"g_{ci}_e{j}"], 9
+                for fi, f in enumerate(fnames):
+                    W[c][f] = round(
+                        W[c][f] - lr * g_avg[ci][fi], 9
                     )
         return W
     finally:
         feat.unpersist()
+
+
+def _softmax_grad_avg_codegen(
+    feat: DataFrame, W: dict, classes: list, dim: int
+) -> list:
+    """One partially-aggregated JVM pass: the ``n_classes × (dim+1)``
+    gradient averages as named ``avg`` expressions (map-side combine,
+    1-row collect).  Returns ``[[bias, e0..], ...]`` in class order.
+    The softmax denominator is a sorted-class left fold, mirrored by
+    the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    exps = []
+    for c in classes:
+        z = F.lit(W[c]["bias"])
+        for j in range(dim):
+            z = z + F.lit(W[c][f"e{j}"]) * F.element_at("emb", j + 1)
+        exps.append(F.exp(z))
+    den = exps[0]
+    for e in exps[1:]:  # sorted-class left fold, mirrored in SQL
+        den = den + e
+    aggs = []
+    for ci, c in enumerate(classes):
+        err = exps[ci] / den - (F.col("_y") == c).cast("double")
+        aggs.append(F.avg(err).alias(f"g_{ci}_bias"))
+        for j in range(dim):
+            aggs.append(
+                F.avg(err * F.element_at("emb", j + 1)).alias(f"g_{ci}_e{j}")
+            )
+    row = feat.agg(*aggs).first()
+    return [
+        [row[f"g_{ci}_bias"]] + [row[f"g_{ci}_e{j}"] for j in range(dim)]
+        for ci in range(len(classes))
+    ]
+
+
+def _softmax_grad_avg_vec(
+    feat: DataFrame, W: dict, classes: list, dim: int
+) -> list:
+    """The wide-model gradient pass: ONE Arrow stage computes a
+    per-partition partial ``(cnt, flattened (P-Y)ᵀ·X sum)`` row, then a
+    single built-in aggregate folds the (task-count-bounded) partials
+    element-wise and the driver divides once.  The aggregate expression
+    count is CONSTANT in classes × dim (one array column), so Catalyst
+    planning cost no longer scales with model width."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_classes = len(classes)
+    width = n_classes * (dim + 1)
+    # weight matrix in class order, bias first — closure-captured
+    # (broadcast-sized: classes × (dim+1) doubles)
+    Wm = np.array(
+        [[W[c]["bias"]] + [W[c][f"e{j}"] for j in range(dim)]
+         for c in classes],
+        dtype=np.float64,
+    )
+    cls_idx = {c: i for i, c in enumerate(classes)}
+
+    def gen(batches):
+        G = np.zeros((n_classes, dim + 1), dtype=np.float64)
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            Xa = np.hstack([np.ones((len(X), 1)), X])
+            Z = Xa @ Wm.T
+            E = np.exp(Z)
+            P = E / E.sum(axis=1, keepdims=True)
+            Y = np.zeros_like(P)
+            Y[np.arange(len(X)), pdf["_y"].map(cls_idx).to_numpy()] = 1.0
+            G += (P - Y).T @ Xa
+            cnt += len(X)
+        if cnt:
+            yield pd.DataFrame({"cnt": [cnt], "g": [G.ravel().tolist()]})
+
+    partials = feat.mapInPandas(gen, schema="cnt bigint, g array<double>")
+    row = partials.agg(
+        F.sum("cnt").alias("n"),
+        F.aggregate(
+            F.collect_list("g"),
+            F.array_repeat(F.lit(0.0), width),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("g"),
+    ).first()
+    if not row["n"]:
+        raise ValueError("lang_lr_train: no labeled rows to train on")
+    g = np.array(row["g"], dtype=np.float64).reshape(n_classes, dim + 1)
+    return (g / float(row["n"])).tolist()
 
 
 def lang_lr_predict(emb_col, weights: dict[str, dict[str, float]]):

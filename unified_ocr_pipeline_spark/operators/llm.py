@@ -72,28 +72,35 @@ def http_client(
     - the endpoint's ``response`` field (a string of model output) is
       parsed as JSON and returned as the record dict.
 
-    ``http.client.HTTPConnection`` with keep-alive: the TCP connection is
-    reused across every row the worker processes (reconnect-once on a
-    stale socket); per-request urllib would re-handshake per document —
-    at 10^12 calls the handshakes alone would dominate.  Row-level retry
-    policy stays in ``llm_extract`` (bounded attempts, quarantine rows).
+    ``http.client.HTTPConnection`` (or ``HTTPSConnection`` for an
+    ``https://`` url — the TLS-terminated reverse-proxy deployment) with
+    keep-alive: the TCP connection is reused across every row the worker
+    processes (reconnect-once on a stale socket); per-request urllib
+    would re-handshake per document — at 10^12 calls the handshakes
+    alone would dominate.  Stale-socket recovery auto-replays GETs only:
+    a POST that may have reached the server before the drop is NOT
+    blindly re-sent (a generate would run — and bill — twice); the
+    error surfaces to ``llm_extract``'s row-level retry, which owns
+    bounded re-attempts and quarantine.
     """
     import http.client
     from urllib.parse import urlsplit
 
     parts = urlsplit(base_url)
-    if parts.scheme != "http" or not parts.hostname:
+    if parts.scheme not in ("http", "https") or not parts.hostname:
         raise ValueError(
-            f"http_client needs an http://host[:port][/prefix] url, "
+            f"http_client needs an http(s)://host[:port][/prefix] url, "
             f"got {base_url!r}"
         )
     host = parts.hostname
-    port = parts.port or 11434
+    tls = parts.scheme == "https"
+    port = parts.port or (443 if tls else 11434)
     # a reverse-proxied endpoint mounts the API under a path prefix —
     # keep it (the reference concatenates f"{ollama_url}/api/...", same
     # behavior)
     prefix = parts.path.rstrip("/")
-    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    conn_cls = http.client.HTTPSConnection if tls else http.client.HTTPConnection
+    conn = conn_cls(host, port, timeout=timeout)
 
     def _request(method: str, path: str, body: Optional[bytes]) -> tuple[int, bytes]:
         path = prefix + path
@@ -103,8 +110,13 @@ def http_client(
             r = conn.getresponse()
             return r.status, r.read()
         except (http.client.HTTPException, ConnectionError, OSError):
-            # stale keep-alive socket: reconnect ONCE and replay
+            # Stale keep-alive socket: reconnect, then replay ONLY if the
+            # request was idempotent (GET). A non-idempotent POST may
+            # already have executed server-side; re-raise and let
+            # llm_extract's per-row retry decide whether to re-attempt.
             conn.close()
+            if method != "GET":
+                raise
             conn.request(method, path, body=body, headers=headers)
             r = conn.getresponse()
             return r.status, r.read()

@@ -742,7 +742,7 @@ def zipf_fit(
     df: DataFrame,
     text_col: str,
     min_count: int = 1,
-    max_rank: int | None = None,
+    max_rank: int | None = 50_000,
 ) -> DataFrame:
     """Zipf's-law fit over the corpus token-frequency distribution: one
     row ``(n_types bigint, n_tokens bigint, slope double, intercept
@@ -755,15 +755,17 @@ def zipf_fit(
     health check next to the per-document quality gates.
 
     Scale shape: the explode partial-aggregates map-side so the shuffle
-    carries vocabulary-sized counts.  With ``max_rank`` set, the head
-    cut happens BEFORE ranking via ``orderBy().limit(max_rank)`` —
-    Spark plans that as TakeOrderedAndProject (per-partition heaps, no
-    full sort), so the rank window only ever sees ``max_rank`` rows;
-    this is the strict-memory path for web-scale vocabularies.  With
-    ``max_rank=None`` the window orders the full VOCAB relation
-    (bounded by distinct types, fine up to millions of rows).  The
-    regression itself is one built-in aggregate
-    (regr_slope/intercept/r2), no driver math.
+    carries vocabulary-sized counts.  The head cut happens BEFORE
+    ranking via ``orderBy().limit(max_rank)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps, no full sort), so the
+    rank window only ever sees ``max_rank`` rows.  The DEFAULT is a
+    finite head (50k ranks): the Zipf slope is a head statistic — the
+    power-law fit is dominated by the top ranks and log-spaced beyond
+    them — so a web-scale vocabulary never meets a single-reducer sort
+    unless a caller EXPLICITLY passes ``max_rank=None``, which windows
+    the full VOCAB relation (type-bounded; the fixture/oracle override
+    for exact full-tail replay).  The regression itself is one built-in
+    aggregate (regr_slope/intercept/r2), no driver math.
     """
     toks = df.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
