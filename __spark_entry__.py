@@ -3939,6 +3939,57 @@ def _q_quality_lr_train(spark, sf):
     return spark.createDataFrame(rows, "feature string, weight double")
 
 
+def _q_curation_funnel_trained(spark, sf):
+    """End-to-end train-AND-apply curation shape (the flagship
+    composition ``examples/curate_job.py`` runs): distill the Gopher
+    rule-gate into the trained quality LR (4 fixed GD iterations,
+    round-9 updates — the oracle-replayable trajectory), then score
+    EVERY document with the trained weights and gate at 0.5. One plan
+    covers artifact training, broadcast of the driver-side weights as
+    literals, and the codegen scoring column — the DuckDB oracle
+    replays the identical trajectory and scores with the same
+    w{iters} relation."""
+    from unified_ocr_pipeline_spark.operators import featurize as FZ
+
+    d = _t(spark, sf, "documents")
+    wts = FZ.quality_lr_train(d, "text", iters=4, lr=0.5)
+    score = FZ.quality_lr_score_trained(F.col("text"), wts)
+    return d.select(
+        "doc_id",
+        score.alias("lr_score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
+
+
+def _q_lang_id_trained(spark, sf):
+    """lang_id behind the U3 strategy seam, TRAINED route: train the
+    softmax language LR on the corpus's own (text, lang) pairs, apply
+    it via lang_lr_predict (argmax codegen column, ties to last class),
+    label featurizer-dropped docs 'und', and emit the per-predicted-
+    class confusion summary (n_docs, n_correct vs the stored label).
+    The heuristic route stays the separate ``lang_id`` query — both
+    strategies oracle-green behind one contract."""
+    from unified_ocr_pipeline_spark.operators import featurize as FZ
+
+    d = _t(spark, sf, "documents")
+    W = FZ.lang_lr_train(
+        d, "text", "lang", "doc_id", dim=8, n=3, iters=2, lr=1.0
+    )
+    pred = FZ.lang_id(
+        d, "text", "doc_id", strategy="trained", weights=W, dim=8, n=3
+    )
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("lang_pred") == F.col("lang")).cast("bigint")
+            ).alias("n_correct"),
+        )
+    )
+
+
 def _q_text_embed(spark, sf):
     """Deterministic hashed char-3-gram text embedding (the featurizer
     that makes the embedding-side family — semantic_dedup / ivf_topk /
@@ -3966,6 +4017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed": _q_text_embed,
         "quality_lr_train": _q_quality_lr_train,
         "lang_lr_train": _q_lang_lr_train,
+        "curation_funnel_trained": _q_curation_funnel_trained,
+        "lang_id_trained": _q_lang_id_trained,
         "pii_extended": _q_pii_extended,
         "flagship_lang_yield": _q_flagship_lang_yield,
         "scan_filter_project": _q_scan_filter_project,
@@ -4609,13 +4662,22 @@ def _lang_lr_oracle(
     iters: int = 2,
     lr: float = 1.0,
     classes: tuple = ("de", "en", "es", "fr", "zh"),
+    predict_counts: bool = False,
 ) -> str:
     """Replays lang_lr_train float-op-for-float-op: the text_embed
     projection CTEs pivot to per-doc feature columns, the lang label
     joins back, then per iteration one (softmax → avg-gradient →
     round-9 update) CTE triple chained through 1-row weight relations —
     denominator summed in sorted-class order exactly as the Spark fold.
-    ``classes`` pins the fixture's stable label set (sorted)."""
+    ``classes`` pins the fixture's stable label set (sorted).
+
+    ``predict_counts=True`` is the lang_id_trained final: the trained
+    w{iters} relation scores every embedded doc (same left-fold linear
+    form as ``lang_lr_predict``), argmax ties break to the LAST class
+    in sort order (the array_max-over-structs canon — expressed as a
+    DESCENDING equality CASE against greatest()), featurizer-dropped
+    docs come back 'und' via a left join, and the output is the
+    (lang_pred, n_docs, n_correct) confusion summary."""
     nc = len(classes)
     xs = [f"x{j}" for j in range(dim)]
 
@@ -4663,12 +4725,36 @@ def _lang_lr_oracle(
             )
             + f" FROM w{k - 1} CROSS JOIN g{k})"
         )
-    final = " UNION ALL ".join(
-        f"SELECT '{c}' AS lang, '{fn}' AS feature, "
-        f"round(c_{ci}_{f}, 6) AS weight FROM w{iters}"
-        for ci, c in enumerate(classes)
-        for fn, f in [("bias", "b")] + [(f"e{j}", j) for j in range(dim)]
-    )
+    if predict_counts:
+        zsel = ", ".join(f"{z_expr(ci)} AS z_{ci}" for ci in range(nc))
+        gmax = f"greatest({', '.join(f'z_{ci}' for ci in range(nc))})"
+        case = "CASE " + " ".join(
+            f"WHEN z_{ci} = mz THEN '{classes[ci]}'"
+            for ci in range(nc - 1, -1, -1)
+        ) + " END"
+        ctes.append(
+            f"scored AS (SELECT x.doc_id, {zsel} "
+            f"FROM x CROSS JOIN w{iters})"
+        )
+        ctes.append(f"mx AS (SELECT *, {gmax} AS mz FROM scored)")
+        ctes.append(f"pl AS (SELECT doc_id, {case} AS lang_pred FROM mx)")
+        ctes.append(
+            "pred AS (SELECT d.doc_id, "
+            "coalesce(pl.lang_pred, 'und') AS lang_pred, d.lang "
+            "FROM documents d LEFT JOIN pl USING (doc_id))"
+        )
+        final = (
+            "SELECT lang_pred, count(*) AS n_docs, "
+            "sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_correct "
+            "FROM pred GROUP BY lang_pred"
+        )
+    else:
+        final = " UNION ALL ".join(
+            f"SELECT '{c}' AS lang, '{fn}' AS feature, "
+            f"round(c_{ci}_{f}, 6) AS weight FROM w{iters}"
+            for ci, c in enumerate(classes)
+            for fn, f in [("bias", "b")] + [(f"e{j}", j) for j in range(dim)]
+        )
     xsel = ", ".join(
         f"max(CASE WHEN dim = {j} THEN r / nv END) AS x{j}"
         for j in range(dim)
@@ -4712,13 +4798,21 @@ def _lang_lr_oracle(
     """
 
 
-def _lr_train_oracle(iters: int = 4, lr: float = 0.5) -> str:
+def _lr_train_oracle(
+    iters: int = 4, lr: float = 0.5, score_docs: bool = False
+) -> str:
     """Replays quality_lr_train's full-batch GD float-op-for-float-op:
     the shared quality shape CTEs feed (y, x*) features, then one
     (predict → avg-gradient → round-9 update) CTE triple per iteration,
     chained through 1-row weight relations — the same fixed iteration
     count and per-update rounding the Spark side applies, so both sides
-    walk identical weight trajectories."""
+    walk identical weight trajectories.
+
+    ``score_docs=True`` is the curation_funnel_trained final: instead of
+    emitting the weight artifact, the trained w{iters} relation scores
+    EVERY document (same sigmoid, same feature order, round-4 like
+    ``quality_lr_score_trained``) and gates at 0.5 — the full
+    train-then-apply trajectory in one SQL statement."""
     cols = ("b", "l", "s", "d", "t", "y", "m")
     xs = ("1.0", "xl", "xs", "xd", "xt", "xy", "xm")
     ctes = [
@@ -4755,10 +4849,25 @@ def _lr_train_oracle(iters: int = 4, lr: float = 0.5) -> str:
         "bias", "len_feat", "stop_feat", "dup_frac",
         "top_cov", "sym_ratio", "mwl_dist",
     )
-    final = " UNION ALL ".join(
-        f"SELECT '{n}' AS feature, round(c{c}, 6) AS weight FROM w{iters}"
-        for n, c in zip(names, cols)
-    )
+    if score_docs:
+        # train-then-apply: score every doc with the trained weights —
+        # same left-fold feature order and round(4) as
+        # quality_lr_score_trained, gate on the ROUNDED score.
+        z = " + ".join(
+            f"c{c} * {x}" if x != "1.0" else f"c{c}"
+            for c, x in zip(cols, xs)
+        )
+        final = f"""
+        SELECT feat.doc_id,
+               round(1.0 / (1.0 + exp(-({z}))), 4) AS lr_score,
+               round(1.0 / (1.0 + exp(-({z}))), 4) >= 0.5 AS keep
+        FROM feat CROSS JOIN w{iters}
+        """
+    else:
+        final = " UNION ALL ".join(
+            f"SELECT '{n}' AS feature, round(c{c}, 6) AS weight FROM w{iters}"
+            for n, c in zip(names, cols)
+        )
     return rf"""
         WITH w AS (
           SELECT doc_id,
@@ -4786,7 +4895,8 @@ def _lr_train_oracle(iters: int = 4, lr: float = 0.5) -> str:
                       ELSE round(syms / CAST(n AS DOUBLE), 4) END AS sym_ratio
           FROM s),
         feat AS (
-          SELECT CASE WHEN dup_frac <= 0.3 AND top_cov <= 0.2
+          SELECT doc_id,
+                 CASE WHEN dup_frac <= 0.3 AND top_cov <= 0.2
                        AND mean_wlen BETWEEN 2.0 AND 12.0
                        AND sym_ratio <= 0.3 THEN 1.0 ELSE 0.0 END AS y,
                  least(n / 100.0, 1.0) AS xl,
@@ -5077,6 +5187,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_lr_train": _lr_train_oracle(iters=4, lr=0.5),
         "lang_lr_train": _lang_lr_oracle(dim=8, iters=2, lr=1.0),
+        "curation_funnel_trained": _lr_train_oracle(
+            iters=4, lr=0.5, score_docs=True
+        ),
+        "lang_id_trained": _lang_lr_oracle(
+            dim=8, iters=2, lr=1.0, predict_counts=True
+        ),
         # pii_extended: every column predicted from the planted class
         # (the m=0 literals are valid by the real mod-97 / SSA rules,
         # the m=1 literals are their corrupted twins).

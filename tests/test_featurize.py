@@ -264,3 +264,43 @@ def test_lang_lr_train_wide_model_smoke(spark):
     )
     acc = pred.where(F.col("pred") == F.col("lang")).count() / pred.count()
     assert acc > 0.9  # disjoint alphabets separate easily
+
+
+def test_lang_id_strategy_routing(spark):
+    # ONE contract, selectable engines (the U3 seam): both strategies
+    # label every input row; trained recovers the planted separation,
+    # heuristic falls back to stopword evidence; unknown strategy raises
+    import pytest
+
+    df = _lang_corpus(spark)
+    W = FZ.lang_lr_train(df, dim=16, iters=8, lr=2.0)
+    trained = FZ.lang_id(df, strategy="trained", weights=W, dim=16)
+    assert trained.count() == df.count()
+    joined = trained.join(df.select("doc_id", "lang"), "doc_id")
+    acc = (
+        joined.where(F.col("lang_pred") == F.col("lang")).count()
+        / joined.count()
+    )
+    assert acc == 1.0
+    heur = FZ.lang_id(df, strategy="heuristic")
+    assert heur.count() == df.count()
+    assert {r["lang_pred"] for r in heur.collect()} == {"und"}  # no stopwords
+    with pytest.raises(ValueError, match="strategy"):
+        FZ.lang_id(df, strategy="nope")
+    with pytest.raises(ValueError, match="artifact"):
+        FZ.lang_id(df, strategy="trained")  # weights required
+
+
+def test_lang_id_trained_labels_dropped_docs_und(spark):
+    # featurizer-dropped rows (null/short text) must come back 'und',
+    # not vanish — both strategies label EVERY row
+    df = _lang_corpus(spark).unionByName(
+        _docs(spark, [(900, None), (901, "ab")]).withColumn(
+            "lang", F.lit("aa")
+        ).select("doc_id", "text", "lang")
+    )
+    W = FZ.lang_lr_train(df, dim=8, iters=2)
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in FZ.lang_id(df, strategy="trained", weights=W).collect()}
+    assert out[900] == "und" and out[901] == "und"
+    assert len(out) == 62

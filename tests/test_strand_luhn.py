@@ -192,3 +192,57 @@ def test_ssn_9xx_area_excluded(spark):
     df = spark.createDataFrame([("id 923-45-6789 here",)], "t string")
     _, n_valid = PII.ssn_mentions(F.col("t"))
     assert df.select(n_valid.alias("v")).first()["v"] == 0
+
+
+def test_iban_adversarial_non_pii_codes_untouched(spark):
+    """The documented FP scope (functions/pii.py): shape-matching but
+    mod-97-FAILING codes — SKUs, tracking ids, corrupted IBANs — must
+    survive both counting (n_valid=0) and redaction unchanged."""
+    adversarial = [
+        "PO20250812ITEM0042",        # purchase-order/SKU code, 18 alnum
+        "AB12TRACK99SHIP001",        # tracking-style code
+        "DE89370400440532013001",    # real IBAN with one digit corrupted
+        "GB82WEST12345698765431",    # ditto, other country shape
+        "XY00A1B2C3D4E5F67",         # random booking-code shape
+    ]
+    t = "codes: " + " ".join(adversarial)
+    df = spark.createDataFrame([(t,)], "t string")
+    n_cand, n_valid = PII.iban_mentions(F.col("t"))
+    r = df.select(
+        n_cand.alias("c"), n_valid.alias("v"),
+        PII.redact_ibans(F.col("t")).alias("red"),
+    ).first()
+    assert r["c"] == len(adversarial)  # all SHAPE-match (honest scope)
+    assert r["v"] == 0                 # none mod-97-validate
+    assert r["red"] == t               # and none is touched
+
+
+def test_ssn_adversarial_non_pii_shapes_untouched(spark):
+    """Non-SSN punctuation/shape classes the scrub must leave alone:
+    3-3-4 phone shapes, ISO dates, unhyphenated 9-digit runs, and the
+    never-issued structural exclusions."""
+    adversarial = [
+        "555-867-5309",   # phone-shaped 3-3-4: not a candidate
+        "2026-08-21",     # ISO date: not a candidate
+        "123456789",      # bare 9-digit order number: not a candidate
+        "987-65-4320",    # 9xx advert specimen: candidate, never issued
+        "123-00-4567",    # 00 group: candidate, never issued
+    ]
+    t = "refs: " + " ".join(adversarial)
+    df = spark.createDataFrame([(t,)], "t string")
+    n_cand, n_valid = PII.ssn_mentions(F.col("t"))
+    r = df.select(
+        n_cand.alias("c"), n_valid.alias("v"),
+        PII.redact_ssns(F.col("t")).alias("red"),
+    ).first()
+    assert r["c"] == 2 and r["v"] == 0
+    assert r["red"] == t
+
+
+def test_ssn_valid_shape_order_number_redacts_by_documented_scope(spark):
+    """The accepted FP class, pinned as a test so the trade-off stays
+    visible: an issued-SHAPE ddd-dd-dddd order number DOES redact —
+    recall-oriented scrub, a stray redaction costs one token."""
+    df = spark.createDataFrame([("order 123-45-6789 shipped",)], "t string")
+    r = df.select(PII.redact_ssns(F.col("t")).alias("red")).first()
+    assert r["red"] == "order [SSN] shipped"

@@ -138,6 +138,20 @@ def redact_cards(text: Column) -> Column:
 # ISO 7064 mod-97 (pure integer fold, like the Luhn kernel); the SSN
 # check applies the published structural exclusions (000/666/9xx area,
 # 00 group, 0000 serial).
+#
+# Known false-positive classes (accepted by design — recall wins for a
+# training-data scrub, and a stray redaction costs one token):
+# - IBAN: any ≥15-char [A-Z]{2}\d{2}[A-Z0-9]+ code that happens to land
+#   on mod-97 ≡ 1 (~1/97 of shape-matching SKUs / tracking / booking
+#   codes). Shape-matching codes that FAIL mod-97 (the other ~96/97 —
+#   EU VAT ids are too short to even match) are left untouched.
+# - SSN: any issued-SHAPE ddd-dd-dddd identifier that is not actually
+#   an SSN — 9-digit order/part numbers punctuated the same way WILL
+#   redact. Only never-issued shapes (000/666/9xx area, 00 group, 0000
+#   serial) and differently-punctuated runs (3-3-4 phone shapes, dates,
+#   unhyphenated 9-digit runs) are exempt.
+# tests/test_strand_luhn.py enumerates adversarial non-PII examples for
+# both classes.
 
 IBAN_REGEX = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
 SSN_REGEX = r"\b\d{3}-\d{2}-\d{4}\b"

@@ -434,6 +434,58 @@ def lang_lr_predict(emb_col, weights: dict[str, dict[str, float]]):
     return F.array_max(F.array(*scored))["cls"]
 
 
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "heuristic",
+    weights: dict[str, dict[str, float]] | None = None,
+    dim: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(id_col, lang_pred): language identification behind the U3
+    strategy-routing seam (``kernels/quality.route_strategy`` pattern —
+    one contract, selectable engines):
+
+    - ``strategy='heuristic'`` — the stopword-hits n-gram heuristic
+      (``functions/text.lang_guess``): zero training, pure codegen, the
+      production default for a first pass.
+    - ``strategy='trained'`` — a :func:`lang_lr_train` artifact applied
+      via :func:`lang_lr_predict` over the :func:`text_embed` vector:
+      one Arrow pass + one codegen argmax column.  Documents the
+      featurizer drops (null/short/zero-norm text — no direction to
+      classify) come back as ``'und'`` via a left join on ``id_col``,
+      so BOTH strategies label every input row.
+
+    The routing is a driver-side constant (strategy is configuration,
+    not data), so each path's plan is exactly what it would be
+    standalone — no per-row branching cost.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TX
+
+    if strategy == "heuristic":
+        return df.select(
+            id_col, TX.lang_guess(F.col(text_col)).alias("lang_pred")
+        )
+    if strategy == "trained":
+        if weights is None:
+            raise ValueError("strategy='trained' needs a lang_lr_train artifact")
+        emb = text_embed(df, text_col, id_col, dim=dim, n=n)
+        pred = emb.select(
+            id_col, lang_lr_predict("emb", weights).alias("_p")
+        )
+        return (
+            df.select(id_col)
+            .join(pred, id_col, "left")
+            .select(
+                id_col, F.coalesce("_p", F.lit("und")).alias("lang_pred")
+            )
+        )
+    raise ValueError(f"unknown lang_id strategy {strategy!r}")
+
+
 def quality_lr_score_trained(
     text_col, weights: dict[str, float]
 ):
