@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "text_embed",
     "quality_lr_train",
     "lang_lr_train",
+    "curation_funnel_trained",
+    "lang_id_trained",
     "pii_extended",
     "embedding_topk",
     "embedding_lsh_topk",

@@ -13,7 +13,15 @@ includes at least one pair measured exactly the way the job deploys.
 Cold-start (~6-10 s JVM+session) rides inside BOTH walls; the corpus
 should be big enough to dominate it (default 240k docs).
 
-Run:  python scripts/submit_scaling.py [n_docs] [lo] [hi]
+``reps > 1`` is the cold-start-AMORTIZED submit mode (round-4 verdict
+item #5): each submitted JVM runs the pipeline ``reps`` times (fresh
+output dir per rep) and the pair is scored on the best post-first rep —
+exactly how a production driver amortizes its JVM over many batches
+(one submit, many partitions/days of work), while still running the
+literal ship artifact end-to-end.  Rep 1 carries JVM + session +
+Python-worker cold start (~8-10 s); reps 2+ measure the engine.
+
+Run:  python scripts/submit_scaling.py [n_docs] [lo] [hi] [reps]
 """
 
 from __future__ import annotations
@@ -28,21 +36,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 _DRIVER = """
-import json, sys, time
+import json, shutil, sys, time
 from unified_ocr_pipeline_spark.plans.session import get_spark
 from unified_ocr_pipeline_spark.plans.pipeline import ExtractionPipeline
 
 cores, pages, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+reps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 spark = get_spark(app_name=f"submit_scale_{cores}", cores=cores,
                   shuffle_partitions=cores)
-pipe = ExtractionPipeline(spark, out, num_buckets=64, salt_factor=8,
-                          max_bytes=256 * 1024)
-t0 = time.perf_counter()
-res = pipe.run(pages, resume=False)
-wall = time.perf_counter() - t0
+trials = []
+for rep in range(reps):
+    shutil.rmtree(out, ignore_errors=True)
+    pipe = ExtractionPipeline(spark, out, num_buckets=64, salt_factor=8,
+                              max_bytes=256 * 1024)
+    t0 = time.perf_counter()
+    res = pipe.run(pages, resume=False)
+    wall = time.perf_counter() - t0
+    trials.append({"rep": rep, "wall_sec": round(wall, 3),
+                   "docs": res.rows_written,
+                   "docs_per_sec": round(res.rows_written / wall, 2)})
+# score: single-rep mode uses the (cold) only rep; amortized mode uses
+# the best post-first rep — the steady state a long-lived driver sees
+scored = trials[0] if reps == 1 else max(
+    trials[1:], key=lambda t: t["docs_per_sec"])
 print("SUBMIT_TRIAL " + json.dumps({
-    "cores": cores, "wall_sec": round(wall, 3), "docs": res.rows_written,
-    "docs_per_sec": round(res.rows_written / wall, 2)}))
+    "cores": cores, "wall_sec": scored["wall_sec"], "docs": scored["docs"],
+    "docs_per_sec": scored["docs_per_sec"], "reps": trials}))
 spark.stop()
 """
 
@@ -53,6 +72,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     pages = ensure_fixture(n_docs)
 
     zip_path = "/tmp/submit_engine.zip"
@@ -79,7 +99,7 @@ def main() -> None:
             ["spark-submit", "--driver-memory",
              os.environ.get("SPARK_DRIVER_MEM", "24g"),
              "--py-files", zip_path, drv,
-             str(cores), pages + "/shard*", out],
+             str(cores), pages + "/shard*", out, str(reps)],
             capture_output=True, text=True,
         )
         if p.returncode != 0:
@@ -108,7 +128,8 @@ def main() -> None:
         results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
     ) / (hi / lo)
     print(json.dumps({
-        "mode": "spark-submit --py-files",
+        "mode": "spark-submit --py-files"
+                + ("" if reps == 1 else f" (amortized, reps={reps})"),
         "lo": results[lo], "hi": results[hi],
         "efficiency": round(eff, 3),
     }))
