@@ -3972,11 +3972,18 @@ def _q_lang_id_trained(spark, sf):
     from unified_ocr_pipeline_spark.operators import featurize as FZ
 
     d = _t(spark, sf, "documents")
+    # embed ONCE (persisted); training and prediction both read the same
+    # materialized embedding table — the corpus-scale shape
+    emb = FZ.text_embed(
+        d, "text", "doc_id", dim=8, n=3, passthrough_cols=("lang",)
+    ).persist()
     W = FZ.lang_lr_train(
-        d, "text", "lang", "doc_id", dim=8, n=3, iters=2, lr=1.0
+        d, "text", "lang", "doc_id", dim=8, n=3, iters=2, lr=1.0,
+        emb_df=emb,
     )
     pred = FZ.lang_id(
-        d, "text", "doc_id", strategy="trained", weights=W, dim=8, n=3
+        d, "text", "doc_id", strategy="trained", weights=W, dim=8, n=3,
+        emb_df=emb.select("doc_id", "emb"),
     )
     return (
         pred.join(d.select("doc_id", "lang"), "doc_id")

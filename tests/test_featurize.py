@@ -304,3 +304,31 @@ def test_lang_id_trained_labels_dropped_docs_und(spark):
            for r in FZ.lang_id(df, strategy="trained", weights=W).collect()}
     assert out[900] == "und" and out[901] == "und"
     assert len(out) == 62
+
+
+def test_lang_lr_train_and_predict_share_one_embedding_frame(spark):
+    # the embed-once seam: a single text_embed pass (with the label as a
+    # passthrough column) feeds BOTH training and prediction, and the
+    # results are identical to the recompute-per-consumer path
+    df = _lang_corpus(spark)
+    emb = FZ.text_embed(
+        df, dim=16, passthrough_cols=("lang",)
+    ).persist()
+    W_shared = FZ.lang_lr_train(df, dim=16, iters=4, emb_df=emb)
+    W_solo = FZ.lang_lr_train(df, dim=16, iters=4)
+    assert W_shared == W_solo
+    p_shared = {
+        r["doc_id"]: r["lang_pred"]
+        for r in FZ.lang_id(
+            df, strategy="trained", weights=W_shared, dim=16,
+            emb_df=emb.select("doc_id", "emb"),
+        ).collect()
+    }
+    p_solo = {
+        r["doc_id"]: r["lang_pred"]
+        for r in FZ.lang_id(
+            df, strategy="trained", weights=W_solo, dim=16
+        ).collect()
+    }
+    assert p_shared == p_solo
+    emb.unpersist()

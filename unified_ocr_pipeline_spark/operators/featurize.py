@@ -246,6 +246,7 @@ def lang_lr_train(
     lr: float = 1.0,
     vectorized: bool | None = None,
     vectorized_threshold: int = 2048,
+    emb_df: DataFrame | None = None,
 ) -> dict[str, dict[str, float]]:
     """fastText-style supervised language classifier: multinomial
     (softmax) logistic regression over the hashed char-n-gram embedding,
@@ -287,14 +288,23 @@ def lang_lr_train(
       round(9) absorbs the summation-order difference, so both shapes
       land on identical weights (bit-compared in
       ``tests/test_featurize.py``).
+
+    ``emb_df`` is the embed-once seam: a precomputed
+    ``(id_col, emb, label_col)`` frame (``text_embed`` with the label
+    in ``passthrough_cols``) skips the featurize pass entirely — at
+    corpus scale the embedding is a materialized table that training
+    AND prediction (:func:`lang_id`) read from, not something each
+    consumer recomputes (``dim`` must match its width).
     """
     from pyspark.sql import functions as F
 
-    feat = (
-        text_embed(
+    if emb_df is None:
+        emb_df = text_embed(
             df, text_col, id_col, dim=dim, n=n,
             passthrough_cols=(label_col,),
         )
+    feat = (
+        emb_df
         .select(F.col(label_col).alias("_y"), "emb")
         # NULL labels carry no supervision signal; sorted() over a class
         # list containing None would TypeError (ADVICE r4).
@@ -442,6 +452,7 @@ def lang_id(
     weights: dict[str, dict[str, float]] | None = None,
     dim: int = 8,
     n: int = 3,
+    emb_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, lang_pred): language identification behind the U3
     strategy-routing seam (``kernels/quality.route_strategy`` pattern —
@@ -459,7 +470,11 @@ def lang_id(
 
     The routing is a driver-side constant (strategy is configuration,
     not data), so each path's plan is exactly what it would be
-    standalone — no per-row branching cost.
+    standalone — no per-row branching cost.  ``emb_df`` (a precomputed
+    ``(id_col, emb)`` frame) lets prediction share ONE materialized
+    embedding table with :func:`lang_lr_train` instead of re-running
+    the featurize pass — the embed-once shape a corpus-scale deployment
+    uses.
     """
     from pyspark.sql import functions as F
 
@@ -472,7 +487,10 @@ def lang_id(
     if strategy == "trained":
         if weights is None:
             raise ValueError("strategy='trained' needs a lang_lr_train artifact")
-        emb = text_embed(df, text_col, id_col, dim=dim, n=n)
+        emb = (
+            emb_df if emb_df is not None
+            else text_embed(df, text_col, id_col, dim=dim, n=n)
+        )
         pred = emb.select(
             id_col, lang_lr_predict("emb", weights).alias("_p")
         )
