@@ -332,3 +332,28 @@ def test_lang_lr_train_and_predict_share_one_embedding_frame(spark):
     }
     assert p_shared == p_solo
     emb.unpersist()
+
+
+def test_lang_lr_train_paths_agree_on_random_corpora(spark):
+    # deterministic randomized hardening of the bit-compare claim: both
+    # gradient-pass shapes land on identical round-9 trajectories across
+    # varied corpus shapes (class skew, doc-length spread, multi-lingual
+    # gram overlap), dims, and iteration counts
+    import random
+
+    for seed, dim, iters, n_cls in ((11, 4, 3, 2), (12, 8, 2, 4),
+                                    (13, 16, 2, 3)):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(80):
+            cls = rng.randrange(n_cls)
+            alpha = "abcdefgh"[cls:cls + 4] + "xyz"
+            text = " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randrange(2, 6)))
+                for _ in range(rng.randrange(3, 25))
+            )
+            rows.append((i, text, f"c{cls}"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        a = FZ.lang_lr_train(df, dim=dim, iters=iters, vectorized=False)
+        b = FZ.lang_lr_train(df, dim=dim, iters=iters, vectorized=True)
+        assert a == b, (seed, dim, iters)
