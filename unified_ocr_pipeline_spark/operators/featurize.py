@@ -253,9 +253,9 @@ def lang_lr_train(
     trained full-batch by gradient descent.  Returns
     ``{class: {feature: weight}}`` with features ``bias, e0..e{dim-1}``
     — apply with :func:`lang_lr_predict`.  Rows with a NULL label
-    (undetected-language docs are common) are dropped before training —
-    they define no gradient target and would previously have poisoned
-    the class list.
+    (undetected-language docs are common) are dropped before training:
+    they define no gradient target, and a None in the class list has no
+    sort order.
 
     Deterministic replay contract (the ``quality_lr_train`` discipline):
     zero init, FIXED iteration count, weights rounded to 9 decimals per
