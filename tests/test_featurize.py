@@ -357,3 +357,36 @@ def test_lang_lr_train_paths_agree_on_random_corpora(spark):
         a = FZ.lang_lr_train(df, dim=dim, iters=iters, vectorized=False)
         b = FZ.lang_lr_train(df, dim=dim, iters=iters, vectorized=True)
         assert a == b, (seed, dim, iters)
+
+
+def test_lang_lr_predict_frame_matches_codegen_predictions(spark):
+    # both scorer shapes, one contract: identical predictions on the
+    # planted corpus AND on an all-ties zero-weight artifact (tie rule:
+    # LAST class in sort order)
+    df = _lang_corpus(spark)
+    W = FZ.lang_lr_train(df, dim=16, iters=8, lr=2.0)
+    emb = FZ.text_embed(df, dim=16).persist()
+    code = {r["doc_id"]: r["_p"] for r in emb.select(
+        "doc_id", FZ.lang_lr_predict("emb", W).alias("_p")).collect()}
+    vec = {r["doc_id"]: r["_p"]
+           for r in FZ.lang_lr_predict_frame(emb, W).collect()}
+    assert code == vec and len(code) == 60
+    W0 = {c: {"bias": 0.0, **{f"e{j}": 0.0 for j in range(16)}}
+          for c in ("aa", "mm", "xx")}
+    vec0 = {r["_p"] for r in FZ.lang_lr_predict_frame(emb, W0).collect()}
+    assert vec0 == {"xx"}  # all-ties -> LAST class, same as codegen
+    emb.unpersist()
+
+
+def test_lang_id_trained_auto_routes_predict_by_width(spark):
+    # the SAME auto rule as training: a tiny threshold forces the
+    # Arrow-pass scorer; predictions must equal the codegen route
+    df = _lang_corpus(spark)
+    W = FZ.lang_lr_train(df, dim=16, iters=8, lr=2.0)
+    a = {r["doc_id"]: r["lang_pred"] for r in FZ.lang_id(
+        df, strategy="trained", weights=W, dim=16,
+        vectorized=False).collect()}
+    b = {r["doc_id"]: r["lang_pred"] for r in FZ.lang_id(
+        df, strategy="trained", weights=W, dim=16,
+        vectorized_threshold=1).collect()}
+    assert a == b and len(a) == 60

@@ -430,7 +430,14 @@ def _softmax_grad_avg_vec(
 def lang_lr_predict(emb_col, weights: dict[str, dict[str, float]]):
     """argmax-class Column from a ``lang_lr_train`` artifact applied to
     a ``text_embed`` vector column.  Ties break to the LAST class in
-    sort order (array_max on (score, class) structs — deterministic)."""
+    sort order (array_max on (score, class) structs — deterministic).
+
+    The Column is an ``n_classes × (dim+1)``-literal codegen expression
+    — the oracle-replayable form, right up to the same width where the
+    training aggregate switches shape.  Past that, Catalyst planning
+    cost scales with the expression tree: wide models should score via
+    :func:`lang_lr_predict_frame` (one Arrow pass, constant plan size),
+    which ``lang_id`` auto-routes to."""
     from pyspark.sql import functions as F
 
     e = F.col(emb_col) if isinstance(emb_col, str) else emb_col
@@ -444,6 +451,53 @@ def lang_lr_predict(emb_col, weights: dict[str, dict[str, float]]):
     return F.array_max(F.array(*scored))["cls"]
 
 
+def lang_lr_predict_frame(
+    emb: DataFrame,
+    weights: dict[str, dict[str, float]],
+    id_col: str = "doc_id",
+    out_col: str = "_p",
+) -> DataFrame:
+    """(id_col, out_col): the wide-model scorer — ONE ``mapInPandas``
+    pass computes all class scores as a NumPy matmul (``X_aug · Wᵀ``)
+    and takes the argmax per row, so the PLAN is constant-size at any
+    ``n_classes × dim`` (the weights ride the closure, not the
+    expression tree).  Tie-break rule matches :func:`lang_lr_predict`:
+    the LAST class in sort order among score-ties (argmax over the
+    class-reversed score matrix, index flipped back); prediction
+    equality across the two paths is pinned in tests, including on an
+    all-ties zero-weight artifact."""
+    import numpy as np
+    import pandas as pd
+
+    classes = sorted(weights)
+    dim = len(weights[classes[0]]) - 1
+    Wm = np.array(
+        [[weights[c]["bias"]] + [weights[c][f"e{j}"] for j in range(dim)]
+         for c in classes],
+        dtype=np.float64,
+    )
+    id_type = emb.schema[id_col].dataType.simpleString()
+    n_cls = len(classes)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            Z = np.hstack([np.ones((len(X), 1)), X]) @ Wm.T
+            # np.argmax returns the FIRST max; the contract is LAST in
+            # sort order — argmax the class-reversed matrix, flip back
+            best = n_cls - 1 - np.argmax(Z[:, ::-1], axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                out_col: [classes[b] for b in best],
+            })
+
+    return emb.select(id_col, "emb").mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {out_col} string"
+    )
+
+
 def lang_id(
     df: DataFrame,
     text_col: str = "text",
@@ -453,6 +507,8 @@ def lang_id(
     dim: int = 8,
     n: int = 3,
     emb_df: DataFrame | None = None,
+    vectorized: bool | None = None,
+    vectorized_threshold: int = 2048,
 ) -> DataFrame:
     """(id_col, lang_pred): language identification behind the U3
     strategy-routing seam (``kernels/quality.route_strategy`` pattern —
@@ -475,6 +531,14 @@ def lang_id(
     embedding table with :func:`lang_lr_train` instead of re-running
     the featurize pass — the embed-once shape a corpus-scale deployment
     uses.
+
+    The trained scorer has the training aggregate's two shapes behind
+    one contract (``vectorized=None`` auto-picks by the SAME
+    ``n_classes × (dim+1) > vectorized_threshold`` rule as
+    ``lang_lr_train``): the codegen argmax Column below the threshold,
+    :func:`lang_lr_predict_frame` (one Arrow pass, constant plan size)
+    above it — a 100-language × 1024-dim model never hands Catalyst a
+    100k-node expression tree on either the train OR the apply side.
     """
     from pyspark.sql import functions as F
 
@@ -491,9 +555,15 @@ def lang_id(
             emb_df if emb_df is not None
             else text_embed(df, text_col, id_col, dim=dim, n=n)
         )
-        pred = emb.select(
-            id_col, lang_lr_predict("emb", weights).alias("_p")
-        )
+        if vectorized is None:
+            wdim = len(weights[next(iter(weights))])
+            vectorized = len(weights) * wdim > vectorized_threshold
+        if vectorized:
+            pred = lang_lr_predict_frame(emb, weights, id_col, "_p")
+        else:
+            pred = emb.select(
+                id_col, lang_lr_predict("emb", weights).alias("_p")
+            )
         return (
             df.select(id_col)
             .join(pred, id_col, "left")
